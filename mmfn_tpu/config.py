@@ -1,0 +1,83 @@
+"""Global model/data configuration.
+
+Parity notes: hyperparameter values mirror the reference's GlobalConfig
+(``/root/reference/team_code/mmfn_utils/datasets/config.py:3-88``) so that a
+converted checkpoint produces identical shapes. TPU-specific knobs (max_lanes,
+compute dtype, mesh axes) are new — the reference carries ragged lane tensors,
+we pad to a static maximum so the whole forward pass jit-compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass
+class GlobalConfig:
+    # ---- data ----
+    seq_len: int = 1            # input timesteps
+    pred_len: int = 4           # future waypoints predicted
+    n_views: int = 1            # number of camera views
+    input_resolution: int = 256
+    scale: int = 1
+    crop: int = 256
+
+    # ---- optimization ----
+    lr: float = 1e-4
+    weight_decay: float = 0.01  # torch.optim.AdamW default, applied to all params
+
+    # ---- conv encoder / fusion anchors ----
+    vert_anchors: int = 8
+    horz_anchors: int = 8
+
+    # ---- GPT fusion ----
+    n_embd: int = 512
+    block_exp: int = 4
+    n_layer: int = 8
+    n_head: int = 4
+    n_scale: int = 4
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+
+    # ---- waypoint PID controller ----
+    turn_KP: float = 1.0
+    turn_KI: float = 0.65
+    turn_KD: float = 0.2
+    turn_n: int = 30
+    speed_KP: float = 4.0
+    speed_KI: float = 0.4
+    speed_KD: float = 0.8
+    speed_n: int = 30
+    max_throttle: float = 0.75
+    brake_speed: float = 0.1
+    brake_ratio: float = 1.1
+    clip_delta: float = 0.25
+
+    # ---- radar GAT ----
+    gat_hidden: int = 81
+    gat_heads: int = 2
+    gat_alpha: float = 0.2
+    radar_points: int = 81
+    radar_features: int = 5
+
+    # ---- vector map ----
+    lane_node_num: int = 10
+    feature_num: int = 5
+    up: float = 28.0
+    down: float = 28.0
+    left: float = 28.0
+    right: float = 28.0
+
+    # ---- TPU-specific ----
+    max_lanes: int = 64          # static padding for the ragged lane dimension
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" for the conv/fusion path
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    @property
+    def anchors(self) -> int:
+        return self.vert_anchors * self.horz_anchors
+
+    def replace(self, **kw) -> "GlobalConfig":
+        return dataclasses.replace(self, **kw)
