@@ -73,6 +73,7 @@ class GlobalConfig:
     # ---- TPU-specific ----
     max_lanes: int = 64          # static padding for the ragged lane dimension
     compute_dtype: str = "float32"   # "float32" | "bfloat16" for the conv/fusion path
+    matmul_precision: str = "default"  # "default" (bf16 MXU passes) | "highest" (parity tests)
     mesh_axes: Tuple[str, ...] = ("data",)
 
     @property
