@@ -38,10 +38,9 @@ from mmfn_tpu.models.resnet import resnet18, resnet34
 from mmfn_tpu.models.vectornet import VectornetEncoder
 from mmfn_tpu.ops.image import normalize_imagenet
 from mmfn_tpu.ops.pool import adaptive_avg_pool
-from mmfn_tpu.ops.resize import upsample_bilinear_align_corners
+from mmfn_tpu.ops.resize import resize_bilinear_align_corners
 
 _STAGE_EMBD = (64, 128, 256, 512)
-_STAGE_UPSCALE = (8, 4, 2, 1)
 
 
 class MMFNEncoder(nn.Module):
@@ -99,10 +98,11 @@ class MMFNEncoder(nn.Module):
                 radar_f = self.radar_encoder(batch.radar, batch.radar_adj, train)
                 grids.append(radar_f)  # already (B, 8, 8, 512)
             fused = self.transformers[i](grids, batch.velocity, train)
-            scale = _STAGE_UPSCALE[i]
-            image_f = image_f + upsample_bilinear_align_corners(fused[0], scale)
-            lidar_f = lidar_f + upsample_bilinear_align_corners(fused[1], scale)
-            map_f = map_f + upsample_bilinear_align_corners(fused[2], scale)
+            # Upsample each fused 8x8 grid back to its own stream's resolution
+            # (streams can differ: the VectorNet map seed is always 64x64).
+            image_f = image_f + resize_bilinear_align_corners(fused[0], image_f.shape[1:3])
+            lidar_f = lidar_f + resize_bilinear_align_corners(fused[1], lidar_f.shape[1:3])
+            map_f = map_f + resize_bilinear_align_corners(fused[2], map_f.shape[1:3])
             if i == 3 and self.variant == "rad":
                 radar_f = radar_f + fused[3]
             if i < 3:

@@ -33,13 +33,20 @@ def _interp_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
-def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """NHWC bilinear upsample by an integer factor, align_corners=True."""
-    if scale == 1:
-        return x
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """NHWC bilinear resize to (out_h, out_w), align_corners=True (up or down)."""
     _, h, w, _ = x.shape
-    mh = jnp.asarray(_interp_matrix(h, h * scale), dtype=x.dtype)
-    mw = jnp.asarray(_interp_matrix(w, w * scale), dtype=x.dtype)
+    out_h, out_w = out_hw
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
     hi = jax.lax.Precision.HIGHEST
     x = jnp.einsum("Hh,bhwc->bHwc", mh, x, precision=hi)
     return jnp.einsum("Ww,bhwc->bhWc", mw, x, precision=hi)
+
+
+def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """NHWC bilinear upsample by an integer factor, align_corners=True."""
+    _, h, w, _ = x.shape
+    return resize_bilinear_align_corners(x, (h * scale, w * scale))

@@ -1,0 +1,202 @@
+"""Training engine.
+
+Mirrors the reference Engine (run_steps/phase2_train_net.py:35-220): AdamW
+(lr 1e-4, weight decay on all params — torch default), mean-L1 loss over the 4
+predicted waypoints, periodic validation, best-model tracking, and a
+``recent.log`` JSON with epoch/iter/bestval/loss histories for resume.
+
+TPU-native differences:
+- one jitted, buffer-donating train step (forward+backward+update fused by XLA)
+  instead of eager per-op dispatch;
+- data parallelism via GSPMD mesh sharding (see mmfn_tpu.parallel) instead of
+  DDP/NCCL — the same step function runs single-chip or across a pod slice;
+- checkpoints are flax msgpack pytrees + the same recent.log JSON contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax import serialization
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.batch import Batch
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_optimizer(config: GlobalConfig) -> optax.GradientTransformation:
+    # torch.optim.AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01 on all
+    # params (the reference does not use the GPT decay/no-decay split —
+    # configure_optimizers is dead code, phase2_train_net.py:256).
+    return optax.adamw(config.lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=config.weight_decay)
+
+
+def create_train_state(model, config: GlobalConfig, rng, sample_batch: Batch,
+                       tx: Optional[optax.GradientTransformation] = None) -> TrainState:
+    variables = model.init({"params": rng, "dropout": jax.random.PRNGKey(0)},
+                           sample_batch, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = tx or create_optimizer(config)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def waypoint_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean L1 over all waypoint coordinates (phase2_train_net.py:104)."""
+    return jnp.abs(pred - target).mean()
+
+
+def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, loss), buffers donated."""
+
+    def train_step(state: TrainState, batch: Batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            return waypoint_l1_loss(out, batch.waypoints), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model) -> Callable:
+    def eval_step(state: TrainState, batch: Batch):
+        out = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                          batch, False)
+        return waypoint_l1_loss(out, batch.waypoints)
+
+    return jax.jit(eval_step)
+
+
+class Engine:
+    """Epoch-loop driver with best-model tracking and resume.
+
+    File contract (mirrors reference Engine.save, phase2_train_net.py:184-220):
+      logdir/recent.log        JSON: epoch/iter/bestval/bestval_epoch/losses
+      logdir/model.msgpack     most recent TrainState
+      logdir/best_model.msgpack  best-validation TrainState
+    """
+
+    def __init__(self, model, config: GlobalConfig, logdir: str,
+                 tx: Optional[optax.GradientTransformation] = None,
+                 log_fn: Callable[[dict], None] = None):
+        self.model = model
+        self.config = config
+        self.logdir = logdir
+        self.tx = tx or create_optimizer(config)
+        self.train_step = make_train_step(model, self.tx)
+        self.eval_step = make_eval_step(model)
+        self.cur_epoch = 0
+        self.cur_iter = 0
+        self.bestval = 1e10
+        self.bestval_epoch = 0
+        self.train_loss = []
+        self.val_loss = []
+        self.log_fn = log_fn or (lambda d: None)
+        os.makedirs(logdir, exist_ok=True)
+
+    # ---- epoch phases -------------------------------------------------- #
+
+    def train(self, state: TrainState, batches: Iterable[Batch], rng) -> TrainState:
+        losses = []
+        for batch in batches:
+            state, loss = self.train_step(state, batch, rng)
+            losses.append(loss)
+            self.cur_iter += 1
+        epoch_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+        self.train_loss.append(epoch_loss)
+        self.cur_epoch += 1
+        self.log_fn({"loss": epoch_loss, "epoch": self.cur_epoch})
+        return state
+
+    def validate(self, state: TrainState, batches: Iterable[Batch]) -> float:
+        losses = [self.eval_step(state, b) for b in batches]
+        val = float(jnp.stack(losses).mean()) if losses else float("nan")
+        self.val_loss.append(val)
+        self.log_fn({"val_loss": val, "epoch": self.cur_epoch})
+        return val
+
+    # ---- checkpointing -------------------------------------------------- #
+
+    def _log_table(self) -> dict:
+        return {
+            "epoch": self.cur_epoch,
+            "iter": self.cur_iter,
+            "bestval": self.bestval,
+            "bestval_epoch": self.bestval_epoch,
+            "train_loss": self.train_loss,
+            "val_loss": self.val_loss,
+        }
+
+    def save(self, state: TrainState) -> bool:
+        save_best = bool(self.val_loss) and self.val_loss[-1] <= self.bestval
+        if save_best:
+            self.bestval = self.val_loss[-1]
+            self.bestval_epoch = self.cur_epoch
+            with open(os.path.join(self.logdir, "best_model.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(state))
+        with open(os.path.join(self.logdir, "model.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(state))
+        with open(os.path.join(self.logdir, "recent.log"), "w") as f:
+            json.dump(self._log_table(), f)
+        return save_best
+
+    def resume(self, state_template: TrainState, best: bool = False) -> Optional[TrainState]:
+        """Restore state and loss history if a checkpoint exists; else None."""
+        log_path = os.path.join(self.logdir, "recent.log")
+        name = "best_model.msgpack" if best else "model.msgpack"
+        ckpt_path = os.path.join(self.logdir, name)
+        if not (os.path.exists(log_path) and os.path.exists(ckpt_path)):
+            return None
+        with open(log_path) as f:
+            table = json.load(f)
+        self.cur_epoch = table["epoch"]
+        self.cur_iter = table.get("iter", 0)
+        self.bestval = table["bestval"]
+        self.bestval_epoch = table.get("bestval_epoch", 0)
+        self.train_loss = table["train_loss"]
+        self.val_loss = table["val_loss"]
+        with open(ckpt_path, "rb") as f:
+            return serialization.from_bytes(state_template, f.read())
+
+    # ---- full loop ------------------------------------------------------ #
+
+    def fit(self, state: TrainState, train_batches_fn, val_batches_fn,
+            epochs: int, rng, val_every: int = 5, save_every: int = 20):
+        """train_batches_fn/val_batches_fn: callables returning fresh iterables
+        per epoch (mirrors DataLoader re-iteration)."""
+        for epoch in range(self.cur_epoch, epochs):
+            t0 = time.time()
+            state = self.train(state, train_batches_fn(epoch), rng)
+            self.log_fn({"epoch_minutes": (time.time() - t0) / 60, "epoch": epoch})
+            if epoch % val_every == 0:
+                self.validate(state, val_batches_fn(epoch))
+                if epoch % save_every == 0:
+                    self.save(state)
+        return state
