@@ -1,15 +1,23 @@
 """End-to-end benchmark: sensor -> waypoints frames/sec/chip.
 
 The benched pipeline covers the full per-frame compute the reference performs
-per simulator tick on the GPU+host (mmfn_vectornet.py:199-309 +
+per simulator tick on GPU+host (mmfn_vectornet.py:199-309 +
 dataloader.py:271-346): LiDAR ego-registration + BEV rasterization (Pallas
 one-hot-matmul kernel), radar adjacency, image normalization, and the full
-MMFN forward to 4 waypoints. Everything runs on-device in one jitted program.
+MMFN-rad forward to 4 waypoints. Everything runs on-device in one jitted
+program.
+
+Timing methodology: the environment reaches the TPU through an async relay
+where ``block_until_ready`` can return early, so wall-clocking individual
+dispatches is unreliable. Instead we run ITERS pipeline steps inside a jitted
+``lax.fori_loop`` whose inputs are perturbed by the loop index (prevents
+hoisting) and whose outputs feed an accumulator (prevents DCE), then fetch one
+scalar. Per-step time = total / ITERS, amortizing the relay round-trip.
 
 Reports ONE JSON line. ``vs_baseline`` is measured frames/sec divided by the
 reference's closed-loop budget of 20 frames/sec (the CARLA 20 Hz synchronous
-tick the reference model must serve, leaderboard_evaluator.py:61,203-205 —
-the repo publishes no model-throughput numbers, BASELINE.md).
+tick the reference serves, leaderboard_evaluator.py:61,203-205 — the repo
+publishes no model-throughput numbers, see BASELINE.md).
 """
 
 import json
@@ -27,8 +35,7 @@ from mmfn_tpu.ops.radar import radar_adjacency
 
 MAX_POINTS = 65536  # two 64-ch sweeps at 600k pts/s / 20 Hz, padded
 BATCH = 8
-WARMUP = 5
-ITERS = 30
+ITERS = 200
 
 
 def make_inputs(batch, rng):
@@ -44,7 +51,7 @@ def make_inputs(batch, rng):
     )
 
 
-def build_pipeline(cfg, model):
+def pipeline_fn(model):
     def pipeline(variables, inp):
         # --- on-device sensor preprocessing ---
         def per_cloud(points, pose):
@@ -63,16 +70,32 @@ def build_pipeline(cfg, model):
         )
         return model.apply(variables, batch, False)
 
-    return jax.jit(pipeline)
+    return pipeline
 
 
-def timed(fn, variables, inputs, iters):
-    jax.block_until_ready(fn(variables, inputs))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, inputs)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def timed_loop(pipeline, variables, inputs, iters):
+    """Per-step seconds for `iters` dependent on-device pipeline steps."""
+
+    @jax.jit
+    def looped(variables, inputs):
+        def body(i, acc):
+            inp = dict(inputs)
+            # loop-index dependence defeats loop-invariant hoisting; the
+            # perturbation is numerically negligible.
+            inp["velocity"] = inputs["velocity"] + i.astype(jnp.float32) * 1e-9
+            out = pipeline(variables, inp)
+            return acc + jnp.sum(out)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    _ = float(looped(variables, inputs))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(looped(variables, inputs))
+        ts.append(time.perf_counter() - t0)
+    assert np.isfinite(s)
+    return min(ts) / iters
 
 
 def main():
@@ -91,19 +114,10 @@ def main():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         init_batch, False)
 
-    pipeline = build_pipeline(cfg, model)
+    pipeline = pipeline_fn(model)
 
-    # batch-1 closed-loop latency
-    inputs1 = make_inputs(1, rng)
-    for _ in range(WARMUP):
-        jax.block_until_ready(pipeline(variables, inputs1))
-    latency_s = timed(pipeline, variables, inputs1, ITERS)
-
-    # throughput at a serving batch
-    inputs_b = make_inputs(BATCH, rng)
-    for _ in range(WARMUP):
-        jax.block_until_ready(pipeline(variables, inputs_b))
-    batch_s = timed(pipeline, variables, inputs_b, ITERS)
+    latency_s = timed_loop(pipeline, variables, make_inputs(1, rng), ITERS)
+    batch_s = timed_loop(pipeline, variables, make_inputs(BATCH, rng), ITERS)
     fps = BATCH / batch_s
 
     print(json.dumps({
