@@ -1,0 +1,489 @@
+// rough_map_node — OpenDRIVE -> vectorized-lane (.rmap) converter.
+//
+// TPU-framework replacement for the reference's closed-source binary
+// (reference invocation contract: team_code/expert_agent/common/utils.py:348-367;
+// output format recovered from the .rmap parser, utils.py:395-415).
+//
+// Usage:   rough_map_node <dir>
+//   reads  <dir>/opstr.txt   (raw OpenDRIVE XML, as written by the agents)
+//   writes <dir>/a.rmap
+//   prints "ok" on success (the Python driver checks stdout ends with "ok").
+//
+// Output conventions (consumed by mmfn_tpu.mapping.RoughMap and learned by the
+// model — collection and inference both use this tool, so the encoding only
+// needs to be self-consistent):
+//   * coordinates are CARLA world coordinates: x = xodr_x, y = -xodr_y
+//     (CARLA negates y when importing OpenDRIVE's right-handed frame)
+//   * each driving-lane centerline is sampled at ~5 m and chopped into
+//     polylines of <= 10 nodes; each polyline becomes one ".rmap lane" with an
+//     axis-aligned 4-point bounding polygon (2 m margin)
+//   * node features: [x, y, intersection, turn_dir, traffic_control]
+//       intersection:    1 if the road belongs to a junction
+//       turn_dir:        0 straight, 1 left, 2 right (heading change over the
+//                        polyline in the CARLA frame, +-0.15 rad threshold)
+//       traffic_control: 1 if the road carries a traffic-light (type 1000001)
+//                        or stop (type 206) signal
+//
+// Geometry support: line, arc, spiral (midpoint-integrated clothoid), poly3,
+// paramPoly3; laneOffset and per-lane cubic width records; multiple lane
+// sections.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Minimal XML DOM (OpenDRIVE subset: elements, attributes, comments, decls).
+// ---------------------------------------------------------------------------
+
+struct XmlNode {
+  std::string name;
+  std::map<std::string, std::string> attrs;
+  std::vector<std::unique_ptr<XmlNode>> children;
+
+  const XmlNode* child(const std::string& n) const {
+    for (const auto& c : children)
+      if (c->name == n) return c.get();
+    return nullptr;
+  }
+  std::vector<const XmlNode*> all(const std::string& n) const {
+    std::vector<const XmlNode*> out;
+    for (const auto& c : children)
+      if (c->name == n) out.push_back(c.get());
+    return out;
+  }
+  double attr(const std::string& k, double dflt = 0.0) const {
+    auto it = attrs.find(k);
+    return it == attrs.end() ? dflt : std::strtod(it->second.c_str(), nullptr);
+  }
+  std::string attrs_str(const std::string& k, const std::string& dflt = "") const {
+    auto it = attrs.find(k);
+    return it == attrs.end() ? dflt : it->second;
+  }
+};
+
+class XmlParser {
+ public:
+  explicit XmlParser(const std::string& text) : s_(text), i_(0) {}
+
+  std::unique_ptr<XmlNode> parse() {
+    skip_misc();
+    return parse_element();
+  }
+
+ private:
+  const std::string& s_;
+  size_t i_;
+
+  void skip_ws() {
+    while (i_ < s_.size() && std::isspace(static_cast<unsigned char>(s_[i_]))) i_++;
+  }
+  bool starts(const char* p) const { return s_.compare(i_, std::strlen(p), p) == 0; }
+
+  void skip_misc() {  // whitespace, xml decls, comments, doctype, stray text
+    for (;;) {
+      skip_ws();
+      if (starts("<?")) {
+        i_ = s_.find("?>", i_);
+        i_ = (i_ == std::string::npos) ? s_.size() : i_ + 2;
+      } else if (starts("<!--")) {
+        i_ = s_.find("-->", i_);
+        i_ = (i_ == std::string::npos) ? s_.size() : i_ + 3;
+      } else if (starts("<!")) {
+        i_ = s_.find('>', i_);
+        i_ = (i_ == std::string::npos) ? s_.size() : i_ + 1;
+      } else if (i_ < s_.size() && s_[i_] != '<') {
+        i_++;  // text content — OpenDRIVE carries none we need
+      } else {
+        return;
+      }
+    }
+  }
+
+  std::string parse_name() {
+    size_t start = i_;
+    while (i_ < s_.size() && (std::isalnum(static_cast<unsigned char>(s_[i_])) ||
+                              s_[i_] == '_' || s_[i_] == ':' || s_[i_] == '-' ||
+                              s_[i_] == '.'))
+      i_++;
+    return s_.substr(start, i_ - start);
+  }
+
+  std::unique_ptr<XmlNode> parse_element() {
+    if (i_ >= s_.size() || s_[i_] != '<') return nullptr;
+    i_++;  // '<'
+    auto node = std::make_unique<XmlNode>();
+    node->name = parse_name();
+    for (;;) {
+      skip_ws();
+      if (i_ >= s_.size()) return node;
+      if (starts("/>")) { i_ += 2; return node; }
+      if (s_[i_] == '>') { i_++; break; }
+      std::string key = parse_name();
+      skip_ws();
+      if (i_ < s_.size() && s_[i_] == '=') {
+        i_++;
+        skip_ws();
+        char quote = s_[i_++];
+        size_t start = i_;
+        while (i_ < s_.size() && s_[i_] != quote) i_++;
+        node->attrs[key] = s_.substr(start, i_ - start);
+        i_++;  // closing quote
+      }
+    }
+    // children until matching close tag
+    for (;;) {
+      skip_misc();
+      if (i_ >= s_.size()) return node;
+      if (starts("</")) {
+        i_ = s_.find('>', i_);
+        i_ = (i_ == std::string::npos) ? s_.size() : i_ + 1;
+        return node;
+      }
+      auto child = parse_element();
+      if (!child) return node;
+      node->children.push_back(std::move(child));
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// OpenDRIVE geometry
+// ---------------------------------------------------------------------------
+
+struct Poly3 {  // a + b u + c u^2 + d u^3
+  double s0 = 0, a = 0, b = 0, c = 0, d = 0;
+  double eval(double s) const {
+    double u = s - s0;
+    return a + u * (b + u * (c + u * d));
+  }
+};
+
+struct Geometry {
+  enum Kind { kLine, kArc, kSpiral, kPoly3, kParamPoly3 } kind = kLine;
+  double s = 0, x = 0, y = 0, hdg = 0, length = 0;
+  double curvature = 0;                       // arc
+  double curv_start = 0, curv_end = 0;        // spiral
+  Poly3 poly;                                 // poly3 (u -> v in local frame)
+  double aU = 0, bU = 0, cU = 0, dU = 0;      // paramPoly3
+  double aV = 0, bV = 0, cV = 0, dV = 0;
+  bool p_norm = false;                        // pRange == "normalized"
+
+  // reference-line pose at arclength ds past this record's start
+  void eval(double ds, double* px, double* py, double* phdg) const {
+    switch (kind) {
+      case kLine:
+        *px = x + ds * std::cos(hdg);
+        *py = y + ds * std::sin(hdg);
+        *phdg = hdg;
+        return;
+      case kArc: {
+        double h = hdg + curvature * ds;
+        *px = x + (std::sin(h) - std::sin(hdg)) / curvature;
+        *py = y - (std::cos(h) - std::cos(hdg)) / curvature;
+        *phdg = h;
+        return;
+      }
+      case kSpiral: {  // clothoid: midpoint-rule integration
+        double dk = (curv_end - curv_start) / length;
+        int n = std::max(1, static_cast<int>(ds / 0.25));
+        double step = ds / n;
+        double px_ = x, py_ = y;
+        for (int i = 0; i < n; i++) {
+          double sm = (i + 0.5) * step;
+          double h = hdg + curv_start * sm + 0.5 * dk * sm * sm;
+          px_ += step * std::cos(h);
+          py_ += step * std::sin(h);
+        }
+        *px = px_;
+        *py = py_;
+        *phdg = hdg + curv_start * ds + 0.5 * dk * ds * ds;
+        return;
+      }
+      case kPoly3: {  // v = f(u); u approximated by arclength
+        double u = ds;
+        double v = poly.a + u * (poly.b + u * (poly.c + u * poly.d));
+        double dv = poly.b + u * (2 * poly.c + 3 * poly.d * u);
+        *px = x + u * std::cos(hdg) - v * std::sin(hdg);
+        *py = y + u * std::sin(hdg) + v * std::cos(hdg);
+        *phdg = hdg + std::atan(dv);
+        return;
+      }
+      case kParamPoly3: {
+        double p = p_norm ? (length > 0 ? ds / length : 0) : ds;
+        double u = aU + p * (bU + p * (cU + p * dU));
+        double v = aV + p * (bV + p * (cV + p * dV));
+        double du = bU + p * (2 * cU + 3 * dU * p);
+        double dv = bV + p * (2 * cV + 3 * dV * p);
+        *px = x + u * std::cos(hdg) - v * std::sin(hdg);
+        *py = y + u * std::sin(hdg) + v * std::cos(hdg);
+        *phdg = hdg + std::atan2(dv, du);
+        return;
+      }
+    }
+  }
+};
+
+struct WidthRec { double sOffset, a, b, c, d; };
+
+struct Lane {
+  int id = 0;
+  std::string type;
+  std::vector<WidthRec> widths;
+  double width_at(double ds) const {  // ds relative to section start
+    const WidthRec* rec = nullptr;
+    for (const auto& w : widths)
+      if (w.sOffset <= ds + 1e-9) rec = &w;
+    if (!rec) return 0.0;
+    double u = ds - rec->sOffset;
+    return rec->a + u * (rec->b + u * (rec->c + u * rec->d));
+  }
+};
+
+struct LaneSection {
+  double s = 0;
+  std::vector<Lane> left;   // ids 1, 2, ... (inner to outer)
+  std::vector<Lane> right;  // ids -1, -2, ...
+};
+
+struct Road {
+  std::string id;
+  double length = 0;
+  bool junction = false;
+  bool traffic_control = false;
+  std::vector<Geometry> geoms;
+  std::vector<Poly3> lane_offsets;
+  std::vector<LaneSection> sections;
+
+  void eval_ref(double s, double* px, double* py, double* phdg) const {
+    const Geometry* g = geoms.empty() ? nullptr : &geoms[0];
+    for (const auto& rec : geoms)
+      if (rec.s <= s + 1e-9) g = &rec;
+    if (!g) { *px = *py = *phdg = 0; return; }
+    double ds = std::min(std::max(s - g->s, 0.0), g->length);
+    g->eval(ds, px, py, phdg);
+  }
+  double lane_offset_at(double s) const {
+    const Poly3* rec = nullptr;
+    for (const auto& lo : lane_offsets)
+      if (lo.s0 <= s + 1e-9) rec = &lo;
+    return rec ? rec->eval(s) : 0.0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Parsing
+// ---------------------------------------------------------------------------
+
+static Lane parse_lane(const XmlNode* node) {
+  Lane lane;
+  lane.id = static_cast<int>(node->attr("id"));
+  lane.type = node->attrs_str("type");
+  for (const XmlNode* w : node->all("width"))
+    lane.widths.push_back({w->attr("sOffset"), w->attr("a"), w->attr("b"),
+                           w->attr("c"), w->attr("d")});
+  return lane;
+}
+
+static std::vector<Road> parse_opendrive(const XmlNode* root) {
+  std::vector<Road> roads;
+  for (const XmlNode* rn : root->all("road")) {
+    Road road;
+    road.id = rn->attrs_str("id");
+    road.length = rn->attr("length");
+    road.junction = rn->attrs_str("junction", "-1") != "-1";
+
+    if (const XmlNode* signals = rn->child("signals")) {
+      for (const XmlNode* sig : signals->all("signal")) {
+        std::string t = sig->attrs_str("type");
+        if (t == "1000001" || t == "206" || t == "1000011")
+          road.traffic_control = true;
+      }
+    }
+
+    if (const XmlNode* pv = rn->child("planView")) {
+      for (const XmlNode* gn : pv->all("geometry")) {
+        Geometry g;
+        g.s = gn->attr("s");
+        g.x = gn->attr("x");
+        g.y = gn->attr("y");
+        g.hdg = gn->attr("hdg");
+        g.length = gn->attr("length");
+        if (const XmlNode* a = gn->child("arc")) {
+          g.kind = Geometry::kArc;
+          g.curvature = a->attr("curvature");
+          if (std::fabs(g.curvature) < 1e-12) g.kind = Geometry::kLine;
+        } else if (const XmlNode* sp = gn->child("spiral")) {
+          g.kind = Geometry::kSpiral;
+          g.curv_start = sp->attr("curvStart");
+          g.curv_end = sp->attr("curvEnd");
+        } else if (const XmlNode* p3 = gn->child("poly3")) {
+          g.kind = Geometry::kPoly3;
+          g.poly = {0, p3->attr("a"), p3->attr("b"), p3->attr("c"), p3->attr("d")};
+        } else if (const XmlNode* pp = gn->child("paramPoly3")) {
+          g.kind = Geometry::kParamPoly3;
+          g.aU = pp->attr("aU"); g.bU = pp->attr("bU");
+          g.cU = pp->attr("cU"); g.dU = pp->attr("dU");
+          g.aV = pp->attr("aV"); g.bV = pp->attr("bV");
+          g.cV = pp->attr("cV"); g.dV = pp->attr("dV");
+          g.p_norm = pp->attrs_str("pRange", "normalized") != "arcLength";
+        }
+        road.geoms.push_back(g);
+      }
+    }
+
+    if (const XmlNode* lanes = rn->child("lanes")) {
+      for (const XmlNode* lo : lanes->all("laneOffset"))
+        road.lane_offsets.push_back({lo->attr("s"), lo->attr("a"), lo->attr("b"),
+                                     lo->attr("c"), lo->attr("d")});
+      for (const XmlNode* sec : lanes->all("laneSection")) {
+        LaneSection ls;
+        ls.s = sec->attr("s");
+        if (const XmlNode* left = sec->child("left"))
+          for (const XmlNode* ln : left->all("lane")) ls.left.push_back(parse_lane(ln));
+        if (const XmlNode* right = sec->child("right"))
+          for (const XmlNode* ln : right->all("lane")) ls.right.push_back(parse_lane(ln));
+        // sort inner -> outer by |id|
+        auto by_abs = [](const Lane& a, const Lane& b) { return std::abs(a.id) < std::abs(b.id); };
+        std::sort(ls.left.begin(), ls.left.end(), by_abs);
+        std::sort(ls.right.begin(), ls.right.end(), by_abs);
+        road.sections.push_back(ls);
+      }
+    }
+    roads.push_back(std::move(road));
+  }
+  return roads;
+}
+
+// ---------------------------------------------------------------------------
+// Lane sampling + .rmap emission
+// ---------------------------------------------------------------------------
+
+struct OutLane {
+  std::vector<std::array<double, 5>> nodes;  // x, y, intersection, turn, control
+  double minx = 1e18, miny = 1e18, maxx = -1e18, maxy = -1e18;
+};
+
+static const double kSampleStep = 5.0;   // meters between nodes
+static const int kMaxNodes = 10;         // per .rmap lane polyline
+static const double kBoxMargin = 2.0;    // bbox inflation, meters
+static const double kTurnThresh = 0.15;  // radians over one polyline
+
+static double wrap_pi(double a) {
+  while (a > M_PI) a -= 2 * M_PI;
+  while (a < -M_PI) a += 2 * M_PI;
+  return a;
+}
+
+static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(carla), hdg(xodr)
+                        bool junction, bool control, std::vector<OutLane>* out) {
+  for (size_t start = 0; start < pts.size(); start += kMaxNodes) {
+    size_t end = std::min(start + kMaxNodes, pts.size());
+    if (end - start < 2) {
+      if (start == 0 && end == 1) end = 1;  // lone node still emitted
+      else break;
+    }
+    OutLane lane;
+    // turn direction over this chunk, in the CARLA (y-flipped) frame:
+    // xodr heading increase (CCW) becomes clockwise, i.e. a RIGHT turn.
+    double dh = wrap_pi(pts[end - 1][2] - pts[start][2]);
+    double turn = 0;
+    if (dh > kTurnThresh) turn = 2;        // right in CARLA frame
+    else if (dh < -kTurnThresh) turn = 1;  // left
+    for (size_t i = start; i < end; i++) {
+      double x = pts[i][0], y = pts[i][1];
+      lane.nodes.push_back({x, y, junction ? 1.0 : 0.0, turn, control ? 1.0 : 0.0});
+      lane.minx = std::min(lane.minx, x); lane.maxx = std::max(lane.maxx, x);
+      lane.miny = std::min(lane.miny, y); lane.maxy = std::max(lane.maxy, y);
+    }
+    out->push_back(std::move(lane));
+  }
+}
+
+static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
+  std::vector<OutLane> out;
+  for (const auto& road : roads) {
+    for (size_t si = 0; si < road.sections.size(); si++) {
+      const LaneSection& sec = road.sections[si];
+      double sec_end = (si + 1 < road.sections.size()) ? road.sections[si + 1].s
+                                                       : road.length;
+      double sec_len = sec_end - sec.s;
+      if (sec_len <= 1e-6) continue;
+      int n_samples = std::max(2, static_cast<int>(sec_len / kSampleStep) + 1);
+
+      auto sample_side = [&](const std::vector<Lane>& side, int sign) {
+        for (size_t li = 0; li < side.size(); li++) {
+          if (side[li].type != "driving") continue;
+          std::vector<std::array<double, 3>> pts;
+          for (int k = 0; k < n_samples; k++) {
+            double ds = sec_len * k / (n_samples - 1);
+            double s = sec.s + ds;
+            double rx, ry, rh;
+            road.eval_ref(s, &rx, &ry, &rh);
+            double t = road.lane_offset_at(s);
+            for (size_t inner = 0; inner < li; inner++)
+              t += sign * side[inner].width_at(ds);
+            t += sign * 0.5 * side[li].width_at(ds);
+            double x = rx - t * std::sin(rh);
+            double y = ry + t * std::cos(rh);
+            pts.push_back({x, -y, rh});  // CARLA y-flip
+          }
+          emit_chunks(pts, road.junction, road.traffic_control, &out);
+        }
+      };
+      sample_side(sec.left, +1);
+      sample_side(sec.right, -1);
+    }
+  }
+  return out;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    std::fprintf(stderr, "usage: rough_map_node <dir with opstr.txt>\n");
+    return 1;
+  }
+  std::string dir = argv[1];
+  std::ifstream in(dir + "/opstr.txt");
+  if (!in) {
+    std::fprintf(stderr, "cannot open %s/opstr.txt\n", dir.c_str());
+    return 1;
+  }
+  std::stringstream buf;
+  buf << in.rdbuf();
+  std::string xml = buf.str();
+
+  XmlParser parser(xml);
+  auto root = parser.parse();
+  if (!root || root->name != "OpenDRIVE") {
+    std::fprintf(stderr, "not an OpenDRIVE document\n");
+    return 1;
+  }
+  auto lanes = vectorize(parse_opendrive(root.get()));
+
+  std::ofstream outf(dir + "/a.rmap");
+  outf.setf(std::ios::fixed);
+  outf.precision(6);
+  outf << "rmap v1 (rough_map_node, mmfn_tpu)\n";
+  outf << "lane_num " << lanes.size() << "\n";
+  for (const auto& lane : lanes) {
+    outf << "node_num " << lane.nodes.size() << "\n";
+    double x0 = lane.minx - kBoxMargin, x1 = lane.maxx + kBoxMargin;
+    double y0 = lane.miny - kBoxMargin, y1 = lane.maxy + kBoxMargin;
+    outf << x0 << " " << y0 << " " << x1 << " " << y0 << " "
+         << x1 << " " << y1 << " " << x0 << " " << y1 << "\n";
+    for (const auto& n : lane.nodes)
+      outf << n[0] << " " << n[1] << " " << n[2] << " " << n[3] << " " << n[4] << "\n";
+  }
+  outf.close();
+  std::printf("lanes=%zu ok\n", lanes.size());
+  return 0;
+}

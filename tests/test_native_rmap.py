@@ -1,0 +1,134 @@
+"""Integration tests for the native OpenDRIVE -> .rmap vectorizer."""
+
+import math
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.mapping import RoughMap, build_rmap
+from mmfn_tpu.mapping.rough_map import default_tool_path
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tool():
+    path = default_tool_path()
+    if not os.path.exists(path):
+        build = os.path.join(ROOT, "scripts", "build_native.sh")
+        try:
+            subprocess.run([build], check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f"cannot build native tool: {e}")
+    return path
+
+
+_XODR_TEMPLATE = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE>
+  <header revMajor="1" revMinor="4" name="test"/>
+  {roads}
+</OpenDRIVE>
+"""
+
+_STRAIGHT = """
+  <road name="R0" length="100.0" id="0" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="100.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+          <lane id="-2" type="sidewalk" level="false">
+            <width sOffset="0.0" a="2.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+"""
+
+# quarter-circle arc of radius 50, in a junction, with a traffic light
+_ARC = """
+  <road name="R1" length="{arclen}" id="1" junction="5">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="{arclen}">
+        <arc curvature="0.02"/>
+      </geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <left>
+          <lane id="1" type="driving" level="false">
+            <width sOffset="0.0" a="4.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </left>
+      </laneSection>
+    </lanes>
+    <signals>
+      <signal s="10.0" t="-4" id="99" name="light" dynamic="yes" type="1000001"
+              subtype="-1" orientation="+"/>
+    </signals>
+  </road>
+""".format(arclen=50 * math.pi / 2)
+
+
+def _run_tool(tool, tmp_path, roads_xml):
+    d = tmp_path / "map"
+    d.mkdir()
+    (d / "opstr.txt").write_text(_XODR_TEMPLATE.format(roads=roads_xml))
+    proc = subprocess.run([tool, str(d)], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.rstrip().endswith("ok")
+    return RoughMap().read(str(d / "a.rmap")), d
+
+
+def test_straight_road_geometry(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _STRAIGHT)
+    # only the driving lane is vectorized (sidewalk skipped); 21 samples -> 2 chunks
+    assert len(rmap.lanes) == 2
+    nodes = rmap.lanes[0].nodes
+    # right lane center at t=-1.75 (xodr) -> CARLA y = +1.75
+    np.testing.assert_allclose(nodes[:, 1], 1.75)
+    np.testing.assert_allclose(nodes[:, 0], np.arange(10) * 5.0)
+    # attrs: not a junction, no signals, straight
+    assert np.all(nodes[:, 2] == 0) and np.all(nodes[:, 3] == 0) and np.all(nodes[:, 4] == 0)
+
+
+def test_arc_junction_signal(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _ARC)
+    assert len(rmap.lanes) >= 1
+    nodes = rmap.lanes[0].nodes
+    # left lane (id 1) at t=+2.0: radius from arc center (xodr center (0,50))
+    # CARLA frame: y flipped -> center (0,-50); lane radius = 50-2 = 48
+    center = np.array([0.0, -50.0])
+    radii = np.linalg.norm(nodes[:, :2] - center, axis=1)
+    np.testing.assert_allclose(radii, 48.0, atol=0.05)
+    assert np.all(nodes[:, 2] == 1)   # junction
+    assert np.all(nodes[:, 4] == 1)   # traffic control
+    # xodr CCW arc becomes a right turn after the CARLA y-flip
+    assert np.all(nodes[:, 3] == 2)
+
+
+def test_crop_pipeline_end_to_end(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _STRAIGHT + _ARC)
+    lanes, n = rmap.process_padded([10.0, 1.75, 0.0], max_lanes=16)
+    assert n >= 1
+    assert lanes.shape == (16, 10, 5)
+    # nearest node of the straight lane should be ~at the ego origin
+    d = np.linalg.norm(lanes[:n, :, :2].reshape(-1, 2), axis=1)
+    assert d.min() < 1e-6
+
+
+def test_build_rmap_driver(tool, tmp_path):
+    d = tmp_path / "drv"
+    d.mkdir()
+    (d / "opstr.txt").write_text(_XODR_TEMPLATE.format(roads=_STRAIGHT))
+    assert build_rmap([str(d)], tool_path=tool) is False  # False = no error
+    assert (d / "a.rmap").exists()
