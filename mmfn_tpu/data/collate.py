@@ -1,0 +1,100 @@
+"""Static-shape collation and a simple prefetching loader.
+
+The reference pads the ragged lane tensors per-batch with pad_sequence
+(data_utils.py:9-25), yielding shape-polymorphic batches that would retrigger
+XLA compilation. Here every batch pads lanes to the compile-time constant
+``config.max_lanes`` and carries per-sample lane counts — one jitted program
+for the whole run. radar_adj is derived at collate time exactly like the
+reference's PRE_Data.__getitem__ (dataloader.py:376-385).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mmfn_tpu.data.batch import Batch
+from mmfn_tpu.ops.radar import radar_adjacency_np
+
+
+def collate_samples(samples: Sequence[Dict[str, np.ndarray]], max_lanes: int) -> Batch:
+    n = len(samples)
+    first = samples[0]
+    lane_nodes, feat = first["lanes"].shape[1:]
+
+    lanes = np.zeros((n, max_lanes, lane_nodes, feat), dtype=np.float32)
+    lane_num = np.zeros((n,), dtype=np.int32)
+    for i, s in enumerate(samples):
+        k = min(s["lanes"].shape[0], max_lanes)
+        lanes[i, :k] = s["lanes"][:k]
+        lane_num[i] = max(k, 1)
+
+    radar = np.stack([s["radar"] for s in samples]).astype(np.float32)
+    return Batch(
+        image=np.stack([s["image"] for s in samples]).astype(np.float32),
+        lidar_bev=np.stack([s["lidar_bev"] for s in samples]).astype(np.float32),
+        map_img=np.stack([s["map_img"] for s in samples]).astype(np.float32),
+        lanes=lanes,
+        lane_num=lane_num,
+        radar=radar,
+        radar_adj=np.stack([radar_adjacency_np(r) for r in radar]),
+        target_point=np.stack([s["target_point"] for s in samples]).astype(np.float32),
+        velocity=np.asarray([s["velocity"] for s in samples], dtype=np.float32),
+        waypoints=np.stack([s["waypoints"] for s in samples]).astype(np.float32),
+    )
+
+
+def data_loader(dataset, batch_size: int, max_lanes: int, *,
+                shuffle: bool = False, seed: int = 0, drop_last: bool = True,
+                num_threads: int = 4, prefetch: int = 4,
+                shard_index: int = 0, shard_count: int = 1) -> Iterator[Batch]:
+    """Threaded batch iterator.
+
+    ``shard_index``/``shard_count`` give each host its own slice of the index
+    space — the TPU-native replacement for DistributedSampler
+    (phase2_train_net.py:265-266).
+    """
+    indices = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(indices)
+    indices = indices[shard_index::shard_count]
+
+    n_batches = (len(indices) // batch_size if drop_last
+                 else -(-len(indices) // batch_size))
+    batches: List[np.ndarray] = [
+        indices[i * batch_size:(i + 1) * batch_size] for i in range(n_batches)]
+
+    if num_threads <= 1:
+        for idx in batches:
+            yield collate_samples([dataset[int(i)] for i in idx], max_lanes)
+        return
+
+    out: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for idx in batches:
+                if stop.is_set():
+                    return
+                out.put(collate_samples([dataset[int(i)] for i in idx], max_lanes))
+        except Exception as e:  # surface loader errors to the consumer
+            out.put(e)
+        finally:
+            out.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = out.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -1,0 +1,96 @@
+"""Dataset/collate tests over a synthetic on-disk route."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.collate import collate_samples, data_loader
+from mmfn_tpu.data.dataset import (
+    CarlaDataset, PreprocessedDataset, check_data, preprocess_to_pickles)
+
+CFG = GlobalConfig(max_lanes=8)
+N_FRAMES = 12
+
+
+@pytest.fixture(scope="module")
+def route_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    town = tmp_path_factory.mktemp("Town02_short")
+    rd = town / "route_00"
+    for sub in ("rgb_front", "lidar", "radar", "maps", "vectormap", "measurements"):
+        (rd / sub).mkdir(parents=True)
+    for i in range(1, N_FRAMES + 1):
+        name = str(i).zfill(4)
+        np.save(rd / "rgb_front" / f"{name}.npy",
+                rng.integers(0, 255, size=(256, 900, 3)).astype(np.uint8))
+        np.save(rd / "maps" / f"{name}.npy",
+                rng.integers(0, 255, size=(256, 256, 3)).astype(np.uint8))
+        np.save(rd / "lidar" / f"{name}.npy",
+                rng.uniform(-20, 20, size=(500, 4)).astype(np.float32))
+        np.save(rd / "radar" / f"{name}.npy",
+                rng.normal(size=(30, 5)).astype(np.float32) + 1.0)
+        if i != 5:  # frame 5 deliberately lacks a vectormap
+            np.save(rd / "vectormap" / f"{name}.npy",
+                    rng.normal(size=(3, 10, 5)).astype(np.float32))
+        meas = {
+            "x": float(i), "y": float(i) * 0.5, "theta": 0.1 * i,
+            "speed": 5.0, "x_command": float(i + 20), "y_command": 0.0,
+            "command": 4, "steer": 0.01, "throttle": 0.5, "brake": 0.0,
+        }
+        (rd / "measurements" / f"{name}.json").write_text(json.dumps(meas))
+    return str(town)
+
+
+def test_index_and_sample(route_dir):
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    assert len(ds) == (N_FRAMES - CFG.pred_len - 2) // CFG.seq_len
+    s = ds[0]
+    assert s["image"].shape == (256, 256, 3)
+    assert s["lidar_bev"].shape == (256, 256, 2)
+    assert s["map_img"].shape == (256, 256, 3)
+    assert s["lanes"].shape[1:] == (10, 5)
+    assert s["radar"].shape == (81, 5)
+    assert s["waypoints"].shape == (4, 2)
+    assert s["target_point"].shape == (2,)
+    assert np.isfinite(s["waypoints"]).all()
+
+
+def test_missing_vectormap_fallback(route_dir):
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    zero_lane_samples = [i for i in range(len(ds))
+                         if np.all(ds[i]["lanes"] == 0) and ds[i]["lanes"].shape[0] == 1]
+    assert len(zero_lane_samples) == 1
+
+
+def test_check_data(route_dir):
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    assert check_data(ds) == []
+
+
+def test_preprocess_and_collate(route_dir, tmp_path):
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    n = preprocess_to_pickles(ds, str(tmp_path / "pro"), limit=4)
+    pds = PreprocessedDataset(str(tmp_path / "pro"))
+    assert len(pds) == n == 4
+
+    batch = collate_samples([pds[0], pds[1]], max_lanes=8)
+    assert batch.image.shape == (2, 256, 256, 3)
+    assert batch.lanes.shape == (2, 8, 10, 5)
+    assert batch.radar_adj.shape == (2, 81, 81)
+    assert batch.lane_num.tolist() == [3, 3]
+    assert batch.waypoints.shape == (2, 4, 2)
+    # adjacency definition: adj[i, j] = alt[j] - alt[i]
+    np.testing.assert_allclose(
+        batch.radar_adj[0, 2, 5], batch.radar[0, 5, 1] - batch.radar[0, 2, 1], rtol=1e-6)
+
+
+def test_data_loader_sharding(route_dir):
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    all_batches = list(data_loader(ds, 2, 8, num_threads=2))
+    assert len(all_batches) == len(ds) // 2
+    shard0 = list(data_loader(ds, 1, 8, shard_index=0, shard_count=2, num_threads=1))
+    shard1 = list(data_loader(ds, 1, 8, shard_index=1, shard_count=2, num_threads=1))
+    assert len(shard0) + len(shard1) == len(ds)
