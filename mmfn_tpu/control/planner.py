@@ -55,12 +55,18 @@ class RoutePlanner:
 
     def set_route(self, global_plan, gps: bool = False) -> None:
         """global_plan: iterable of (pos, command). With gps=True, pos is a
-        {'lat','lon'} dict; otherwise an (x, y) array-like in world meters."""
+        {'lat','lon'} dict; otherwise an (x, y) array-like in world meters.
+
+        GPS decoding uses the same linear (mean, scale) mapping the agents use
+        for their own position, so route and ego live in one frame. (The
+        reference decodes the route with web-mercator ``from_gps`` but the
+        position with the linear scale — two subtly different frames; we keep
+        them consistent on purpose.)
+        """
         self.route.clear()
         for pos, cmd in global_plan:
             if gps:
-                x, y, _ = gps_to_location(pos["lat"], pos["lon"])
-                pos = np.array([x, y])
+                pos = (np.array([pos["lat"], pos["lon"]]) - self.mean) * self.scale
             else:
                 pos = np.asarray(pos, dtype=np.float64)[:2] - self.mean
             self.route.append((pos, cmd))

@@ -1,0 +1,2 @@
+from mmfn_tpu.harness.agents.base import AutonomousAgent, Track, VehicleControl  # noqa: F401
+from mmfn_tpu.harness.agents.e2e import MMFNAgent, get_entry_point  # noqa: F401

@@ -1,0 +1,195 @@
+"""Closed-loop end-to-end MMFN agents (TPU inference path).
+
+One class covers the reference's three e2e agents:
+- variant 'vec' = VectornetAgent (team_code/e2e_agent/mmfn_vectornet.py:26-314)
+- variant 'rad' = RadarVecAgent  (mmfn_radar.py) — adds the fitted radar set
+- variant 'img' = MMFNAgent      (mmfn_imgnet.py) — map raster stream instead
+  of the vectormap (the raster must be supplied via input_data['map_raster'])
+
+Tick protocol (parity with the reference):
+- first frame: write the opendrive string to <tmp>/opendrive/opstr.txt, run
+  the native rough_map_node, load the .rmap (mmfn_vectornet.py:117-129)
+- frames 0/1: warm up the two-sweep lidar buffer, return null control
+  (mmfn_vectornet.py:208-236)
+- per tick: current+previous lidar sweeps merged (y-flip only — the reference
+  registers both sweeps with the current pose, so no motion correction),
+  radar front(tag 1)/rear(tag 0) stacked then TTC-fitted to 81 rows, lanes
+  cropped around the GPS pose, target point rotated into the ego frame,
+  jitted forward, PID control with the brake<0.05 zeroing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.control.pid import WaypointController
+from mmfn_tpu.control.planner import RoutePlanner
+from mmfn_tpu.harness.agents.base import AutonomousAgent, Track, VehicleControl
+from mmfn_tpu.harness.agents.pipeline import JitPipeline
+from mmfn_tpu.mapping import RoughMap, build_rmap
+from mmfn_tpu.ops.image import scale_and_crop_image
+from mmfn_tpu.ops.radar import radar_to_size_np
+
+
+class MMFNAgent(AutonomousAgent):
+    """Config dict keys: 'variant', 'model' (flax module), 'variables',
+    optional 'config' (GlobalConfig), optional 'tmp_dir', 'rmap_tool'."""
+
+    def setup(self, conf) -> None:
+        conf = conf or {}
+        self.track = Track.MAP
+        self.config: GlobalConfig = conf.get("config") or GlobalConfig()
+        self.variant = conf.get("variant", "vec")
+        self.pipeline: JitPipeline = conf["pipeline"] if "pipeline" in conf else \
+            JitPipeline(conf["model"], conf["variables"], self.config,
+                        points_per_sweep=conf.get("points_per_sweep", 32768))
+        self.controller = WaypointController(self.config)
+        self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
+                                  self.config.right, self.config.lane_node_num,
+                                  self.config.feature_num)
+        self.rough_map_loaded = False
+        self._tmp_dir = conf.get("tmp_dir") or tempfile.mkdtemp(prefix="mmfn_tpu_map_")
+        self._rmap_tool = conf.get("rmap_tool")
+        self.step = -1
+        self.initialized = False
+        self.prev_lidar: Optional[np.ndarray] = None
+        self.pid_metadata = {}
+
+    def sensors(self):
+        return [
+            {"type": "sensor.camera.rgb", "x": 1.3, "y": 0.0, "z": 2.3,
+             "roll": 0.0, "pitch": 0.0, "yaw": 0.0,
+             "width": 400, "height": 300, "fov": 100, "id": "rgb"},
+            {"type": "sensor.lidar.ray_cast", "x": 1.3, "y": 0.0, "z": 2.5,
+             "roll": 0.0, "pitch": 0.0, "yaw": -90.0, "id": "lidar"},
+            {"type": "sensor.other.imu", "x": 0.0, "y": 0.0, "z": 0.0,
+             "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.05, "id": "imu"},
+            {"type": "sensor.other.gnss", "x": 0.0, "y": 0.0, "z": 0.0,
+             "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.01, "id": "gps"},
+            {"type": "sensor.speedometer", "reading_frequency": 20, "id": "speed"},
+            {"type": "sensor.opendrive_map", "reading_frequency": 30, "id": "opendrive"},
+            {"type": "sensor.other.radar", "x": 2.8, "y": 0.0, "z": 1.0,
+             "roll": 0.0, "pitch": 5.0, "yaw": 0.0, "fov": 35, "id": "radar_front"},
+            {"type": "sensor.other.radar", "x": -2.8, "y": 0.0, "z": 1.0,
+             "roll": 0.0, "pitch": 5.0, "yaw": -180, "fov": 35, "id": "radar_rear"},
+        ]
+
+    # ---- helpers ------------------------------------------------------------ #
+
+    def _init_route(self) -> None:
+        self._route_planner = RoutePlanner(4.0, 50.0)
+        self._route_planner.set_route(self._global_plan, gps=True)
+        self.initialized = True
+
+    def _save_map(self, opendrive_str: str) -> None:
+        map_dir = os.path.join(self._tmp_dir, "opendrive")
+        os.makedirs(map_dir, exist_ok=True)
+        with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
+            f.write(opendrive_str)
+        if build_rmap([map_dir], tool_path=self._rmap_tool):
+            raise RuntimeError("rough_map_node failed; cannot build vectormap")
+        self.rough_map.read(os.path.join(map_dir, "a.rmap"))
+        self.rough_map_loaded = True
+
+    def _position(self, gps_latlon: np.ndarray) -> np.ndarray:
+        rp = self._route_planner
+        return (gps_latlon[:2] - rp.mean) * rp.scale
+
+    def _tick(self, input_data: dict) -> dict:
+        if self.step == -1:
+            self._save_map(input_data["opendrive"][1]["opendrive"])
+        self.step += 1
+
+        rgb = input_data["rgb"][1][:, :, :3][:, :, ::-1]  # BGRA/BGR -> RGB
+        radar_front = np.hstack([input_data["radar_front"][1],
+                                 np.ones((input_data["radar_front"][1].shape[0], 1))])
+        radar_rear = np.hstack([input_data["radar_rear"][1],
+                                np.zeros((input_data["radar_rear"][1].shape[0], 1))])
+        compass = input_data["imu"][1][-1]
+        if math.isnan(compass):
+            compass = 0.0
+
+        pos = self._position(np.asarray(input_data["gps"][1]))
+        pose2d = np.array([pos[0], pos[1], compass], dtype=np.float64)
+        lanes, lane_num = self.rough_map.process_padded(pose2d, self.config.max_lanes)
+
+        next_wp, next_cmd = self._route_planner.run_step(pos)
+        theta = compass + np.pi / 2
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        target_point = rot.T @ np.array([next_wp[0] - pos[0], next_wp[1] - pos[1]])
+
+        return {
+            "rgb": np.ascontiguousarray(rgb),
+            "lidar": input_data["lidar"][1],
+            "speed": float(input_data["speed"][1]["speed"]),
+            "radar": np.concatenate([radar_front, radar_rear], axis=0),
+            "lanes": lanes,
+            "lane_num": lane_num,
+            "target_point": target_point.astype(np.float32),
+            "next_command": getattr(next_cmd, "value", next_cmd),
+            "map_raster": input_data.get("map_raster", (0, None))[1],
+        }
+
+    # ---- main step ----------------------------------------------------------- #
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        control = VehicleControl()
+        if not self.rough_map_loaded and "opendrive" not in input_data:
+            return control
+
+        if not self.initialized:
+            self._init_route()
+            tick = self._tick(input_data)
+            self.prev_lidar = tick["lidar"]
+            return control
+
+        tick = self._tick(input_data)
+        if self.step == 1:  # second warm-up frame: only fill the sweep buffer
+            self.prev_lidar = tick["lidar"]
+            return control
+
+        # merge two sweeps; y-flip matches the dataset convention
+        points = np.concatenate([tick["lidar"], self.prev_lidar], axis=0)[:, :3].copy()
+        points[:, 1] *= -1
+
+        image = scale_and_crop_image(tick["rgb"], scale=self.config.scale,
+                                     crop=self.config.input_resolution)
+        radar = radar_to_size_np(
+            tick["radar"], (self.config.radar_points, self.config.radar_features)
+        ).astype(np.float32)
+
+        lanes = tick["lanes"] if self.variant in ("vec", "rad") else None
+        lane_num = tick["lane_num"] if self.variant in ("vec", "rad") else None
+        map_img = None
+        if self.variant == "img":
+            raster = tick.get("map_raster")
+            map_img = (np.zeros((self.config.input_resolution,) * 2 + (3,), np.float32)
+                       if raster is None else np.asarray(raster, np.float32))
+
+        waypoints = self.pipeline(image, points, lanes, lane_num, radar, map_img,
+                                  tick["target_point"], tick["speed"])
+
+        steer, throttle, brake, self.pid_metadata = self.controller.control_pid(
+            waypoints, tick["speed"])
+        if float(brake) < 0.05:
+            brake = 0.0
+        if throttle > brake:
+            brake = 0.0
+
+        self.prev_lidar = tick["lidar"]
+        return VehicleControl(steer=float(steer), throttle=float(throttle),
+                              brake=float(brake))
+
+    def destroy(self) -> None:
+        self.pipeline = None
+
+
+def get_entry_point():
+    return "MMFNAgent"

@@ -1,0 +1,84 @@
+"""Jitted batch-1 inference pipeline serving the closed loop.
+
+One compiled XLA program per agent covering lidar BEV rasterization (Pallas),
+radar adjacency, image normalization (inside the model), and the MMFN forward
+— the host only crops the camera frame, fits the radar set, crops lanes, and
+runs the scalar PID. Static shapes throughout: the two lidar sweeps are padded
+to MAX_SWEEP_POINTS each, lanes to config.max_lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.batch import Batch
+from mmfn_tpu.ops.lidar import lidar_to_histogram_features, pad_points
+from mmfn_tpu.ops.radar import radar_adjacency
+
+MAX_SWEEP_POINTS = 32768  # one 64-ch sweep at 600k pts/s / 20 Hz, padded
+
+
+class JitPipeline:
+    """Wraps (model, variables) into a single jitted sensor->waypoints call."""
+
+    def __init__(self, model, variables, config: GlobalConfig,
+                 points_per_sweep: int = MAX_SWEEP_POINTS):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.variant = model.variant
+        self.points_per_sweep = points_per_sweep
+
+        @jax.jit
+        def forward(variables, image, points, lanes, lane_num, radar,
+                    map_img, target_point, velocity):
+            bev = lidar_to_histogram_features(points)
+            radar_adj = radar_adjacency(radar)
+            batch = Batch(
+                image=image[None].astype(jnp.float32),
+                lidar_bev=bev[None],
+                map_img=None if map_img is None else map_img[None].astype(jnp.float32),
+                lanes=None if lanes is None else lanes[None],
+                lane_num=None if lane_num is None else lane_num[None],
+                radar=radar[None],
+                radar_adj=radar_adj[None],
+                target_point=target_point[None],
+                velocity=velocity[None],
+            )
+            return model.apply(variables, batch, False)[0]
+
+        self._forward = forward
+
+    def __call__(self, image: np.ndarray, points: np.ndarray,
+                 lanes: Optional[np.ndarray], lane_num: Optional[int],
+                 radar: np.ndarray, map_img: Optional[np.ndarray],
+                 target_point: np.ndarray, velocity: float) -> np.ndarray:
+        """All-numpy in/out; points is the merged (N, >=3) two-sweep cloud."""
+        points4 = pad_points(points, 2 * self.points_per_sweep)
+        lanes_arr = lane_num_arr = None
+        if lanes is not None:
+            lanes_arr = jnp.asarray(lanes, dtype=jnp.float32)
+            lane_num_arr = jnp.asarray(lane_num, dtype=jnp.int32)
+        wp = self._forward(
+            self.variables,
+            jnp.asarray(image, dtype=jnp.float32),
+            jnp.asarray(points4),
+            lanes_arr,
+            lane_num_arr,
+            jnp.asarray(radar, dtype=jnp.float32),
+            None if map_img is None else jnp.asarray(map_img, dtype=jnp.float32),
+            jnp.asarray(target_point, dtype=jnp.float32),
+            jnp.asarray(velocity, dtype=jnp.float32),
+        )
+        return np.asarray(wp)
+
+    @functools.cached_property
+    def zero_lanes(self) -> np.ndarray:
+        cfg = self.config
+        return np.zeros((cfg.max_lanes, cfg.lane_node_num, cfg.feature_num), np.float32)

@@ -1,0 +1,136 @@
+"""Route criteria — simulator-independent infraction/compleition detectors.
+
+Event-emitting equivalents of the py_trees criteria RouteScenario assembles
+(leaderboard route_scenario.py:526-561 / srunner atomic_criteria.py):
+RouteCompletion, AgentBlocked (<0.1 m/s for 180 s), RouteDeviation (30 m),
+and the route timeout (0.8 s/m + 5 s, route_scenario.py:51-52,260-272).
+Collision/red-light/stop criteria require simulator ground truth and live in
+the CARLA glue; the scoring layer consumes whatever events exist.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmfn_tpu.harness.events import TrafficEvent, TrafficEventType
+
+
+class Criterion:
+    def __init__(self):
+        self.events: List[TrafficEvent] = []
+
+    def update(self, position: Tuple[float, float], speed: float, game_time: float) -> None:
+        raise NotImplementedError
+
+    def terminate(self) -> None:
+        pass
+
+
+class RouteCompletionCriterion(Criterion):
+    """Tracks progress along the dense route polyline (atomic_criteria.py:1587).
+
+    DISTANCE_THRESHOLD controls snapping to the route; completion is the
+    arclength fraction of the furthest reached waypoint.
+    """
+
+    DISTANCE_THRESHOLD = 10.0
+    TERMINATION_THRESHOLD = 15.0  # distance to goal that counts as arrival
+
+    def __init__(self, route_xy: Sequence[Tuple[float, float]]):
+        super().__init__()
+        self.route = np.asarray(route_xy, dtype=np.float64)
+        seg = np.linalg.norm(np.diff(self.route, axis=0), axis=1)
+        self.cumdist = np.concatenate([[0.0], np.cumsum(seg)])
+        self.total = max(self.cumdist[-1], 1e-9)
+        self._index = 0
+        self._percent = 0.0
+        self._completed = False
+        self._window = 50  # waypoints ahead to scan, mirrors WINDOWS_SIZE
+
+    @property
+    def percent(self) -> float:
+        return self._percent
+
+    @property
+    def completed(self) -> bool:
+        return self._completed
+
+    def update(self, position, speed, game_time) -> None:
+        if self._completed:
+            return
+        pos = np.asarray(position, dtype=np.float64)
+        end = min(self._index + self._window, len(self.route))
+        d = np.linalg.norm(self.route[self._index:end] - pos, axis=1)
+        near = np.nonzero(d < self.DISTANCE_THRESHOLD)[0]
+        if near.size:
+            self._index += int(near[-1])
+            self._percent = 100.0 * self.cumdist[self._index] / self.total
+        if (np.linalg.norm(self.route[-1] - pos) < self.TERMINATION_THRESHOLD
+                and self._percent > 99.0) or self._percent >= 99.5:
+            self._completed = True
+            self.events.append(TrafficEvent(TrafficEventType.ROUTE_COMPLETED,
+                                            "Destination was successfully reached"))
+
+    def terminate(self) -> None:
+        if not self._completed:
+            event = TrafficEvent(TrafficEventType.ROUTE_COMPLETION)
+            event.set_dict({"route_completed": round(self._percent, 2)})
+            event.set_message(f"Agent completed {self._percent:.2f}% of the route")
+            self.events.append(event)
+
+
+class AgentBlockedCriterion(Criterion):
+    """Speed < SPEED_THRESHOLD sustained BLOCKED_SECONDS -> VEHICLE_BLOCKED
+    (route_scenario.py:547-551)."""
+
+    SPEED_THRESHOLD = 0.1
+    BLOCKED_SECONDS = 180.0
+
+    def __init__(self):
+        super().__init__()
+        self._below_since: Optional[float] = None
+        self.triggered = False
+
+    def update(self, position, speed, game_time) -> None:
+        if self.triggered:
+            return
+        if speed < self.SPEED_THRESHOLD:
+            if self._below_since is None:
+                self._below_since = game_time
+            elif game_time - self._below_since > self.BLOCKED_SECONDS:
+                self.triggered = True
+                self.events.append(TrafficEvent(
+                    TrafficEventType.VEHICLE_BLOCKED,
+                    f"Agent got blocked at ({position[0]:.2f}, {position[1]:.2f})"))
+        else:
+            self._below_since = None
+
+
+class RouteDeviationCriterion(Criterion):
+    """Off-route beyond MAX_ROUTE_PERCENTAGE-style deviation (simplified to a
+    fixed 30 m corridor, matching InRouteTest's wrong-distance gate)."""
+
+    MAX_DISTANCE = 30.0
+
+    def __init__(self, route_xy: Sequence[Tuple[float, float]]):
+        super().__init__()
+        self.route = np.asarray(route_xy, dtype=np.float64)
+        self.triggered = False
+
+    def update(self, position, speed, game_time) -> None:
+        if self.triggered:
+            return
+        pos = np.asarray(position, dtype=np.float64)
+        if np.min(np.linalg.norm(self.route - pos, axis=1)) > self.MAX_DISTANCE:
+            self.triggered = True
+            self.events.append(TrafficEvent(
+                TrafficEventType.ROUTE_DEVIATION,
+                f"Agent deviated from the route at ({pos[0]:.2f}, {pos[1]:.2f})"))
+
+
+def route_timeout_seconds(route_length_m: float) -> float:
+    """0.8 s per route meter + 5 s (route_scenario.py:51-52,272)."""
+    return 0.8 * route_length_m + 5.0

@@ -1,0 +1,174 @@
+"""CARLA-free closed-loop evaluation: a kinematic fake world + route runner.
+
+The reference's QA relies on driving one smoke route in CARLA
+(leaderboard/data/only_one_town.xml, SURVEY.md §4); without a simulator we
+close the loop around a bicycle-model ego with synthetic sensors. This
+exercises the ENTIRE agent path — opendrive string -> native rough_map_node ->
+RoughMap crop -> route planner -> jitted TPU inference -> PID -> control ->
+vehicle dynamics -> criteria -> driving score — making it both the integration
+test and the template for the real CARLA glue.
+
+GPS convention: readings are (lat, lon) = (x / 111324.60662786,
+y / 111319.490945), the inverse of the linear decoding agents apply, so the
+agent's recovered position equals the world position exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mmfn_tpu.control.planner import GPS_SCALE
+from mmfn_tpu.harness.criteria import (
+    AgentBlockedCriterion, Criterion, RouteCompletionCriterion,
+    RouteDeviationCriterion, route_timeout_seconds)
+from mmfn_tpu.harness.events import RoadOption, TrafficEvent
+from mmfn_tpu.harness.route import RouteConfig, interpolate_trajectory, route_length
+from mmfn_tpu.harness.statistics import RouteRecord, StatisticsManager
+
+DT = 0.05  # 20 Hz fixed step, matching leaderboard_evaluator.py:203-205
+
+
+@dataclass
+class KinematicWorld:
+    """Bicycle-model ego with synthetic sensor frames."""
+
+    opendrive_str: str
+    start: Tuple[float, float, float]        # x, y, yaw
+    seed: int = 0
+    lidar_points: int = 1200
+    x: float = field(init=False)
+    y: float = field(init=False)
+    yaw: float = field(init=False)
+    v: float = field(init=False, default=0.0)
+    frame: int = field(init=False, default=0)
+
+    MAX_STEER_ANGLE = math.radians(35.0)
+    WHEELBASE = 2.9
+    MAX_ACCEL = 4.0
+    MAX_BRAKE = 8.0
+    DRAG = 0.1
+
+    def __post_init__(self):
+        self.x, self.y, self.yaw = self.start
+        self._rng = np.random.default_rng(self.seed)
+
+    def tick(self, control) -> None:
+        accel = (control.throttle * self.MAX_ACCEL - control.brake * self.MAX_BRAKE
+                 - self.DRAG * self.v)
+        self.v = max(0.0, self.v + accel * DT)
+        self.yaw += (self.v / self.WHEELBASE) * math.tan(
+            control.steer * self.MAX_STEER_ANGLE) * DT
+        self.x += self.v * math.cos(self.yaw) * DT
+        self.y += self.v * math.sin(self.yaw) * DT
+        self.frame += 1
+
+    def sensor_frame(self) -> Dict[str, Tuple[int, object]]:
+        f = self.frame
+        rng = self._rng
+        lidar = rng.uniform(-20, 20, size=(self.lidar_points, 4)).astype(np.float32)
+        radar = np.abs(rng.normal(size=(20, 4))).astype(np.float32) + 0.1
+        gps = np.array([self.x / GPS_SCALE[0], self.y / GPS_SCALE[1], 0.0])
+        imu = np.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0, self.yaw])
+        data = {
+            "rgb": (f, rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)),
+            "lidar": (f, lidar),
+            "radar_front": (f, radar),
+            "radar_rear": (f, radar.copy()),
+            "gps": (f, gps),
+            "imu": (f, imu),
+            "speed": (f, {"speed": self.v}),
+        }
+        if f == 0:
+            data["opendrive"] = (f, {"opendrive": self.opendrive_str})
+        return data
+
+
+def plan_from_trajectory(trajectory) -> Tuple[list, list]:
+    """Dense-interpolate keypoints and produce (gps_plan, world_plan) the way
+    the evaluator hands them to agents (route gps encoded with the linear
+    convention above)."""
+    dense = interpolate_trajectory(trajectory, hop_resolution=1.0)
+    world_plan = [((x, y), opt) for (x, y), opt in dense]
+    gps_plan = [({"lat": x / GPS_SCALE[0], "lon": y / GPS_SCALE[1], "z": 0.0}, opt)
+                for (x, y), opt in dense]
+    return gps_plan, world_plan
+
+
+class ClosedLoopRunner:
+    """Drives one agent through one route in the fake world and scores it."""
+
+    def __init__(self, statistics: Optional[StatisticsManager] = None,
+                 max_wall_seconds: float = 120.0):
+        self.statistics = statistics or StatisticsManager()
+        self.max_wall_seconds = max_wall_seconds
+
+    def run_route(self, agent, config: RouteConfig, opendrive_str: str,
+                  max_ticks: Optional[int] = None) -> RouteRecord:
+        trajectory = config.trajectory
+        gps_plan, world_plan = plan_from_trajectory(trajectory)
+        agent.set_global_plan(gps_plan, world_plan)
+
+        x0, y0 = trajectory[0][:2]
+        x1, y1 = trajectory[1][:2] if len(trajectory) > 1 else (x0 + 1, y0)
+        world = KinematicWorld(opendrive_str, (x0, y0, math.atan2(y1 - y0, x1 - x0)))
+
+        route_xy = [p for p, _ in world_plan]
+        length = route_length(trajectory)
+        criteria: List[Criterion] = [
+            RouteCompletionCriterion(route_xy),
+            AgentBlockedCriterion(),
+            RouteDeviationCriterion(route_xy),
+        ]
+        timeout = route_timeout_seconds(length)
+        max_ticks = max_ticks or int(timeout / DT)
+
+        self.statistics.set_route(config.route_id, config.index)
+        t_start = time.time()
+        game_time = 0.0
+        timed_out = False
+        failure = ""
+        for _ in range(max_ticks):
+            frame = world.sensor_frame()
+            for tag, (f, payload) in frame.items():
+                if tag not in agent.sensor_interface._sensors:
+                    if tag == "opendrive":
+                        agent.sensor_interface.register_opendrive(tag)
+                    else:
+                        agent.sensor_interface.register_sensor(tag)
+                agent.sensor_interface.update_sensor(tag, payload, f)
+            try:
+                control = agent(game_time)
+            except Exception as e:  # agent crash -> scored failure
+                failure = f"Agent crashed: {e}"
+                break
+            world.tick(control)
+            game_time += DT
+            position = (world.x, world.y)
+            for c in criteria:
+                c.update(position, world.v, game_time)
+            if criteria[0].completed:
+                break
+            if any(getattr(c, "triggered", False) for c in criteria[1:]):
+                break
+            if game_time > timeout:
+                timed_out = True
+                break
+            if time.time() - t_start > self.max_wall_seconds:
+                timed_out = True
+                break
+
+        events: List[TrafficEvent] = []
+        for c in criteria:
+            c.terminate()
+            events.extend(c.events)
+
+        return self.statistics.compute_route_statistics(
+            config.index, length, events,
+            duration_time_system=time.time() - t_start,
+            duration_time_game=game_time,
+            timed_out=timed_out, failure=failure)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""phase0: closed-loop evaluation over a route set.
+
+TPU rebuild of run_steps/phase0_run_eval.py + the leaderboard evaluator loop:
+iterates routes with resume, runs each through the closed loop, registers
+statistics, and writes the leaderboard-format checkpoint JSON.
+
+Two simulator backends:
+- ``simulator: fake``  — the kinematic fake world (no CARLA needed); useful
+  for harness validation and latency soak tests.
+- ``simulator: carla`` — drives a CARLA server through
+  mmfn_tpu.harness.carla_glue (requires the carla package + a server).
+
+Usage:
+    python run_steps/phase0_run_eval.py --config run_steps/config/eval.yaml \
+        [agent.variant=vec routes=path.xml ...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.synthetic import synthetic_batch
+from mmfn_tpu.harness.agents import MMFNAgent
+from mmfn_tpu.harness.replay import ClosedLoopRunner
+from mmfn_tpu.harness.route import RouteIndexer
+from mmfn_tpu.harness.statistics import StatisticsManager
+from mmfn_tpu.models import build_model
+from mmfn_tpu.utils.cli import load_config
+from mmfn_tpu.utils.logging import bcolors as bc
+
+FALLBACK_XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE><header revMajor="1" revMinor="4" name="line"/>
+<road name="R0" length="1000.0" id="0" junction="-1">
+<planView><geometry s="0.0" x="-500.0" y="0.0" hdg="0.0" length="1000.0"><line/></geometry></planView>
+<lanes><laneSection s="0.0"><center><lane id="0" type="none" level="false"/></center>
+<right><lane id="-1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></right>
+</laneSection></lanes></road></OpenDRIVE>
+"""
+
+
+def build_agent(cfg) -> MMFNAgent:
+    agent_cfg = cfg["agent"]
+    gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
+    model = build_model(gconf, agent_cfg.get("variant", "vec"))
+    batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    model_path = agent_cfg.get("model_path")
+    ckpt = os.path.join(model_path or "", "best_model.msgpack")
+    if model_path and os.path.exists(ckpt):
+        from flax import serialization
+        from mmfn_tpu.train import create_train_state
+
+        template = create_train_state(model, gconf, jax.random.PRNGKey(0), batch)
+        with open(ckpt, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        print(f"{bc.OKGREEN}loaded checkpoint {ckpt}{bc.ENDC}")
+    else:
+        print(f"{bc.WARNING}no checkpoint at {ckpt}; using random init{bc.ENDC}")
+
+    return MMFNAgent({"variant": agent_cfg.get("variant", "vec"),
+                      "model": model, "variables": variables, "config": gconf})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(os.path.dirname(__file__),
+                                                     "config", "eval.yaml"))
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    cfg = load_config(args.config, args.overrides)
+
+    endpoint = cfg.get("checkpoint", "results/eval.json")
+    indexer = RouteIndexer(cfg["routes"], repetitions=int(cfg.get("repetitions", 1)))
+    statistics = StatisticsManager()
+    if cfg.get("resume"):
+        indexer.resume(endpoint)
+        statistics.resume(endpoint)
+
+    if cfg.get("simulator", "fake") == "carla":
+        from mmfn_tpu.harness.carla_glue import run_carla_evaluation
+
+        run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint)
+        return
+
+    agent = build_agent(cfg)
+    runner = ClosedLoopRunner(statistics)
+    t0 = time.time()
+    while indexer.peek():
+        config = indexer.next()
+        print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
+        record = runner.run_route(agent, config, FALLBACK_XODR)
+        statistics.save_record(record, config.index, endpoint)
+        indexer.save_state(endpoint)
+        print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")
+
+    global_record = statistics.compute_global_statistics(indexer.total)
+    statistics.save_global_record(global_record, indexer.total, endpoint)
+    print(f"{bc.OKGREEN}driving score: {global_record.scores['score_composed']:.2f} "
+          f"({time.time() - t0:.0f}s){bc.ENDC}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""phase2: train an MMFN variant on phase-1 pickles, data-parallel over the
+local device mesh.
+
+TPU rebuild of run_steps/phase2_train_net.py: AdamW lr 1e-4, mean-L1 waypoint
+loss, val every N epochs, best-model checkpointing with recent.log resume —
+but one jitted train step sharded across all local devices via GSPMD instead
+of DDP/NCCL, and host-sharded data loading instead of DistributedSampler.
+Multi-host: run one process per host after jax.distributed.initialize() —
+set process_index/process_count via the environment; the loader shards by
+jax.process_index() automatically.
+
+Usage:
+    python run_steps/phase2_train_net.py --config run_steps/config/train.yaml \
+        [train_agent.entry_point=mmfn_vec batch_size=24 epochs=101 ...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.collate import data_loader
+from mmfn_tpu.data.dataset import PreprocessedDataset
+from mmfn_tpu.models import get_entry_point
+from mmfn_tpu.parallel import make_mesh, replicate, shard_batch
+from mmfn_tpu.train import Engine, create_train_state
+from mmfn_tpu.utils.cli import load_config
+from mmfn_tpu.utils.logging import MetricsLogger, bcolors as bc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(os.path.dirname(__file__),
+                                                     "config", "train.yaml"))
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    cfg = load_config(args.config, args.overrides)
+
+    gconf = GlobalConfig(lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64))
+    root = cfg["data_folder"]
+    name = os.path.basename(os.path.normpath(root))
+    train_set = PreprocessedDataset(os.path.join(os.path.dirname(root), f"pro_train_f{name}"))
+    val_set = PreprocessedDataset(os.path.join(os.path.dirname(root), f"pro_eval_f{name}"))
+    print(f"{bc.OKGREEN}train frames: {len(train_set)}, val frames: {len(val_set)}{bc.ENDC}")
+
+    entry = cfg.get("train_agent", {}).get("entry_point", "mmfn_vec")
+    model = get_entry_point(entry)(gconf)
+    print(f"{bc.OKCYAN}model: {entry} (variant {model.variant}){bc.ENDC}")
+
+    logdir = cfg["logdir"]
+    logger = MetricsLogger(logdir, mode=cfg.get("wandb_mode", "auto"), config=dict(cfg))
+    engine = Engine(model, gconf, logdir, log_fn=logger.log)
+
+    batch_size = int(cfg.get("batch_size", 24))
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        batch_size = (batch_size // n_dev + 1) * n_dev
+        print(f"{bc.WARNING}batch_size rounded to {batch_size} for {n_dev} devices{bc.ENDC}")
+
+    sample = next(data_loader(train_set, batch_size, gconf.max_lanes, num_threads=1))
+    state = create_train_state(model, gconf, jax.random.PRNGKey(cfg.get("seed", 42)), sample)
+    restored = engine.resume(state)
+    if restored is not None:
+        state = restored
+        print(f"{bc.OKGREEN}resumed from epoch {engine.cur_epoch}{bc.ENDC}")
+    state = replicate(state, mesh)
+
+    def batches(split_set, shuffle):
+        def make(epoch):
+            for b in data_loader(split_set, batch_size, gconf.max_lanes,
+                                 shuffle=shuffle, seed=epoch,
+                                 shard_index=jax.process_index(),
+                                 shard_count=jax.process_count()):
+                yield shard_batch(b, mesh)
+        return make
+
+    state = engine.fit(
+        state, batches(train_set, True), batches(val_set, False),
+        epochs=int(cfg.get("epochs", 101)), rng=jax.random.PRNGKey(0),
+        val_every=int(cfg.get("val_every", 5)), save_every=int(cfg.get("save_every", 20)))
+    engine.save(state)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""CLI layer tests: config loader and the phase1 preprocessing entry point."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from mmfn_tpu.utils.cli import load_config
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_load_config_with_overrides(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: 1\nnested:\n  b: [1, 2]\n  c: x\n")
+    cfg = load_config(str(p), ["a=5", "nested.c=y", "nested.d=[3,4]", "new.k=true"])
+    assert cfg["a"] == 5
+    assert cfg["nested"]["b"] == [1, 2]
+    assert cfg["nested"]["c"] == "y"
+    assert cfg["nested"]["d"] == [3, 4]
+    assert cfg["new"]["k"] is True
+    # attribute access
+    assert cfg.nested.c == "y"
+
+
+def _make_raw_town(root, town="Town01", n_frames=10, seed=0):
+    rng = np.random.default_rng(seed)
+    rd = os.path.join(root, f"{town}_short", "route_00")
+    for sub in ("rgb_front", "lidar", "radar", "maps", "vectormap", "measurements"):
+        os.makedirs(os.path.join(rd, sub), exist_ok=True)
+    for i in range(1, n_frames + 1):
+        name = str(i).zfill(4)
+        np.save(os.path.join(rd, "rgb_front", f"{name}.npy"),
+                rng.integers(0, 255, size=(256, 900, 3)).astype(np.uint8))
+        np.save(os.path.join(rd, "maps", f"{name}.npy"),
+                rng.integers(0, 255, size=(256, 256, 3)).astype(np.uint8))
+        np.save(os.path.join(rd, "lidar", f"{name}.npy"),
+                rng.uniform(-20, 20, size=(300, 4)).astype(np.float32))
+        np.save(os.path.join(rd, "radar", f"{name}.npy"),
+                rng.normal(size=(20, 5)).astype(np.float32) + 1.0)
+        np.save(os.path.join(rd, "vectormap", f"{name}.npy"),
+                rng.normal(size=(2, 10, 5)).astype(np.float32))
+        with open(os.path.join(rd, "measurements", f"{name}.json"), "w") as f:
+            json.dump({"x": float(i), "y": 0.0, "theta": 0.0, "speed": 4.0,
+                       "x_command": float(i + 10), "y_command": 0.0, "command": 4,
+                       "steer": 0.0, "throttle": 0.4, "brake": 0.0}, f)
+
+
+def test_phase1_cli(tmp_path):
+    data_root = tmp_path / "data" / "mmfn"
+    _make_raw_town(str(data_root))
+    cfg = {"data_folder": str(data_root), "train_towns": ["Town01"],
+           "val_towns": ["Town01"], "logdir": str(tmp_path / "log"),
+           "image_ext": "npy"}
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase1_preprocess_data.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr
+    out_dir = tmp_path / "data" / "pro_train_fmmfn"
+    assert out_dir.is_dir()
+    assert len(list(out_dir.glob("*.pkl"))) == 4  # (10 - 4 - 2) // 1

@@ -1,0 +1,225 @@
+"""Harness tests: scoring math, routes, watchdog, sensor mux, closed loop."""
+
+import math
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.harness import (
+    RoadOption, RouteRecord, SensorInterface, SensorReceivedNoData,
+    StatisticsManager, TrafficEvent, TrafficEventType, Watchdog,
+    downsample_route, parse_routes_file, route_length)
+from mmfn_tpu.harness.agents.base import AutonomousAgent, VehicleControl
+from mmfn_tpu.harness.criteria import route_timeout_seconds
+from mmfn_tpu.harness.replay import ClosedLoopRunner, KinematicWorld
+from mmfn_tpu.harness.route import RouteConfig, RouteIndexer
+from mmfn_tpu.harness.statistics import fetch_checkpoint
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STRAIGHT_XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE>
+  <header revMajor="1" revMinor="4" name="line"/>
+  <road name="R0" length="500.0" id="0" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="500.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+</OpenDRIVE>
+"""
+
+
+# ---------------------------- statistics ---------------------------------- #
+
+def _ev(t, msg="", d=None):
+    e = TrafficEvent(t, msg)
+    if d:
+        e.set_dict(d)
+    return e
+
+
+def test_route_statistics_penalties():
+    sm = StatisticsManager()
+    sm.set_route("r0", 0)
+    events = [
+        _ev(TrafficEventType.COLLISION_PEDESTRIAN, "hit a pedestrian"),
+        _ev(TrafficEventType.TRAFFIC_LIGHT_INFRACTION, "ran a red light"),
+        _ev(TrafficEventType.ROUTE_COMPLETION, d={"route_completed": 80.0}),
+    ]
+    rec = sm.compute_route_statistics(0, 1000.0, events)
+    assert rec.scores["score_route"] == 80.0
+    assert rec.scores["score_penalty"] == pytest.approx(0.50 * 0.70)
+    assert rec.scores["score_composed"] == pytest.approx(80.0 * 0.35)
+    assert rec.status.startswith("Failed")
+    assert len(rec.infractions["collisions_pedestrian"]) == 1
+
+
+def test_route_completed_and_global(tmp_path):
+    sm = StatisticsManager()
+    for i, (events, length) in enumerate([
+        ([_ev(TrafficEventType.ROUTE_COMPLETED)], 500.0),
+        ([_ev(TrafficEventType.STOP_INFRACTION, "stop"),
+          _ev(TrafficEventType.ROUTE_COMPLETION, d={"route_completed": 50.0})], 2000.0),
+    ]):
+        sm.set_route(f"r{i}", i)
+        rec = sm.compute_route_statistics(i, length, events)
+        sm.save_record(rec, i, str(tmp_path / "ckpt.json"))
+
+    g = sm.compute_global_statistics(2)
+    assert g.scores["score_route"] == pytest.approx((100 + 50) / 2)
+    assert g.scores["score_penalty"] == pytest.approx((1.0 + 0.8) / 2)
+    # stop infraction normalized per driven km: 1 infraction / (0.5*2 km)
+    assert g.infractions["stop_infraction"] == pytest.approx(1.0)
+    sm.save_global_record(g, 2, str(tmp_path / "ckpt.json"))
+    data = fetch_checkpoint(str(tmp_path / "ckpt.json"))
+    assert data["labels"][0] == "Avg. driving score"
+    assert len(data["_checkpoint"]["records"]) == 2
+
+    # resume restores records
+    sm2 = StatisticsManager()
+    sm2.resume(str(tmp_path / "ckpt.json"))
+    assert len(sm2.records) == 2
+
+
+# ---------------------------- routes -------------------------------------- #
+
+def test_parse_reference_route_file():
+    path = os.path.join(ROOT, "tests", "fixtures", "route_town01.xml")
+    configs = parse_routes_file(path)
+    assert len(configs) == 1
+    assert configs[0].town == "Town01"
+    assert len(configs[0].trajectory) == 11
+    assert route_length(configs[0].trajectory) > 100
+
+
+def test_downsample_route_spacing():
+    route = [((float(i), 0.0), RoadOption.LANEFOLLOW) for i in range(200)]
+    ids = downsample_route(route, 50)
+    assert ids[0] == 0 and ids[-1] == 199
+    gaps = np.diff(ids)
+    assert gaps.max() <= 52
+
+
+def test_route_indexer_resume(tmp_path):
+    path = os.path.join(ROOT, "tests", "fixtures", "route_town01.xml")
+    idx = RouteIndexer(path, repetitions=3)
+    assert len(idx) == 3
+    idx.next()
+    idx.next()
+    idx.save_state(str(tmp_path / "ck.json"))
+    idx2 = RouteIndexer(path, repetitions=3)
+    idx2.resume(str(tmp_path / "ck.json"))
+    assert idx2.peek()
+    assert idx2.next().index == 2
+
+
+# ---------------------------- watchdog / sensors --------------------------- #
+
+def test_watchdog_expires_and_pets():
+    fired = []
+    wd = Watchdog(timeout=0.0, on_timeout=lambda: fired.append(1))  # ~1 s fuse
+    wd.start()
+    for _ in range(12):
+        time.sleep(0.1)
+        wd.update()
+    assert wd.get_status()
+    wd.stop()
+
+    wd2 = Watchdog(timeout=-0.9)  # 0.1 s fuse
+    wd2.start()
+    time.sleep(0.4)
+    assert not wd2.get_status()
+
+
+def test_sensor_interface_gating_and_timeout():
+    si = SensorInterface(queue_timeout=0.2)
+    si.register_sensor("a")
+    si.register_sensor("b")
+    si.register_opendrive("map")
+    si.update_sensor("a", 1, 0)
+    si.update_sensor("b", 2, 0)
+    data = si.get_data()  # opendrive missing but exempt
+    assert set(data) == {"a", "b"}
+
+    si.update_sensor("a", 3, 1)
+    with pytest.raises(SensorReceivedNoData):
+        si.get_data()  # b missing -> timeout
+
+    with pytest.raises(Exception):
+        si.register_sensor("a")  # duplicate
+
+
+# ---------------------------- closed loop ---------------------------------- #
+
+class ScriptedAgent(AutonomousAgent):
+    """P-controller toward the planner target — validates world + criteria."""
+
+    def setup(self, conf):
+        from mmfn_tpu.control.planner import RoutePlanner
+        self._planner = None
+
+    def sensors(self):
+        return [{"type": "sensor.other.gnss", "id": "gps"},
+                {"type": "sensor.other.imu", "id": "imu"},
+                {"type": "sensor.speedometer", "id": "speed"}]
+
+    def run_step(self, input_data, timestamp):
+        from mmfn_tpu.control.planner import RoutePlanner, GPS_SCALE
+        if self._planner is None:
+            self._planner = RoutePlanner(4.0, 50.0)
+            self._planner.set_route(self._global_plan, gps=True)
+        gps = input_data["gps"][1]
+        pos = np.array([gps[0], gps[1]]) * GPS_SCALE
+        yaw = input_data["imu"][1][-1]
+        speed = input_data["speed"][1]["speed"]
+        target, _ = self._planner.run_step(pos)
+        desired = math.atan2(target[1] - pos[1], target[0] - pos[0])
+        err = (desired - yaw + math.pi) % (2 * math.pi) - math.pi
+        steer = float(np.clip(err, -1, 1))
+        throttle = 0.7 if speed < 7 else 0.0
+        return VehicleControl(steer=steer, throttle=throttle)
+
+
+def test_closed_loop_scripted_agent_completes_route():
+    config = RouteConfig(route_id="0", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (150.0, 1.75, 0.0)], index=0)
+    runner = ClosedLoopRunner()
+    agent = ScriptedAgent()
+    record = runner.run_route(agent, config, STRAIGHT_XODR)
+    assert record.status == "Completed", record.to_dict()
+    assert record.scores["score_composed"] == 100.0
+
+
+def test_closed_loop_blocked_agent_scores_zero_progress():
+    # long enough that the 180 s blocked detector beats the 0.8 s/m timeout
+    config = RouteConfig(route_id="1", town="TownTest",
+                         trajectory=[(0.0, 0.0, 0.0), (300.0, 0.0, 0.0)], index=0)
+
+    class IdleAgent(AutonomousAgent):
+        def run_step(self, input_data, timestamp):
+            return VehicleControl()
+
+    runner = ClosedLoopRunner(max_wall_seconds=30)
+    record = runner.run_route(IdleAgent(), config, STRAIGHT_XODR,
+                              max_ticks=int(185 / 0.05))
+    assert "blocked" in record.status.lower() or "timed" in record.status.lower()
+    # the stationary ego still "reaches" waypoints inside the 10 m snap radius
+    assert record.scores["score_composed"] <= 10.0
+    assert len(record.infractions["vehicle_blocked"]) == 1
+
+
+def test_route_timeout_budget():
+    assert route_timeout_seconds(100.0) == pytest.approx(85.0)
