@@ -51,16 +51,20 @@ class TorchGRUCell(nn.Module):
 class WaypointDecoder(nn.Module):
     """z (B, 64) fused feature + target point -> (B, pred_len, 2) waypoints.
 
-    Each step feeds x + target_point into the GRU and integrates the predicted
-    delta: x_{k+1} = x_k + out(h_{k+1}).
+    ``input_mode='add'`` feeds x + target_point into the GRU (MMFN/TransFuser,
+    model_img.py:497-503); ``'cat'`` concatenates them (AIM, benchmarks
+    aim/model.py:92,112). Each step integrates the predicted delta:
+    x_{k+1} = x_k + out(h_{k+1}).
     """
 
     pred_len: int = 4
     hidden_size: int = 64
+    input_mode: str = "add"   # 'add' (GRU in=2) | 'cat' (GRU in=4)
     precision: Any = None
 
     def setup(self):
-        self.decoder = TorchGRUCell(2, self.hidden_size, precision=self.precision)
+        in_size = 2 if self.input_mode == "add" else 4
+        self.decoder = TorchGRUCell(in_size, self.hidden_size, precision=self.precision)
         self.output = nn.Dense(
             2,
             kernel_init=_gru_uniform(self.hidden_size),
@@ -74,8 +78,9 @@ class WaypointDecoder(nn.Module):
         x = jnp.zeros((b, 2), dtype=z.dtype)
         h = z
         waypoints = []
+        tp = target_point.astype(z.dtype)
         for _ in range(self.pred_len):
-            x_in = x + target_point.astype(z.dtype)
+            x_in = (x + tp) if self.input_mode == "add" else jnp.concatenate([x, tp], axis=1)
             h = self.decoder(x_in, h)
             x = x + self.output(h)
             waypoints.append(x)

@@ -36,6 +36,19 @@ for _variant in ("img", "vec", "rad"):
     MODEL_REGISTRY[f"mmfn_utils.models.model_{_variant}:MMFN"] = _mmfn_factory(_variant)
 
 
+def _baseline_factory(name: str):
+    def build(config: GlobalConfig):
+        from mmfn_tpu.models import baselines
+
+        return {"aim": baselines.AIM, "cilrs": baselines.CILRS,
+                "transfuser": baselines.TransFuser}[name](config=config)
+    return build
+
+
+for _name in ("aim", "cilrs", "transfuser"):
+    MODEL_REGISTRY[_name] = _baseline_factory(_name)
+
+
 def get_entry_point(name: str):
     """Resolve a model factory by registry name or ``module:attr`` path."""
     if name in MODEL_REGISTRY:

@@ -1,0 +1,50 @@
+"""Forward tests for the baseline model zoo (AIM / CILRS / TransFuser)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.synthetic import synthetic_batch
+from mmfn_tpu.models import get_entry_point
+
+CFG = GlobalConfig(n_layer=1, max_lanes=8)
+RES = 64
+
+
+def _init(model, batch, *extra):
+    return model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                      batch, *extra, False)
+
+
+def test_aim_forward():
+    batch = synthetic_batch(2, max_lanes=8, resolution=RES)
+    model = get_entry_point("aim")(CFG)
+    variables = _init(model, batch)
+    out = model.apply(variables, batch, False)
+    assert out.shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cilrs_forward():
+    batch = synthetic_batch(2, max_lanes=8, resolution=RES)
+    command = jnp.asarray([1, 4])
+    model = get_entry_point("cilrs")(CFG)
+    variables = _init(model, batch, command)
+    steer, throttle, brake, vel = model.apply(variables, batch, command, False)
+    assert steer.shape == throttle.shape == brake.shape == (2,)
+    assert vel.shape == (2, 1)
+    assert np.all(np.abs(np.asarray(steer)) <= 1.0)
+    assert np.all(np.asarray(throttle) >= 0) and np.all(np.asarray(throttle) <= CFG.max_throttle)
+    # command 0 selects no branch -> zero control
+    zero_out = model.apply(variables, batch, jnp.asarray([0, 0]), False)
+    assert np.allclose(np.asarray(zero_out[2]), 0.0)
+
+
+def test_transfuser_forward():
+    batch = synthetic_batch(2, max_lanes=8, resolution=RES)
+    model = get_entry_point("transfuser")(CFG)
+    variables = _init(model, batch)
+    out = model.apply(variables, batch, False)
+    assert out.shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(out)).all()
