@@ -1,0 +1,137 @@
+"""Rule-based expert pilot: PID steering + hazard-gated speed policy.
+
+Simulator-independent core of the reference's MMFNPilot
+(team_code/expert_agent/mmfn_pilot.py:36-192):
+
+- steering: PID (1.25/0.75/0.3, n=40) on the angle to the near planner target,
+  normalized by 90 deg; +-1 clip; halved while braking; the data-collection
+  agent adds 1e-2 gaussian dither (mmfn_pilot.py:90);
+- speed: 7 m/s cruise, 4 m/s when turning (|far angle| > 45 or |near| > 5),
+  0 when any hazard gates; PID (5.0/0.5/1.0, n=40) with delta clipped to 0.8
+  and throttle capped at 0.8;
+- hazards (_should_brake, mmfn_pilot.py:259-553): vehicle TTC (projection with
+  lateral gate + disc quadratic), walker TTC, red light, stop sign (released
+  after a full stop);
+- car-following override (mmfn_pilot.py:154-174): match the front car's speed
+  when it is far enough (max(8 m, 1.5 x ego speed)) and actually moving.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mmfn_tpu.control.geometry import ttc_disc, ttc_projection
+from mmfn_tpu.control.pid import PIDController
+from mmfn_tpu.harness.experts.world_view import WorldView
+
+
+def angle_to_target(pos: np.ndarray, yaw_rad: float, target: np.ndarray) -> float:
+    """Signed angle (degrees, [-180, 180)) from the ego heading to the target."""
+    rel = np.asarray(target, dtype=np.float64) - np.asarray(pos, dtype=np.float64)
+    angle = math.degrees(math.atan2(rel[1], rel[0]) - yaw_rad)
+    return (angle + 180.0) % 360.0 - 180.0
+
+
+@dataclass
+class ExpertDecision:
+    steer: float
+    throttle: float
+    brake: bool
+    target_speed: float
+    hazard: Optional[str]
+
+
+class ExpertPilot:
+    CRUISE_SPEED = 7.0
+    TURN_SPEED = 4.0
+    MAX_THROTTLE = 0.8
+    SPEED_DELTA = 0.8
+    STOP_THRESHOLD = 8.0         # minimum following distance, meters
+    CLOSE_OBS_SPEED = 1.0        # "moving" threshold for the front car
+    VEHICLE_TTC = 2.5            # brake when a vehicle's TTC drops below
+    WALKER_TTC = 3.5
+    VEHICLE_LATERAL_GATE = 2.5   # meters; projection-TTC lateral miss gate
+
+    def __init__(self):
+        self._turn_controller = PIDController(1.25, 0.75, 0.3, n=40)
+        self._speed_controller = PIDController(5.0, 0.5, 1.0, n=40)
+        self._stop_completed = False
+
+    # ---- hazards -------------------------------------------------------------- #
+
+    def _vehicle_hazard(self, world: WorldView) -> Optional[str]:
+        ego = world.ego
+        for v in world.vehicles:
+            ttc_a = ttc_projection(ego.position, v.position, ego.velocity,
+                                   v.velocity, close_dis=self.VEHICLE_LATERAL_GATE)
+            ttc_b = ttc_disc(ego.position, v.position, ego.velocity, v.velocity)
+            if min(ttc_a, ttc_b) < self.VEHICLE_TTC:
+                return f"vehicle:{v.actor_id}"
+        return None
+
+    def _walker_hazard(self, world: WorldView) -> Optional[str]:
+        ego = world.ego
+        for w in world.walkers:
+            if ttc_disc(ego.position, w.position, ego.velocity, w.velocity,
+                        ra=1.5, rb=1.0) < self.WALKER_TTC:
+                return f"walker:{w.actor_id}"
+        return None
+
+    def _stop_sign_hazard(self, world: WorldView) -> Optional[str]:
+        if not world.stop_sign:
+            self._stop_completed = False
+            return None
+        if world.ego.speed < 0.05:
+            self._stop_completed = True
+        return None if self._stop_completed else "stop_sign"
+
+    def should_brake(self, world: WorldView) -> Optional[str]:
+        for hazard in (self._vehicle_hazard(world), self._walker_hazard(world),
+                       "red_light" if world.red_light else None,
+                       self._stop_sign_hazard(world)):
+            if hazard:
+                return hazard
+        return None
+
+    # ---- control -------------------------------------------------------------- #
+
+    def get_control(self, world: WorldView, near_target: np.ndarray,
+                    far_target: np.ndarray) -> ExpertDecision:
+        ego = world.ego
+        pos, speed = ego.position, ego.speed
+
+        angle_unnorm = angle_to_target(pos, ego.yaw, near_target)
+        steer = float(np.clip(self._turn_controller.step(angle_unnorm / 90.0), -1.0, 1.0))
+        steer = round(steer, 3)
+
+        angle_far_unnorm = angle_to_target(pos, ego.yaw, far_target)
+        should_slow = abs(angle_far_unnorm) > 45.0 or abs(angle_unnorm) > 5.0
+        hazard = self.should_brake(world)
+        brake = hazard is not None
+        target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
+        target_speed = 0.0 if brake else target_speed
+
+        # car-following: hold the leader's speed instead of hard-braking
+        leader = world.car_in_front
+        if (leader is not None and hazard is None
+                and not ego.in_junction and not leader.in_junction):
+            gap = float(np.linalg.norm(leader.position - pos))
+            leader_speed = float(np.linalg.norm(leader.velocity))
+            if (gap > max(self.STOP_THRESHOLD, 1.5 * speed)
+                    and leader_speed > self.CLOSE_OBS_SPEED * 0.5):
+                target_speed = leader_speed
+                brake = False
+
+        delta = float(np.clip(target_speed - speed, 0.0, self.SPEED_DELTA))
+        throttle = float(np.clip(self._speed_controller.step(delta), 0.0, self.MAX_THROTTLE))
+
+        if brake:
+            steer *= 0.5
+            throttle = 0.0
+
+        return ExpertDecision(steer=steer, throttle=throttle, brake=brake,
+                              target_speed=target_speed, hazard=hazard)

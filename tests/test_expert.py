@@ -1,0 +1,100 @@
+"""Expert pilot decision tests + dataset writer round-trip."""
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.harness.experts import Actor, EgoState, ExpertPilot, WorldView
+from mmfn_tpu.harness.experts.pilot import angle_to_target
+
+
+def _world(speed=5.0, **kw):
+    ego = EgoState(position=np.array([0.0, 0.0]),
+                   velocity=np.array([speed, 0.0]), yaw=0.0)
+    return WorldView(ego=ego, **kw)
+
+
+def test_angle_to_target():
+    assert angle_to_target(np.zeros(2), 0.0, np.array([10.0, 0.0])) == pytest.approx(0.0)
+    assert angle_to_target(np.zeros(2), 0.0, np.array([0.0, 10.0])) == pytest.approx(90.0)
+    assert angle_to_target(np.zeros(2), np.pi / 2, np.array([0.0, 10.0])) == pytest.approx(0.0)
+
+
+def test_cruise_straight():
+    pilot = ExpertPilot()
+    d = pilot.get_control(_world(), np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    assert d.target_speed == ExpertPilot.CRUISE_SPEED
+    assert not d.brake
+    assert abs(d.steer) < 0.05
+    assert d.throttle > 0
+
+
+def test_slow_in_turns():
+    pilot = ExpertPilot()
+    d = pilot.get_control(_world(), np.array([10.0, 0.0]), np.array([10.0, 40.0]))
+    assert d.target_speed == ExpertPilot.TURN_SPEED
+
+
+def test_brake_for_lead_vehicle():
+    pilot = ExpertPilot()
+    lead = Actor(position=np.array([10.0, 0.0]), velocity=np.zeros(2), actor_id=7)
+    d = pilot.get_control(_world(vehicles=[lead]),
+                          np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    assert d.brake and d.throttle == 0.0
+    assert d.hazard == "vehicle:7"
+
+
+def test_brake_for_walker_and_red_light():
+    pilot = ExpertPilot()
+    walker = Actor(position=np.array([8.0, 0.5]), velocity=np.zeros(2), actor_id=3)
+    d = pilot.get_control(_world(walkers=[walker]),
+                          np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    assert d.brake and d.hazard == "walker:3"
+
+    d = pilot.get_control(_world(red_light=True),
+                          np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    assert d.brake and d.hazard == "red_light"
+
+
+def test_stop_sign_released_after_full_stop():
+    pilot = ExpertPilot()
+    near, far = np.array([10.0, 0.0]), np.array([50.0, 0.0])
+    d = pilot.get_control(_world(speed=5.0, stop_sign=True), near, far)
+    assert d.brake and d.hazard == "stop_sign"
+    # once stopped, the sign is served and the pilot may proceed
+    d = pilot.get_control(_world(speed=0.0, stop_sign=True), near, far)
+    assert not d.brake
+
+
+def test_car_following_matches_leader_speed():
+    pilot = ExpertPilot()
+    leader = Actor(position=np.array([25.0, 0.0]), velocity=np.array([6.0, 0.0]))
+    d = pilot.get_control(_world(speed=5.0, car_in_front=leader),
+                          np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    assert not d.brake
+    assert d.target_speed == pytest.approx(6.0)
+
+
+def test_dataset_writer_roundtrip(tmp_path):
+    from mmfn_tpu.config import GlobalConfig
+    from mmfn_tpu.data.dataset import CarlaDataset
+    from mmfn_tpu.data.writer import DatasetWriter
+
+    rng = np.random.default_rng(0)
+    route = tmp_path / "TownX_short" / "route_00"
+    w = DatasetWriter(str(route), image_ext="npy")
+    assert not w.should_save(0) and w.should_save(10) and not w.should_save(5)
+    for i in range(10):
+        w.save_frame(
+            rgb_front=rng.integers(0, 255, size=(256, 900, 3)).astype(np.uint8),
+            lidar=rng.uniform(-20, 20, size=(200, 4)).astype(np.float32),
+            radar=rng.normal(size=(20, 5)).astype(np.float32) + 1,
+            vectormap=rng.normal(size=(2, 10, 5)).astype(np.float32),
+            map_raster=rng.integers(0, 255, size=(256, 256, 3)).astype(np.uint8),
+            x=float(i), y=0.0, theta=0.0, speed=5.0, target_speed=7.0,
+            x_command=float(i + 20), y_command=0.0, command=4,
+            steer=0.0, throttle=0.5, brake=0.0)
+    ds = CarlaDataset([str(tmp_path / "TownX_short")], GlobalConfig(), image_ext="npy")
+    assert len(ds) == 4
+    sample = ds[0]
+    assert sample["image"].shape == (256, 256, 3)
+    assert sample["waypoints"].shape == (4, 2)
