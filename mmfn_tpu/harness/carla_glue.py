@@ -1,0 +1,388 @@
+"""CARLA integration layer (requires the ``carla`` package + a server).
+
+Everything simulator-specific lives here, wiring the live world into the
+simulator-independent harness: raw sensor-buffer parsing into the sensor mux,
+pseudo-sensors, sensor spawning with the leaderboard intrinsics, the 20 Hz
+synchronous tick loop, ego/criteria bookkeeping, and the evaluation driver
+used by run_steps/phase0_run_eval.py when ``simulator: carla``.
+
+Reference mapping:
+- CallBack parsers        <- leaderboard/envs/sensor_interface.py:133-195
+- pseudo-sensors          <- sensor_interface.py:50-130
+- setup_sensors           <- autoagents/agent_wrapper.py:77-174
+- tick loop               <- scenarios/scenario_manager.py:118-181
+- evaluation driver       <- leaderboard_evaluator.py:242-411
+- server manager          <- run_steps/utils.py:23-65
+
+NOTE: this module cannot be exercised in the development environment (no
+CARLA); it is structured so everything above it is tested against the fake
+world, and this file only translates between CARLA types and numpy.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+try:
+    import carla  # type: ignore
+    HAS_CARLA = True
+except ImportError:  # pragma: no cover - exercised only with a simulator
+    carla = None
+    HAS_CARLA = False
+
+from mmfn_tpu.control.planner import location_to_gps
+from mmfn_tpu.harness.agents.base import VehicleControl
+from mmfn_tpu.harness.criteria import (
+    AgentBlockedCriterion, RouteCompletionCriterion, RouteDeviationCriterion,
+    route_timeout_seconds)
+from mmfn_tpu.harness.events import RoadOption, TrafficEvent, TrafficEventType
+from mmfn_tpu.harness.game_time import GameTime
+from mmfn_tpu.harness.route import route_length
+from mmfn_tpu.harness.sensor_interface import SensorInterface
+from mmfn_tpu.harness.watchdog import Watchdog
+
+FIXED_DELTA_SECONDS = 1.0 / 20.0  # leaderboard_evaluator.py:61,203-205
+
+
+# --------------------------------------------------------------------------- #
+# Server lifecycle
+# --------------------------------------------------------------------------- #
+
+def kill_carla() -> None:
+    subprocess.run(["pkill", "-9", "-f", "CarlaUE4"], check=False)
+
+
+class CarlaServerManager:
+    """Spawns a CarlaUE4 server per RPC port (run_steps/utils.py:30-65)."""
+
+    def __init__(self, carla_sh: str, port: int = 2000, quality: str = "Epic"):
+        self.carla_sh = carla_sh
+        self.port = port
+        self.quality = quality
+        self._proc: Optional[subprocess.Popen] = None
+
+    def start(self, wait: float = 10.0) -> None:
+        cmd = [self.carla_sh, f"--quality-level={self.quality}",
+               f"-carla-rpc-port={self.port}"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                      stderr=subprocess.DEVNULL)
+        time.sleep(wait)
+
+    def stop(self) -> None:
+        if self._proc is not None:
+            self._proc.terminate()
+            self._proc = None
+        kill_carla()
+
+
+# --------------------------------------------------------------------------- #
+# Raw-buffer parsing (sensor_interface.py:133-195)
+# --------------------------------------------------------------------------- #
+
+def parse_image(image) -> np.ndarray:
+    array = np.frombuffer(image.raw_data, dtype=np.uint8)
+    return np.reshape(array.copy(), (image.height, image.width, 4))
+
+
+def parse_lidar(data) -> np.ndarray:
+    points = np.frombuffer(data.raw_data, dtype=np.float32)
+    return np.reshape(points.copy(), (-1, 4))
+
+
+def parse_radar(data) -> np.ndarray:
+    points = np.frombuffer(data.raw_data, dtype=np.float32)
+    points = np.reshape(points.copy(), (-1, 4))
+    return np.flip(points, axis=1)  # -> [velocity, altitude, azimuth, depth]
+
+
+def parse_gnss(data) -> np.ndarray:
+    return np.array([data.latitude, data.longitude, data.altitude], dtype=np.float64)
+
+
+def parse_imu(data) -> np.ndarray:
+    return np.array([data.accelerometer.x, data.accelerometer.y, data.accelerometer.z,
+                     data.gyroscope.x, data.gyroscope.y, data.gyroscope.z,
+                     data.compass], dtype=np.float64)
+
+
+class _Callback:
+    _PARSERS = {
+        "sensor.camera.rgb": parse_image,
+        "sensor.lidar.ray_cast": parse_lidar,
+        "sensor.other.radar": parse_radar,
+        "sensor.other.gnss": parse_gnss,
+        "sensor.other.imu": parse_imu,
+    }
+
+    def __init__(self, tag: str, sensor_type: str, interface: SensorInterface):
+        self._tag = tag
+        self._parse = self._PARSERS[sensor_type]
+        self._interface = interface
+
+    def __call__(self, data) -> None:
+        self._interface.update_sensor(self._tag, self._parse(data), data.frame)
+
+
+class _BaseReader(threading.Thread):
+    """Daemon poller for pseudo-sensors (sensor_interface.py:50-87)."""
+
+    def __init__(self, vehicle, tag: str, interface: SensorInterface,
+                 reading_frequency: float):
+        super().__init__(daemon=True)
+        self._vehicle = vehicle
+        self._tag = tag
+        self._interface = interface
+        self._period = 1.0 / reading_frequency
+        self._running = True
+        self.start()
+
+    def stop(self) -> None:
+        self._running = False
+
+    def read(self):
+        raise NotImplementedError
+
+    def run(self) -> None:
+        last_time = GameTime.get_time()
+        while self._running:
+            if GameTime.get_time() - last_time >= self._period or last_time == 0:
+                try:
+                    self._interface.update_sensor(self._tag, self.read(),
+                                                  GameTime.get_frame())
+                except Exception:
+                    pass
+                last_time = GameTime.get_time()
+            time.sleep(0.001)
+
+
+class SpeedometerReader(_BaseReader):
+    def read(self):
+        velocity = self._vehicle.get_velocity()
+        transform = self._vehicle.get_transform()
+        yaw = math.radians(transform.rotation.yaw)
+        pitch = math.radians(transform.rotation.pitch)
+        heading = np.array([math.cos(pitch) * math.cos(yaw),
+                            math.cos(pitch) * math.sin(yaw), math.sin(pitch)])
+        speed = np.dot([velocity.x, velocity.y, velocity.z], heading)
+        return {"speed": float(speed)}
+
+
+class OpenDriveMapReader(_BaseReader):
+    def read(self):
+        return {"opendrive": self._vehicle.get_world().get_map().to_opendrive()}
+
+
+# --------------------------------------------------------------------------- #
+# Sensor spawning (agent_wrapper.py:77-174 intrinsics)
+# --------------------------------------------------------------------------- #
+
+def setup_sensors(agent, vehicle, world) -> List:
+    bp_library = world.get_blueprint_library()
+    actors = []
+    for spec in agent.sensors():
+        stype, tag = spec["type"], spec["id"]
+        if stype.startswith("sensor.opendrive_map"):
+            agent.sensor_interface.register_opendrive(tag)
+            actors.append(OpenDriveMapReader(vehicle, tag, agent.sensor_interface,
+                                             spec["reading_frequency"]))
+            continue
+        if stype.startswith("sensor.speedometer"):
+            agent.sensor_interface.register_sensor(tag)
+            actors.append(SpeedometerReader(vehicle, tag, agent.sensor_interface,
+                                            1.0 / FIXED_DELTA_SECONDS))
+            continue
+
+        bp = bp_library.find(stype)
+        if stype.startswith("sensor.camera"):
+            bp.set_attribute("image_size_x", str(spec["width"]))
+            bp.set_attribute("image_size_y", str(spec["height"]))
+            bp.set_attribute("fov", str(spec["fov"]))
+            bp.set_attribute("lens_circle_multiplier", "3.0")
+            bp.set_attribute("lens_circle_falloff", "3.0")
+            bp.set_attribute("chromatic_aberration_intensity", "0.5")
+            bp.set_attribute("chromatic_aberration_offset", "0")
+        elif stype.startswith("sensor.lidar"):
+            bp.set_attribute("range", "85")
+            bp.set_attribute("rotation_frequency", "10")
+            bp.set_attribute("channels", "64")
+            bp.set_attribute("upper_fov", "10")
+            bp.set_attribute("lower_fov", "-30")
+            bp.set_attribute("points_per_second", "600000")
+            bp.set_attribute("atmosphere_attenuation_rate", "0.004")
+            bp.set_attribute("dropoff_general_rate", "0.45")
+            bp.set_attribute("dropoff_intensity_limit", "0.8")
+            bp.set_attribute("dropoff_zero_intensity", "0.4")
+        elif stype.startswith("sensor.other.radar"):
+            bp.set_attribute("horizontal_fov", str(spec["fov"]))
+            bp.set_attribute("vertical_fov", str(spec["fov"]))
+            bp.set_attribute("points_per_second", "1500")
+            bp.set_attribute("range", "100")
+        elif stype.startswith("sensor.other.gnss"):
+            for attr, v in (("noise_alt_stddev", 0.000005), ("noise_lat_stddev", 0.000005),
+                            ("noise_lon_stddev", 0.000005), ("noise_alt_bias", 0.0),
+                            ("noise_lat_bias", 0.0), ("noise_lon_bias", 0.0)):
+                bp.set_attribute(attr, str(v))
+            bp.set_attribute("sensor_tick", str(spec.get("sensor_tick", 0.01)))
+        elif stype.startswith("sensor.other.imu"):
+            for attr in ("noise_accel_stddev_x", "noise_accel_stddev_y",
+                         "noise_accel_stddev_z", "noise_gyro_stddev_x",
+                         "noise_gyro_stddev_y", "noise_gyro_stddev_z"):
+                bp.set_attribute(attr, "0.001" if "accel" in attr else "0.000001")
+            bp.set_attribute("sensor_tick", str(spec.get("sensor_tick", 0.05)))
+
+        location = carla.Location(x=spec.get("x", 0.0), y=spec.get("y", 0.0),
+                                  z=spec.get("z", 0.0))
+        rotation = carla.Rotation(pitch=spec.get("pitch", 0.0),
+                                  roll=spec.get("roll", 0.0),
+                                  yaw=spec.get("yaw", 0.0))
+        sensor = world.spawn_actor(bp, carla.Transform(location, rotation),
+                                   attach_to=vehicle)
+        agent.sensor_interface.register_sensor(tag)
+        sensor.listen(_Callback(tag, stype, agent.sensor_interface))
+        actors.append(sensor)
+    return actors
+
+
+# --------------------------------------------------------------------------- #
+# Evaluation driver
+# --------------------------------------------------------------------------- #
+
+class CollisionCriterion:
+    """Collision-sensor-backed infractions (atomic_criteria.py CollisionTest)."""
+
+    def __init__(self, world, vehicle):
+        self.events: List[TrafficEvent] = []
+        bp = world.get_blueprint_library().find("sensor.other.collision")
+        self._sensor = world.spawn_actor(bp, carla.Transform(), attach_to=vehicle)
+        self._sensor.listen(self._on_collision)
+
+    def _on_collision(self, event) -> None:
+        other = event.other_actor
+        if "walker" in other.type_id:
+            etype = TrafficEventType.COLLISION_PEDESTRIAN
+        elif "vehicle" in other.type_id:
+            etype = TrafficEventType.COLLISION_VEHICLE
+        else:
+            etype = TrafficEventType.COLLISION_STATIC
+        self.events.append(TrafficEvent(etype, f"collided with {other.type_id}"))
+
+    def stop(self) -> None:
+        if self._sensor is not None:
+            self._sensor.stop()
+            self._sensor.destroy()
+            self._sensor = None
+
+
+def interpolate_route_carla(world_map, keypoints, hop: float = 1.0):
+    """Dense route over the road graph via carla's GlobalRoutePlanner
+    (route_manipulation.py:132)."""
+    from agents.navigation.global_route_planner import GlobalRoutePlanner  # type: ignore
+
+    grp = GlobalRoutePlanner(world_map, hop)
+    dense = []
+    for a, b in zip(keypoints[:-1], keypoints[1:]):
+        loc_a = carla.Location(x=a[0], y=a[1], z=a[2])
+        loc_b = carla.Location(x=b[0], y=b[1], z=b[2])
+        for wp, option in grp.trace_route(loc_a, loc_b):
+            dense.append(((wp.transform.location.x, wp.transform.location.y),
+                          RoadOption(int(option))))
+    return dense
+
+
+def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> None:
+    if not HAS_CARLA:
+        raise RuntimeError("simulator: carla requested but the carla package "
+                           "is not installed")
+    client = carla.Client(cfg.get("host", "localhost"), int(cfg.get("port", 2000)))
+    client.set_timeout(float(cfg.get("timeout", 60.0)))
+
+    while indexer.peek():
+        config = indexer.next()
+        world = client.load_world(config.town)
+        settings = world.get_settings()
+        settings.fixed_delta_seconds = FIXED_DELTA_SECONDS
+        settings.synchronous_mode = True
+        world.apply_settings(settings)
+        GameTime.restart()
+
+        agent = build_agent(cfg)
+        dense = interpolate_route_carla(world.get_map(), config.trajectory)
+        gps_plan = [(dict(zip(("lat", "lon", "z"), location_to_gps(x, y))), opt)
+                    for (x, y), opt in dense]
+        agent.set_global_plan(gps_plan, dense)
+
+        # spawn ego at the first keypoint (route_scenario.py:249)
+        bp = world.get_blueprint_library().filter("vehicle.lincoln.mkz2017")[0]
+        x0, y0, z0 = config.trajectory[0]
+        spawn = world.get_map().get_waypoint(
+            carla.Location(x=x0, y=y0, z=z0)).transform
+        spawn.location.z += 0.5
+        vehicle = world.spawn_actor(bp, spawn)
+        sensors = setup_sensors(agent, vehicle, world)
+        collision = CollisionCriterion(world, vehicle)
+        route_xy = [p for p, _ in dense]
+        criteria = [RouteCompletionCriterion(route_xy), AgentBlockedCriterion(),
+                    RouteDeviationCriterion(route_xy)]
+
+        length = route_length(config.trajectory)
+        timeout = route_timeout_seconds(length)
+        watchdog = Watchdog(timeout=FIXED_DELTA_SECONDS * 40)
+        watchdog.start()
+        statistics.set_route(config.route_id, config.index)
+        t0, game_time, timed_out, failure = time.time(), 0.0, False, ""
+        try:
+            while True:
+                world.tick()
+                snapshot = world.get_snapshot()
+                GameTime.on_carla_tick(snapshot.timestamp)
+                watchdog.update()
+                control = agent(GameTime.get_time())
+                vc = carla.VehicleControl(throttle=float(control.throttle),
+                                          steer=float(control.steer),
+                                          brake=float(control.brake),
+                                          reverse=bool(control.reverse))
+                vehicle.apply_control(vc)
+                loc = vehicle.get_location()
+                vel = vehicle.get_velocity()
+                speed = math.hypot(vel.x, vel.y)
+                game_time = GameTime.get_time()
+                for c in criteria:
+                    c.update((loc.x, loc.y), speed, game_time)
+                if criteria[0].completed or any(
+                        getattr(c, "triggered", False) for c in criteria[1:]):
+                    break
+                if game_time > timeout or not watchdog.get_status():
+                    timed_out = True
+                    break
+        except Exception as e:  # agent/simulation crash -> recorded failure
+            failure = f"Agent crashed: {e}"
+        finally:
+            watchdog.stop()
+            collision.stop()
+            for s in sensors:
+                if hasattr(s, "stop"):
+                    s.stop()
+                if hasattr(s, "destroy"):
+                    s.destroy()
+            vehicle.destroy()
+            agent.destroy()
+
+        events = list(collision.events)
+        for c in criteria:
+            c.terminate()
+            events.extend(c.events)
+        record = statistics.compute_route_statistics(
+            config.index, length, events, time.time() - t0, game_time,
+            timed_out=timed_out, failure=failure)
+        statistics.save_record(record, config.index, endpoint)
+        indexer.save_state(endpoint)
+
+    g = statistics.compute_global_statistics(indexer.total)
+    statistics.save_global_record(g, indexer.total, endpoint)
