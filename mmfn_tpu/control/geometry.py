@@ -69,6 +69,20 @@ def ttc_disc(pa, pb, va, vb, ra: float = 1.5, rb: float = 1.5) -> float:
     return float(t)
 
 
+def predicted_min_distance(pa, pb, va, vb, horizon: float) -> float:
+    """Closest approach of two constant-velocity points within ``horizon`` s.
+
+    Closed form: t* = clamp(-(p.rv)/(rv.rv), 0, horizon), d = |p + rv t*|.
+    Monotonically informative while converging (unlike threshold TTC, which
+    flickers near tangent geometries) — used by the expert's hazard gates.
+    """
+    p = np.asarray(pb, dtype=np.float64) - np.asarray(pa, dtype=np.float64)
+    rv = np.asarray(vb, dtype=np.float64) - np.asarray(va, dtype=np.float64)
+    denom = float(rv.dot(rv))
+    t_star = 0.0 if denom < 1e-9 else float(np.clip(-p.dot(rv) / denom, 0.0, horizon))
+    return float(np.linalg.norm(p + rv * t_star))
+
+
 def heading_angle_deg(o1, o2) -> float:
     """Unsigned angle between two unit headings, in degrees (utils.py:93-96)."""
     angle = float(np.degrees(np.arccos(np.clip(o1.dot(o2), -1.0, 1.0))))

@@ -1,0 +1,186 @@
+"""Closed-loop data-collection expert agent.
+
+The harness-facing wrapper around ExpertPilot — the rebuild of the reference's
+MMFNPilot agent (team_code/expert_agent/mmfn_pilot.py + common/base_agent.py):
+consumes the privileged channel for ground truth, follows the route with the
+rule stack, perturbs steering with 1e-2 gaussian dither (mmfn_pilot.py:90),
+and saves a dataset frame every 10 ticks (2 Hz at the 20 Hz sim rate) in the
+exact directory tree CarlaDataset reads.
+
+Frame conventions: measurements store theta = ego yaw and x/y_command = the
+far planner target in the position frame — self-consistent with both the
+dataset's target-point math (dataloader.py:250-261) and the e2e agents' tick
+rotation. (The reference stores a CARLA-GPS-frame-swapped command
+(x_command = -far_y, y_command = far_x, base_agent.py:224-271) — an artifact
+of CARLA's gps frame that does not apply to this harness.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.control.planner import RoutePlanner
+from mmfn_tpu.data.writer import DatasetWriter
+from mmfn_tpu.harness.agents.base import AutonomousAgent, Track, VehicleControl
+from mmfn_tpu.harness.experts.pilot import ExpertPilot, angle_to_target
+from mmfn_tpu.harness.experts.world_view import Actor, EgoState, WorldView
+from mmfn_tpu.mapping import RoughMap, build_rmap
+from mmfn_tpu.mapping.birdview import BirdViewProducer
+
+# weather presets cycled during collection (base_agent.py:14-36,291-295);
+# in CARLA these map to WeatherParameters, here they are recorded ids.
+WEATHERS = (
+    "ClearNoon", "ClearSunset", "CloudyNoon", "CloudySunset", "WetNoon",
+    "WetSunset", "MidRainyNoon", "MidRainSunset", "WetCloudyNoon",
+    "WetCloudySunset", "HardRainNoon", "HardRainSunset", "SoftRainNoon",
+    "SoftRainSunset",
+)
+
+
+class ExpertCollectionAgent(AutonomousAgent):
+    """Config keys: 'save_path' (enables dataset writing), 'rmap_tool',
+    'tmp_dir', 'config' (GlobalConfig), 'seed'."""
+
+    NEARBY_DIS = 30.0
+    FRONT_CONE_DEG = 30.0
+
+    def setup(self, conf) -> None:
+        conf = conf or {}
+        self.track = Track.MAP
+        self.config: GlobalConfig = conf.get("config") or GlobalConfig()
+        self.pilot = ExpertPilot()
+        self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
+                                  self.config.right, self.config.lane_node_num,
+                                  self.config.feature_num)
+        self.rough_map_loaded = False
+        self._tmp_dir = conf.get("tmp_dir") or tempfile.mkdtemp(prefix="mmfn_tpu_expert_")
+        self._rmap_tool = conf.get("rmap_tool")
+        self._rng = np.random.default_rng(conf.get("seed", 0))
+        self.writer: Optional[DatasetWriter] = None
+        if conf.get("save_path"):
+            self.writer = DatasetWriter(conf["save_path"],
+                                        image_ext=conf.get("image_ext", "npy"))
+        self.birdview: Optional[BirdViewProducer] = None
+        self.step = -1
+        self.initialized = False
+
+    def sensors(self):
+        from mmfn_tpu.harness.agents.e2e import MMFNAgent
+
+        return MMFNAgent.sensors(self)
+
+    # ---- helpers -------------------------------------------------------------- #
+
+    def _init_route(self) -> None:
+        self._waypoint_planner = RoutePlanner(4.0, 50.0)
+        self._waypoint_planner.set_route(self._global_plan, gps=True)
+        self._command_planner = RoutePlanner(7.5, 25.0)
+        self._command_planner.set_route(self._global_plan, gps=True)
+        self.initialized = True
+
+    def _save_map(self, opendrive_str: str) -> None:
+        map_dir = os.path.join(self._tmp_dir, "opendrive")
+        os.makedirs(map_dir, exist_ok=True)
+        with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
+            f.write(opendrive_str)
+        if build_rmap([map_dir], tool_path=self._rmap_tool):
+            raise RuntimeError("rough_map_node failed")
+        rmap_path = os.path.join(map_dir, "a.rmap")
+        self.rough_map.read(rmap_path)
+        self.birdview = BirdViewProducer.from_opendrive(
+            rmap_path, target_size=self.config.input_resolution)
+        self.rough_map_loaded = True
+        if self.writer is not None:
+            od_dir = os.path.join(self.writer.route_dir, "opendrive")
+            os.makedirs(od_dir, exist_ok=True)
+            with open(os.path.join(od_dir, "opstr.txt"), "w") as f:
+                f.write(opendrive_str)
+
+    def _world_view(self, priv: dict) -> WorldView:
+        x, y, yaw, v = priv["ego"]
+        ego = EgoState(position=np.array([x, y]),
+                       velocity=np.array([v * math.cos(yaw), v * math.sin(yaw)]),
+                       yaw=yaw)
+        vehicles, walkers = [], []
+        front: Optional[Actor] = None
+        front_dist = float("inf")
+        for a in priv.get("actors", []):
+            actor = Actor(position=np.asarray(a.position, dtype=np.float64),
+                          velocity=np.asarray(a.velocity, dtype=np.float64),
+                          yaw=a.yaw, extent=a.extent, actor_id=a.actor_id)
+            dist = float(np.linalg.norm(actor.position - ego.position))
+            if dist > self.NEARBY_DIS:
+                continue
+            if a.kind == "walker":
+                walkers.append(actor)
+            else:
+                vehicles.append(actor)
+                if (abs(angle_to_target(ego.position, yaw, actor.position))
+                        < self.FRONT_CONE_DEG and dist < front_dist):
+                    front, front_dist = actor, dist
+        return WorldView(ego=ego, vehicles=vehicles, walkers=walkers,
+                         car_in_front=front)
+
+    # ---- main step ------------------------------------------------------------ #
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        if not self.rough_map_loaded and "opendrive" not in input_data:
+            return VehicleControl(brake=1.0)
+        if not self.initialized:
+            self._save_map(input_data["opendrive"][1]["opendrive"])
+            self._init_route()
+        self.step += 1
+
+        priv = input_data["privileged"][1]
+        world = self._world_view(priv)
+        pos = world.ego.position
+
+        near_node, near_cmd = self._waypoint_planner.run_step(pos)
+        far_node, far_cmd = self._command_planner.run_step(pos)
+
+        decision = self.pilot.get_control(world, near_node, far_node)
+        steer = float(np.clip(decision.steer + 1e-2 * self._rng.standard_normal(),
+                              -1.0, 1.0))
+        control = VehicleControl(steer=steer, throttle=decision.throttle,
+                                 brake=float(decision.brake))
+
+        if self.writer is not None and self.writer.should_save(self.step):
+            self._save_frame(input_data, world, near_node, far_node, far_cmd,
+                             decision, control)
+        return control
+
+    def _save_frame(self, input_data, world: WorldView, near_node, far_node,
+                    far_cmd, decision, control) -> None:
+        cfg = self.config
+        x, y = world.ego.position
+        yaw = world.ego.yaw
+        rgb = input_data["rgb"][1][:, :, :3][:, :, ::-1]
+        radar_front = np.hstack([input_data["radar_front"][1],
+                                 np.ones((input_data["radar_front"][1].shape[0], 1))])
+        radar_rear = np.hstack([input_data["radar_rear"][1],
+                                np.zeros((input_data["radar_rear"][1].shape[0], 1))])
+        vectormap = self.rough_map.process([x, y, yaw])
+        if vectormap.shape[0] == 0:
+            vectormap = np.zeros((1, cfg.lane_node_num, cfg.feature_num))
+        actors = [(float(a.position[0]), float(a.position[1]), a.yaw, 4.5, 2.0)
+                  for a in world.vehicles]
+        raster = BirdViewProducer.as_rgb(
+            self.birdview.produce([x, y, yaw], actors=actors))
+        self.writer.save_frame(
+            rgb_front=np.ascontiguousarray(rgb),
+            lidar=input_data["lidar"][1],
+            radar=np.concatenate([radar_front, radar_rear], axis=0),
+            vectormap=vectormap,
+            map_raster=raster,
+            x=float(x), y=float(y), theta=float(yaw),
+            speed=world.ego.speed, target_speed=decision.target_speed,
+            x_command=float(far_node[0]), y_command=float(far_node[1]),
+            command=int(getattr(far_cmd, "value", far_cmd)),
+            steer=control.steer, throttle=control.throttle, brake=control.brake,
+            weather=self.step // 200 % len(WEATHERS))

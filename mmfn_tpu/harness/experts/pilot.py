@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from mmfn_tpu.control.geometry import ttc_disc, ttc_projection
+from mmfn_tpu.control.geometry import predicted_min_distance, ttc_disc, ttc_projection
 from mmfn_tpu.control.pid import PIDController
 from mmfn_tpu.harness.experts.world_view import WorldView
 
@@ -55,6 +55,8 @@ class ExpertPilot:
     VEHICLE_TTC = 2.5            # brake when a vehicle's TTC drops below
     WALKER_TTC = 3.5
     VEHICLE_LATERAL_GATE = 2.5   # meters; projection-TTC lateral miss gate
+    WALKER_HORIZON = 4.0         # closest-approach prediction window, seconds
+    WALKER_SAFE_DIST = 3.5       # brake when predicted approach is closer
 
     def __init__(self):
         self._turn_controller = PIDController(1.25, 0.75, 0.3, n=40)
@@ -78,6 +80,12 @@ class ExpertPilot:
         for w in world.walkers:
             if ttc_disc(ego.position, w.position, ego.velocity, w.velocity,
                         ra=1.5, rb=1.0) < self.WALKER_TTC:
+                return f"walker:{w.actor_id}"
+            # crossing pedestrians: gate on the predicted closest approach,
+            # which stays below threshold through the whole crossing
+            if predicted_min_distance(ego.position, w.position, ego.velocity,
+                                      w.velocity, self.WALKER_HORIZON) \
+                    < self.WALKER_SAFE_DIST:
                 return f"walker:{w.actor_id}"
         return None
 

@@ -26,8 +26,9 @@ from mmfn_tpu.control.planner import GPS_SCALE
 from mmfn_tpu.harness.criteria import (
     AgentBlockedCriterion, Criterion, RouteCompletionCriterion,
     RouteDeviationCriterion, route_timeout_seconds)
-from mmfn_tpu.harness.events import RoadOption, TrafficEvent
+from mmfn_tpu.harness.events import RoadOption, TrafficEvent, TrafficEventType
 from mmfn_tpu.harness.route import RouteConfig, interpolate_trajectory, route_length
+from mmfn_tpu.harness.scenarios import ScenarioManagerLite, check_collision
 from mmfn_tpu.harness.statistics import RouteRecord, StatisticsManager
 
 DT = 0.05  # 20 Hz fixed step, matching leaderboard_evaluator.py:203-205
@@ -108,7 +109,10 @@ class ClosedLoopRunner:
         self.max_wall_seconds = max_wall_seconds
 
     def run_route(self, agent, config: RouteConfig, opendrive_str: str,
-                  max_ticks: Optional[int] = None) -> RouteRecord:
+                  max_ticks: Optional[int] = None,
+                  triggers: Optional[list] = None) -> RouteRecord:
+        """triggers: optional ScenarioTrigger list -> adversarial events are
+        activated along the route and collisions are scored."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -127,13 +131,25 @@ class ClosedLoopRunner:
         timeout = route_timeout_seconds(length)
         max_ticks = max_ticks or int(timeout / DT)
 
+        scenario_mgr = ScenarioManagerLite(triggers or [])
+        collision_events: List[TrafficEvent] = []
+        collided_ids = set()
+
         self.statistics.set_route(config.route_id, config.index)
         t_start = time.time()
         game_time = 0.0
         timed_out = False
         failure = ""
         for _ in range(max_ticks):
+            scenario_actors = scenario_mgr.tick(np.array([world.x, world.y]), DT)
             frame = world.sensor_frame()
+            # privileged channel: ground-truth ego + scenario actors, consumed
+            # by rule-based experts (the leaderboard gives experts direct world
+            # access; the fake world provides it explicitly)
+            frame["privileged"] = (world.frame, {
+                "ego": (world.x, world.y, world.yaw, world.v),
+                "actors": scenario_actors,
+            })
             for tag, (f, payload) in frame.items():
                 if tag not in agent.sensor_interface._sensors:
                     if tag == "opendrive":
@@ -149,6 +165,13 @@ class ClosedLoopRunner:
             world.tick(control)
             game_time += DT
             position = (world.x, world.y)
+            hit = check_collision(np.asarray(position), 2.0, scenario_actors)
+            if hit is not None and hit.actor_id not in collided_ids:
+                collided_ids.add(hit.actor_id)
+                etype = (TrafficEventType.COLLISION_PEDESTRIAN if hit.kind == "walker"
+                         else TrafficEventType.COLLISION_VEHICLE)
+                collision_events.append(TrafficEvent(
+                    etype, f"collided with scenario {hit.kind} {hit.actor_id}"))
             for c in criteria:
                 c.update(position, world.v, game_time)
             if criteria[0].completed:
@@ -162,7 +185,7 @@ class ClosedLoopRunner:
                 timed_out = True
                 break
 
-        events: List[TrafficEvent] = []
+        events: List[TrafficEvent] = list(collision_events)
         for c in criteria:
             c.terminate()
             events.extend(c.events)

@@ -1,0 +1,180 @@
+"""Trigger-based adversarial scenarios.
+
+The reference samples srunner scenario classes (cut-in, control-loss,
+object-crash, ...) at trigger positions along routes from a JSON placement
+file (route_scenario.py:377,449-475; srunner/scenarios/). This module provides
+the same machinery for the simulator-free harness:
+
+- ``parse_scenario_file``: reads the reference's placement JSON
+  ({available_scenarios: [{Town: [{scenario_type, available_event_configurations
+  [{transform}]}]}]}), returning per-town trigger lists;
+- scenario behaviors that activate when the ego enters the trigger radius and
+  inject/drive actors in the KinematicWorld: a crossing walker
+  (object-crash analog), a stopped vehicle blocking the lane, and a cut-in
+  vehicle;
+- ``ScenarioManagerLite``: per-tick activation + actor stepping, feeding actor
+  state to criteria and the expert's WorldView.
+
+The CARLA path keeps using srunner's own scenario classes via the glue; this
+lite engine exists so closed-loop behavior (hazard braking, collisions,
+scoring) is exercisable without a simulator.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ScenarioTrigger:
+    x: float
+    y: float
+    yaw: float = 0.0
+    scenario_type: str = "Scenario3"
+
+
+def parse_scenario_file(path: str, town: str) -> List[ScenarioTrigger]:
+    with open(path) as f:
+        data = json.load(f)
+    triggers: List[ScenarioTrigger] = []
+    for block in data.get("available_scenarios", []):
+        for scenario in block.get(town, []):
+            stype = scenario.get("scenario_type", "Scenario3")
+            for event in scenario.get("available_event_configurations", []):
+                t = event["transform"]
+                triggers.append(ScenarioTrigger(
+                    x=float(t["x"]), y=float(t["y"]),
+                    yaw=math.radians(float(t.get("yaw", 0.0))),
+                    scenario_type=stype))
+    return triggers
+
+
+@dataclass
+class ScenarioActor:
+    kind: str                      # 'walker' | 'vehicle'
+    position: np.ndarray
+    velocity: np.ndarray
+    yaw: float = 0.0
+    extent: float = 1.0
+    actor_id: int = 0
+
+    def step(self, dt: float) -> None:
+        self.position = self.position + self.velocity * dt
+
+
+class ScenarioBehavior:
+    """Activates once when the ego enters the trigger radius."""
+
+    TRIGGER_RADIUS = 15.0
+
+    def __init__(self, trigger: ScenarioTrigger, actor_id: int):
+        self.trigger = trigger
+        self.actor_id = actor_id
+        self.active = False
+        self.done = False
+        self.actors: List[ScenarioActor] = []
+
+    def maybe_activate(self, ego_xy: np.ndarray) -> None:
+        if self.active or self.done:
+            return
+        d = math.hypot(ego_xy[0] - self.trigger.x, ego_xy[1] - self.trigger.y)
+        if d < self.TRIGGER_RADIUS:
+            self.active = True
+            self.on_activate()
+
+    def on_activate(self) -> None:
+        raise NotImplementedError
+
+    def step(self, dt: float) -> None:
+        for a in self.actors:
+            a.step(dt)
+
+
+class CrossingWalker(ScenarioBehavior):
+    """A pedestrian crosses the road ahead of the trigger (object-crash analog,
+    srunner object_crash_vehicle)."""
+
+    WALK_SPEED = 1.8
+    SPAWN_AHEAD = 12.0
+    SPAWN_LATERAL = 6.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        start = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD + lateral * self.SPAWN_LATERAL
+        self.actors = [ScenarioActor("walker", start, -lateral * self.WALK_SPEED,
+                                     extent=0.5, actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        super().step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 30:
+            self.actors = []
+            self.done = True
+
+
+class StoppedVehicle(ScenarioBehavior):
+    """A stalled vehicle blocks the lane past the trigger (control-loss analog)."""
+
+    SPAWN_AHEAD = 20.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        pos = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD
+        self.actors = [ScenarioActor("vehicle", pos, np.zeros(2), yaw=t.yaw,
+                                     extent=2.2, actor_id=self.actor_id)]
+
+
+class CutInVehicle(ScenarioBehavior):
+    """A vehicle merges into the ego lane from the side (srunner cut_in)."""
+
+    SPEED = 6.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        pos = np.array([t.x, t.y]) + ahead * 8.0 + lateral * 3.5
+        vel = ahead * self.SPEED - lateral * 0.8
+        self.actors = [ScenarioActor("vehicle", pos, vel, yaw=t.yaw,
+                                     extent=2.2, actor_id=self.actor_id)]
+
+
+# srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
+SCENARIO_CLASSES = {
+    "Scenario3": CrossingWalker,     # dynamic object crossing
+    "Scenario2": StoppedVehicle,     # control loss / blocked lane
+    "Scenario4": CutInVehicle,
+}
+
+
+class ScenarioManagerLite:
+    def __init__(self, triggers: Sequence[ScenarioTrigger]):
+        self.behaviors: List[ScenarioBehavior] = []
+        for i, trig in enumerate(triggers):
+            cls = SCENARIO_CLASSES.get(trig.scenario_type, CrossingWalker)
+            self.behaviors.append(cls(trig, actor_id=1000 + i))
+
+    def tick(self, ego_xy: np.ndarray, dt: float) -> List[ScenarioActor]:
+        actors: List[ScenarioActor] = []
+        for b in self.behaviors:
+            b.maybe_activate(np.asarray(ego_xy))
+            if b.active and not b.done:
+                b.step(dt)
+                actors.extend(b.actors)
+        return actors
+
+
+def check_collision(ego_xy: np.ndarray, ego_extent: float,
+                    actors: Sequence[ScenarioActor]) -> Optional[ScenarioActor]:
+    for a in actors:
+        if np.linalg.norm(np.asarray(ego_xy) - a.position) < ego_extent + a.extent:
+            return a
+    return None

@@ -1,0 +1,91 @@
+"""Closed-loop expert: drives, collects a dataset, reacts to scenarios."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.dataset import CarlaDataset
+from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
+from mmfn_tpu.harness.replay import ClosedLoopRunner
+from mmfn_tpu.harness.route import RouteConfig
+from mmfn_tpu.harness.scenarios import (
+    CrossingWalker, ScenarioManagerLite, ScenarioTrigger, parse_scenario_file)
+from mmfn_tpu.mapping.rough_map import default_tool_path
+from tests.test_harness import STRAIGHT_XODR
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tool():
+    path = default_tool_path()
+    if not os.path.exists(path):
+        try:
+            subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
+                           check=True, capture_output=True)
+        except Exception as e:
+            pytest.skip(f"native tool unavailable: {e}")
+    return path
+
+
+def _run(tool, tmp_path, triggers=None, save=False, length=120.0):
+    config = RouteConfig(route_id="0", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (length, 1.75, 0.0)], index=0)
+    conf = {"rmap_tool": tool, "tmp_dir": str(tmp_path / "map"),
+            "config": GlobalConfig()}
+    if save:
+        conf["save_path"] = str(tmp_path / "TownTest_short" / "route_00")
+    agent = ExpertCollectionAgent(conf)
+    runner = ClosedLoopRunner(max_wall_seconds=60)
+    record = runner.run_route(agent, config, STRAIGHT_XODR, triggers=triggers)
+    return agent, record
+
+
+def test_expert_completes_route(tool, tmp_path):
+    agent, record = _run(tool, tmp_path)
+    assert record.status == "Completed", record.to_dict()
+    assert record.scores["score_composed"] == 100.0
+
+
+def test_expert_collects_readable_dataset(tool, tmp_path):
+    agent, record = _run(tool, tmp_path, save=True)
+    town_dir = str(tmp_path / "TownTest_short")
+    ds = CarlaDataset([town_dir], GlobalConfig(), image_ext="npy")
+    assert len(ds) >= 3
+    s = ds[1]
+    assert s["image"].shape == (256, 256, 3)
+    assert s["lanes"].shape[1:] == (10, 5)
+    # expert drove forward: future waypoints point ahead (negative y, ego frame)
+    assert s["waypoints"][-1, 1] < -0.5
+    # target point ahead too
+    assert s["target_point"][1] < 0
+    # map raster has road pixels
+    assert s["map_img"].max() > 0
+
+
+def test_expert_brakes_for_crossing_walker(tool, tmp_path):
+    # walker trigger mid-route; expert must not collide (penalty would be 0.5)
+    triggers = [ScenarioTrigger(x=50.0, y=1.75, yaw=0.0, scenario_type="Scenario3")]
+    agent, record = _run(tool, tmp_path, triggers=triggers)
+    assert len(record.infractions["collisions_pedestrian"]) == 0, record.to_dict()
+    assert record.scores["score_penalty"] == 1.0
+
+
+def test_scenario_manager_activation():
+    mgr = ScenarioManagerLite([ScenarioTrigger(x=100.0, y=0.0)])
+    assert mgr.tick(np.array([0.0, 0.0]), 0.05) == []          # far -> inactive
+    actors = mgr.tick(np.array([95.0, 0.0]), 0.05)             # inside radius
+    assert len(actors) == 1 and actors[0].kind == "walker"
+
+
+def test_parse_reference_scenario_json():
+    path = os.path.join("/root/reference/leaderboard/data",
+                        "all_towns_traffic_scenarios.json")
+    if not os.path.exists(path):
+        pytest.skip("reference scenario file unavailable")
+    triggers = parse_scenario_file(path, "Town01")
+    assert len(triggers) > 10
+    assert all(isinstance(t.x, float) for t in triggers[:5])
