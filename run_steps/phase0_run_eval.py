@@ -45,8 +45,21 @@ FALLBACK_XODR = """<?xml version="1.0" standalone="yes"?>
 """
 
 
-def build_agent(cfg) -> MMFNAgent:
+def build_agent(cfg, shared=None):
+    """Construct a fresh agent per route (leaderboard_evaluator.py:264).
+    ``shared`` caches the jitted pipeline across routes to avoid recompiles."""
+    shared = shared if shared is not None else {}
     agent_cfg = cfg["agent"]
+    if agent_cfg.get("type", "e2e") == "expert":
+        # data-collection mode (the reference's phase0 collect with MMFNPilot)
+        from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
+
+        return ExpertCollectionAgent({
+            "config": GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64)),
+            "save_path": agent_cfg.get("data_save"),
+            "image_ext": agent_cfg.get("image_ext", "png"),
+            "seed": agent_cfg.get("seed", 0),
+        })
     gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
     model = build_model(gconf, agent_cfg.get("variant", "vec"))
     batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
@@ -68,8 +81,13 @@ def build_agent(cfg) -> MMFNAgent:
     else:
         print(f"{bc.WARNING}no checkpoint at {ckpt}; using random init{bc.ENDC}")
 
-    return MMFNAgent({"variant": agent_cfg.get("variant", "vec"),
-                      "model": model, "variables": variables, "config": gconf})
+    conf = {"variant": agent_cfg.get("variant", "vec"),
+            "model": model, "variables": variables, "config": gconf}
+    if "pipeline" in shared:
+        conf["pipeline"] = shared["pipeline"]
+    agent = MMFNAgent(conf)
+    shared["pipeline"] = agent.pipeline
+    return agent
 
 
 def main():
@@ -93,13 +111,19 @@ def main():
         run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint)
         return
 
-    agent = build_agent(cfg)
+    shared = {}
     runner = ClosedLoopRunner(statistics)
     t0 = time.time()
     while indexer.peek():
+        agent = build_agent(cfg, shared)
         config = indexer.next()
+        triggers = None
+        if cfg.get("scenarios"):
+            from mmfn_tpu.harness.scenarios import parse_scenario_file
+
+            triggers = parse_scenario_file(cfg["scenarios"], config.town)
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
-        record = runner.run_route(agent, config, FALLBACK_XODR)
+        record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers)
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
         print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")

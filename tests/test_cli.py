@@ -68,3 +68,29 @@ def test_phase1_cli(tmp_path):
     out_dir = tmp_path / "data" / "pro_train_fmmfn"
     assert out_dir.is_dir()
     assert len(list(out_dir.glob("*.pkl"))) == 4  # (10 - 4 - 2) // 1
+
+
+def test_phase0_collect_cli(tmp_path):
+    """End-to-end collect: expert drives the fake world and writes a dataset."""
+    cfg = {
+        "routes": os.path.join(ROOT, "tests", "fixtures", "route_straight.xml"),
+        "repetitions": 1, "resume": False,
+        "checkpoint": str(tmp_path / "results" / "collect.json"),
+        "agent": {"type": "expert",
+                  "data_save": str(tmp_path / "TownTest_short" / "route_00"),
+                  "image_ext": "npy", "seed": 0},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / "collect.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "driving score" in proc.stdout
+    frames = list((tmp_path / "TownTest_short" / "route_00" / "rgb_front").glob("*.npy"))
+    assert len(frames) >= 3
+    import json as _json
+    ck = _json.load(open(tmp_path / "results" / "collect.json"))
+    assert ck["_checkpoint"]["records"][0]["scores"]["score_route"] > 50
