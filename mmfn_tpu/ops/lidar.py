@@ -117,7 +117,9 @@ def _bev_hist_kernel(pts_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    pts = pts_ref[:]                               # (CHUNK, 4): x, y, z, valid
+    # bin math in f32 regardless of input dtype (bf16 compares trip Mosaic
+    # and lack the precision for 1/8 m bins anyway)
+    pts = pts_ref[:].astype(jnp.float32)           # (CHUNK, 4): x, y, z, valid
     x, y, z, valid = pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3]
     ix, iy, in_range = _bin_indices(x, y)
     ok = in_range & (valid > 0.0)
@@ -164,6 +166,7 @@ def _bev_hist_pallas(points4: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
 
 def _bev_hist_xla(points4: jnp.ndarray) -> jnp.ndarray:
     """Pure-XLA fallback (same one-hot-matmul formulation, unchunked)."""
+    points4 = points4.astype(jnp.float32)
     x, y, z, valid = points4[:, 0], points4[:, 1], points4[:, 2], points4[:, 3]
     ix, iy, in_range = _bin_indices(x, y)
     ok = in_range & (valid > 0.0)

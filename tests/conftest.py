@@ -7,12 +7,16 @@ path). Must set env vars before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+# Force CPU with 8 virtual devices. The environment may pre-import jax (via a
+# sitecustomize) with JAX_PLATFORMS pointing at a single-client remote TPU, so
+# the env var alone is captured too early — set the config directly before any
+# backend initialization.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: full-model CPU compiles dominate test time;
 # cache them across test modules and pytest invocations.

@@ -51,6 +51,12 @@ def test_mmfn_agent_closed_loop_smoke(tool, variant, tmp_path):
         "config": cfg, "tmp_dir": str(tmp_path), "rmap_tool": tool,
         "points_per_sweep": 2048,
     })
+    # Warm the jit cache outside the closed loop's wall-clock budget (the CPU
+    # compile of the full pipeline can exceed the runner's timeout).
+    agent.pipeline(
+        np.zeros((256, 256, 3), np.float32), np.zeros((8, 3), np.float32),
+        np.zeros((cfg.max_lanes, 10, 5), np.float32), 1,
+        np.zeros((81, 5), np.float32), None, np.zeros(2, np.float32), 0.0)
 
     config = RouteConfig(route_id="0", town="TownTest",
                          trajectory=[(0.0, 1.75, 0.0), (60.0, 1.75, 0.0)], index=0)
