@@ -254,6 +254,47 @@ def setup_sensors(agent, vehicle, world) -> List:
 # Evaluation driver
 # --------------------------------------------------------------------------- #
 
+def world_view_from_carla(world, ego_vehicle, nearby_dis: float = 30.0):
+    """Builds the experts' privileged WorldView from a live CARLA world —
+    the CarlaDataProvider-equivalent per-tick snapshot (carla_data_provider.py:
+    32-792 caches the same state; here we read it directly under synchronous
+    mode, where actor state is stable within a tick)."""
+    import numpy as np
+
+    from mmfn_tpu.harness.experts.world_view import Actor, EgoState, WorldView
+
+    tf = ego_vehicle.get_transform()
+    vel = ego_vehicle.get_velocity()
+    ego = EgoState(position=np.array([tf.location.x, tf.location.y]),
+                   velocity=np.array([vel.x, vel.y]),
+                   yaw=math.radians(tf.rotation.yaw))
+
+    vehicles, walkers = [], []
+    for actor in world.get_actors():
+        if actor.id == ego_vehicle.id:
+            continue
+        tid = actor.type_id
+        if not (tid.startswith("vehicle") or tid.startswith("walker.pedestrian")):
+            continue
+        loc = actor.get_location()
+        pos = np.array([loc.x, loc.y])
+        if np.linalg.norm(pos - ego.position) > nearby_dis:
+            continue
+        v = actor.get_velocity()
+        a = Actor(position=pos, velocity=np.array([v.x, v.y]),
+                  yaw=math.radians(actor.get_transform().rotation.yaw),
+                  actor_id=actor.id)
+        (walkers if tid.startswith("walker") else vehicles).append(a)
+
+    red_light = False
+    if ego_vehicle.is_at_traffic_light():
+        state = ego_vehicle.get_traffic_light_state()
+        red_light = state in (carla.TrafficLightState.Red,
+                              carla.TrafficLightState.Yellow)
+    return WorldView(ego=ego, vehicles=vehicles, walkers=walkers,
+                     red_light=red_light)
+
+
 class CollisionCriterion:
     """Collision-sensor-backed infractions (atomic_criteria.py CollisionTest)."""
 

@@ -33,7 +33,7 @@ Y_RANGE = (-24.0, 8.0)
 GRID = 256
 HEIGHT_SPLIT = -2.0  # z <= -2 -> "below" channel 0, else "above" channel 1
 
-_CHUNK = 1024  # points per Pallas grid step
+_CHUNK = 4096  # points per Pallas grid step
 
 
 # --------------------------------------------------------------------------- #
@@ -111,56 +111,63 @@ def _bin_indices(x, y):
 
 
 def _bev_hist_kernel(pts_ref, out_ref, acc_ref):
+    """Tuning notes (measured on v5e, batch 8 x 65536 points):
+    - points arrive TRANSPOSED (4, CHUNK): a (N, 4) block wastes 128-lane
+      tiles on the 4-wide trailing dim and measured 2x slower;
+    - validity is folded into ix (-1 never matches any column) and the height
+      slice into iy (+GRID for the "above" half), so each matmul operand is
+      one compare with no masks/concats;
+    - int8 one-hots with an int32 accumulator ride the MXU's double-rate
+      int8 path (counts per chunk < 2^31, exact).
+    Bin math stays f32 regardless of input dtype (bf16 lacks 1/8 m precision).
+    """
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # bin math in f32 regardless of input dtype (bf16 compares trip Mosaic
-    # and lack the precision for 1/8 m bins anyway)
-    pts = pts_ref[:].astype(jnp.float32)           # (CHUNK, 4): x, y, z, valid
-    x, y, z, valid = pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3]
+    pts = pts_ref[:].astype(jnp.float32)           # (4, CHUNK): x, y, z, valid
+    x, y, z, valid = pts[0], pts[1], pts[2], pts[3]
     ix, iy, in_range = _bin_indices(x, y)
     ok = in_range & (valid > 0.0)
-    below = z <= HEIGHT_SPLIT
+    ix = jnp.where(ok, ix, -1)
+    iy = iy + jnp.where(z <= HEIGHT_SPLIT, 0, GRID)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, GRID), 1)
-    a = ((cols == ix[:, None]) & ok[:, None]).astype(jnp.bfloat16)          # (C, 256)
-    ymatch = (cols == iy[:, None]) & ok[:, None]
-    b = jnp.concatenate(
-        [(ymatch & below[:, None]).astype(jnp.bfloat16),
-         (ymatch & ~below[:, None]).astype(jnp.bfloat16)],
-        axis=1,
-    )                                                                        # (C, 512)
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, GRID), 1)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 2 * GRID), 1)
+    a = (cols_a == ix[:, None]).astype(jnp.int8)                  # (C, 256)
+    b = (cols_b == iy[:, None]).astype(jnp.int8)                  # (C, 512)
     acc_ref[:] += jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
-        out_ref[:] = jnp.minimum(acc_ref[:], HIST_MAX_PER_PIXEL) / HIST_MAX_PER_PIXEL
+        out_ref[:] = jnp.minimum(acc_ref[:].astype(jnp.float32),
+                                 HIST_MAX_PER_PIXEL) / HIST_MAX_PER_PIXEL
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bev_hist_pallas(points4: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     n = points4.shape[0]
     num_chunks = n // _CHUNK
+    points4_t = points4.T  # (4, N): lane-dim friendly layout, see kernel notes
     out = pl.pallas_call(
         _bev_hist_kernel,
         grid=(num_chunks,),
-        in_specs=[pl.BlockSpec((_CHUNK, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((4, _CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((GRID, 2 * GRID), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((GRID, 2 * GRID), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((GRID, 2 * GRID), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((GRID, 2 * GRID), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * GRID * 2 * GRID,
             bytes_accessed=n * 16 + GRID * 2 * GRID * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(points4)
+    )(points4_t)
     return jnp.stack([out[:, :GRID], out[:, GRID:]], axis=-1)
 
 

@@ -123,12 +123,18 @@ class Engine:
 
     # ---- epoch phases -------------------------------------------------- #
 
-    def train(self, state: TrainState, batches: Iterable[Batch], rng) -> TrainState:
+    def train(self, state: TrainState, batches: Iterable[Batch], rng,
+              log_every: int = 0) -> TrainState:
+        """log_every > 0 emits per-iteration loss (reference wandb per-iter
+        logging, phase2_train_net.py:113-115) — fetching the loss synchronizes
+        with the device, so 0 (epoch-level only) is the fast default."""
         losses = []
         for batch in batches:
             state, loss = self.train_step(state, batch, rng)
             losses.append(loss)
             self.cur_iter += 1
+            if log_every and self.cur_iter % log_every == 0:
+                self.log_fn({"loss_iter": float(loss), "iter": self.cur_iter})
         epoch_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
         self.train_loss.append(epoch_loss)
         self.cur_epoch += 1

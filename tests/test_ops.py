@@ -72,7 +72,7 @@ def test_bev_histogram_xla_matches_oracle(rng):
 def test_bev_histogram_pallas_interpret_matches_oracle(rng):
     pts = rng.uniform(low=[-18, -26, -4], high=[18, 10, 2], size=(2000, 3)).astype(np.float32)
     want = lidar_to_histogram_features_np(pts)
-    padded = pad_points(pts, 2048)
+    padded = pad_points(pts, 4096)
     got = np.asarray(_bev_hist_pallas(jnp.asarray(padded), interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-6)
 
