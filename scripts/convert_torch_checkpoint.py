@@ -20,6 +20,8 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--variant", choices=("img", "vec", "rad"), default="vec")
     ap.add_argument("--max-lanes", type=int, default=64)
+    ap.add_argument("--n-layer", type=int, default=8,
+                    help="fusion-transformer depth of the checkpoint (reference: 8)")
     args = ap.parse_args()
 
     import jax
@@ -32,9 +34,11 @@ def main():
     from mmfn_tpu.train import create_train_state
     from mmfn_tpu.utils.weights import convert_mmfn, load_torch_state_dict
 
-    cfg = GlobalConfig(max_lanes=args.max_lanes)
+    cfg = GlobalConfig(max_lanes=args.max_lanes, n_layer=args.n_layer)
     model = build_model(cfg, args.variant)
-    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    # template init at low resolution: parameter shapes are resolution-agnostic
+    # and the 64px trace compiles an order of magnitude faster
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes, resolution=64)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
 
     sd = load_torch_state_dict(args.torch_checkpoint)

@@ -14,6 +14,16 @@ from mmfn_tpu.utils.cli import load_config
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _clean_env():
+    """Subprocess env: CPU jax, and no axon/TPU relay registration (the
+    sitecustomize dials a single-client relay and can block)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+
 def test_load_config_with_overrides(tmp_path):
     p = tmp_path / "c.yaml"
     p.write_text("a: 1\nnested:\n  b: [1, 2]\n  c: x\n")
@@ -62,8 +72,7 @@ def test_phase1_cli(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "run_steps", "phase1_preprocess_data.py"),
          "--config", str(cfg_path)],
-        capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        capture_output=True, text=True, env=_clean_env())
     assert proc.returncode == 0, proc.stderr
     out_dir = tmp_path / "data" / "pro_train_fmmfn"
     assert out_dir.is_dir()
@@ -86,7 +95,7 @@ def test_phase0_collect_cli(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
          "--config", str(cfg_path)],
-        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        capture_output=True, text=True, env=_clean_env())
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "driving score" in proc.stdout
     frames = list((tmp_path / "TownTest_short" / "route_00" / "rgb_front").glob("*.npy"))
