@@ -161,6 +161,10 @@ class Engine:
         }
 
     def save(self, state: TrainState) -> bool:
+        if jax.process_index() != 0:
+            # rank-0-only checkpointing, matching the reference's DDP gating
+            # (phase2_train_net.py:319-322)
+            return False
         save_best = bool(self.val_loss) and self.val_loss[-1] <= self.bestval
         if save_best:
             self.bestval = self.val_loss[-1]

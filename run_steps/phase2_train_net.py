@@ -41,7 +41,18 @@ def main():
     args = ap.parse_args()
     cfg = load_config(args.config, args.overrides)
 
-    gconf = GlobalConfig(lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64))
+    if cfg.get("multi_host"):
+        # Multi-host data parallelism: one process per host; coordinator and
+        # process ids come from the environment / config (the TPU-native
+        # replacement for torch.distributed.launch rendezvous, README.md:168).
+        jax.distributed.initialize(
+            coordinator_address=cfg.get("coordinator_address"),
+            num_processes=cfg.get("num_processes"),
+            process_id=cfg.get("process_id"))
+
+    model_overrides = dict(cfg.get("model", {}))
+    gconf = GlobalConfig(lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64),
+                         **model_overrides)
     root = cfg["data_folder"]
     name = os.path.basename(os.path.normpath(root))
     train_set = PreprocessedDataset(os.path.join(os.path.dirname(root), f"pro_train_f{name}"))

@@ -48,3 +48,30 @@ def test_transfuser_forward():
     out = model.apply(variables, batch, False)
     assert out.shape == (2, 4, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_baseline_agent_closed_loop_smoke():
+    """AIM baseline drives a few ticks in the fake world end-to-end."""
+    import jax as _jax
+
+    from mmfn_tpu.harness.agents.baseline import BaselineAgent
+    from mmfn_tpu.harness.replay import ClosedLoopRunner
+    from mmfn_tpu.harness.route import RouteConfig
+    from tests.test_harness import STRAIGHT_XODR
+
+    model = get_entry_point("aim")(CFG)
+    batch = synthetic_batch(2, max_lanes=8, resolution=256)
+    variables = _init(model, batch)
+    agent = BaselineAgent({"kind": "aim", "model": model, "variables": variables,
+                           "config": CFG})
+    # warm the jit outside the runner's wall clock
+    import numpy as _np
+    agent._forward(variables, jnp.zeros((256, 256, 3)), jnp.zeros((1024, 4)),
+                   jnp.zeros(2), jnp.float32(0.0), jnp.int32(4))
+
+    config = RouteConfig(route_id="0", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (60.0, 1.75, 0.0)], index=0)
+    record = ClosedLoopRunner(max_wall_seconds=120).run_route(
+        agent, config, STRAIGHT_XODR, max_ticks=5)
+    assert agent.step >= 4
+    assert np.isfinite(record.scores["score_composed"])

@@ -103,3 +103,36 @@ def test_phase0_collect_cli(tmp_path):
     import json as _json
     ck = _json.load(open(tmp_path / "results" / "collect.json"))
     assert ck["_checkpoint"]["records"][0]["scores"]["score_route"] > 50
+
+
+def test_phase2_train_cli(tmp_path):
+    """End-to-end training CLI: phase1 pickles -> 1 epoch -> checkpoint files."""
+    data_root = tmp_path / "data" / "mmfn"
+    _make_raw_town(str(data_root))
+    base_cfg = {"data_folder": str(data_root), "train_towns": ["Town01"],
+                "val_towns": ["Town01"], "logdir": str(tmp_path / "log"),
+                "image_ext": "npy"}
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(base_cfg))
+    env = _clean_env()
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(ROOT, "tests", ".jax_cache")
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase1_preprocess_data.py"),
+         "--config", str(cfg_path)], capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase2_train_net.py"),
+         "--config", str(cfg_path),
+         "batch_size=2", "epochs=1", "val_every=1", "save_every=1",
+         "model.n_layer=1", "max_lanes=8",
+         "train_agent.entry_point=mmfn_vec"],
+        capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr[-2500:]
+    assert (tmp_path / "log" / "best_model.msgpack").exists()
+    assert (tmp_path / "log" / "recent.log").exists()
+    assert (tmp_path / "log" / "metrics.jsonl").exists()
+    import json as _json
+    table = _json.load(open(tmp_path / "log" / "recent.log"))
+    assert table["epoch"] == 1 and len(table["train_loss"]) == 1

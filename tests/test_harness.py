@@ -223,3 +223,12 @@ def test_closed_loop_blocked_agent_scores_zero_progress():
 
 def test_route_timeout_budget():
     assert route_timeout_seconds(100.0) == pytest.approx(85.0)
+
+
+def test_npc_agent_completes_route():
+    from mmfn_tpu.harness.agents.trivial import NpcAgent
+
+    config = RouteConfig(route_id="npc", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)], index=0)
+    record = ClosedLoopRunner().run_route(NpcAgent(), config, STRAIGHT_XODR)
+    assert record.status == "Completed"
