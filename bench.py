@@ -98,6 +98,54 @@ def timed_loop(pipeline, variables, inputs, iters):
     return min(ts) / iters
 
 
+def timed_train(model, cfg, batch_size, iters=20):
+    """Train-step throughput: fori_loop carrying TrainState (natural sequential
+    dependence), timed like the inference loop."""
+    import optax
+
+    from mmfn_tpu.data.synthetic import synthetic_batch
+    from mmfn_tpu.train import create_train_state
+    from mmfn_tpu.train.engine import create_optimizer, waypoint_l1_loss
+
+    batch = synthetic_batch(batch_size=batch_size, max_lanes=cfg.max_lanes)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(cfg)
+    rng_key = jax.random.PRNGKey(1)
+
+    def step(state, batch):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rngs={"dropout": rng_key}, mutable=["batch_stats"])
+            return waypoint_l1_loss(out, batch.waypoints), mutated["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = __import__("optax").apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=stats,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    @jax.jit
+    def looped(state, batch):
+        def body(i, carry):
+            st, acc = carry
+            b = batch._replace(velocity=batch.velocity + i.astype(jnp.float32) * 1e-9)
+            st, loss = step(st, b)
+            return (st, acc + loss)
+
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+
+    out_state, acc = looped(state, batch)
+    _ = float(acc)  # compile + force
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, acc = looped(state, batch)
+        _ = float(acc)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters
+
+
 def main():
     rng = np.random.default_rng(0)
     cfg = GlobalConfig()
@@ -120,6 +168,13 @@ def main():
     batch_s = timed_loop(pipeline, variables, make_inputs(BATCH, rng), ITERS)
     fps = BATCH / batch_s
 
+    train_batch = 24  # reference training batch (train.yaml:18)
+    try:
+        train_step_s = timed_train(model, cfg, train_batch)
+        train_fps = round(train_batch / train_step_s, 2)
+    except Exception:
+        train_fps = None
+
     print(json.dumps({
         "metric": "end-to-end frames/sec/chip (sensor->waypoints, full MMFN-rad)",
         "value": round(fps, 2),
@@ -128,6 +183,8 @@ def main():
         "batch": BATCH,
         "batch1_latency_ms": round(latency_s * 1e3, 2),
         "batch1_fps": round(1.0 / latency_s, 2),
+        "train_fps": train_fps,
+        "train_batch": train_batch,
         "device": str(jax.devices()[0]),
     }))
 

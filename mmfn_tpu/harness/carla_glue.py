@@ -251,6 +251,78 @@ def setup_sensors(agent, vehicle, world) -> List:
 
 
 # --------------------------------------------------------------------------- #
+# World population / maintenance (RouteScenario + expert behaviors)
+# --------------------------------------------------------------------------- #
+
+# background vehicles per town (route_scenario.py:449-460)
+TOWN_TRAFFIC = {
+    "Town01": 120, "Town02": 100, "Town03": 120, "Town04": 200, "Town05": 120,
+    "Town06": 150, "Town07": 110, "Town08": 180, "Town09": 300, "Town10": 120,
+    "Town10HD": 120,
+}
+
+WEATHER_PRESETS = (
+    "ClearNoon", "ClearSunset", "CloudyNoon", "CloudySunset", "WetNoon",
+    "WetSunset", "MidRainyNoon", "MidRainSunset", "WetCloudyNoon",
+    "WetCloudySunset", "HardRainNoon", "HardRainSunset", "SoftRainNoon",
+    "SoftRainSunset",
+)
+
+
+def spawn_background_traffic(client, world, town: str, tm_port: int = 8000):
+    """Populate the town with autopilot NPCs (route_scenario.py:444-475)."""
+    import random
+
+    amount = TOWN_TRAFFIC.get(town, 120)
+    tm = client.get_trafficmanager(tm_port)
+    tm.set_synchronous_mode(True)
+    blueprints = world.get_blueprint_library().filter("vehicle.*")
+    spawn_points = world.get_map().get_spawn_points()
+    random.shuffle(spawn_points)
+    actors = []
+    for transform in spawn_points[:amount]:
+        bp = random.choice(blueprints)
+        if bp.has_attribute("color"):
+            bp.set_attribute("color", random.choice(
+                bp.get_attribute("color").recommended_values))
+        actor = world.try_spawn_actor(bp, transform)
+        if actor is not None:
+            actor.set_autopilot(True, tm.get_port())
+            actors.append(actor)
+    return actors
+
+
+def set_weather(world, preset: str) -> None:
+    """Apply a named weather preset (base_agent.py:291-295 randomization)."""
+    world.set_weather(getattr(carla.WeatherParameters, preset))
+
+
+def force_destroy_blockers(world, ego_vehicle, radius: float = 15.0) -> int:
+    """Unstick the expert: delete blocking NPCs ahead and force nearby lights
+    green (base_agent.py:273-289 / mmfn_ppilot.py:142-145)."""
+    import numpy as np
+
+    removed = 0
+    ego_loc = ego_vehicle.get_location()
+    tf = ego_vehicle.get_transform()
+    heading = np.array([math.cos(math.radians(tf.rotation.yaw)),
+                        math.sin(math.radians(tf.rotation.yaw))])
+    for actor in world.get_actors().filter("vehicle.*"):
+        if actor.id == ego_vehicle.id:
+            continue
+        loc = actor.get_location()
+        rel = np.array([loc.x - ego_loc.x, loc.y - ego_loc.y])
+        if np.linalg.norm(rel) < radius and rel.dot(heading) > 0:
+            actor.destroy()
+            removed += 1
+    for light in world.get_actors().filter("traffic.traffic_light*"):
+        if light.get_location().distance(ego_loc) < 30.0:
+            light.set_state(carla.TrafficLightState.Green)
+            light.set_green_time(10.0)
+    return removed
+
+
+# --------------------------------------------------------------------------- #
 # Evaluation driver
 # --------------------------------------------------------------------------- #
 

@@ -131,6 +131,63 @@ class RouteDeviationCriterion(Criterion):
                 f"Agent deviated from the route at ({pos[0]:.2f}, {pos[1]:.2f})"))
 
 
+class OutsideRouteLanesCriterion(Criterion):
+    """Percentage of driven distance spent outside any drivable lane
+    (atomic_criteria.py OutsideRouteLanesTest semantics: the composed score is
+    discounted by (1 - percentage/100)).
+
+    Lane membership is distance-to-centerline over the vectorized map's
+    polylines (half lane width + margin), so this works in any world that can
+    provide a RoughMap.
+    """
+
+    LANE_HALF_WIDTH = 1.75 + 0.6  # half width + bbox margin tolerance
+
+    def __init__(self, lane_polylines: Sequence[np.ndarray]):
+        super().__init__()
+        pts = []
+        for poly in lane_polylines:
+            poly = np.asarray(poly, dtype=np.float64)[:, :2]
+            if len(poly) < 2:
+                if len(poly):
+                    pts.append(poly)
+                continue
+            # subdivide to ~1 m so the distance test matches the lane ribbon
+            for a, b in zip(poly[:-1], poly[1:]):
+                n = max(1, int(np.linalg.norm(b - a)))
+                pts.append(a + (b - a) * np.linspace(0, 1, n, endpoint=False)[:, None])
+        self._points = np.concatenate(pts, axis=0) if pts else np.zeros((0, 2))
+        self._outside_m = 0.0
+        self._driven_m = 0.0
+        self._last: Optional[np.ndarray] = None
+
+    def update(self, position, speed, game_time) -> None:
+        pos = np.asarray(position, dtype=np.float64)
+        if self._last is not None:
+            step = float(np.linalg.norm(pos - self._last))
+            self._driven_m += step
+            if self._points.shape[0] and step > 0:
+                d = np.min(np.linalg.norm(self._points - pos, axis=1))
+                if d > self.LANE_HALF_WIDTH:
+                    self._outside_m += step
+        self._last = pos
+
+    @property
+    def percentage(self) -> float:
+        if self._driven_m <= 0:
+            return 0.0
+        return 100.0 * self._outside_m / self._driven_m
+
+    def terminate(self) -> None:
+        if self._outside_m > 0:
+            event = TrafficEvent(TrafficEventType.OUTSIDE_ROUTE_LANES_INFRACTION)
+            event.set_dict({"percentage": round(self.percentage, 2)})
+            event.set_message(
+                f"Agent went outside its route lanes for about "
+                f"{self._outside_m:.3f} meters ({self.percentage:.2f}% of the route)")
+            self.events.append(event)
+
+
 def route_timeout_seconds(route_length_m: float) -> float:
     """0.8 s per route meter + 5 s (route_scenario.py:51-52,272)."""
     return 0.8 * route_length_m + 5.0

@@ -110,9 +110,12 @@ class ClosedLoopRunner:
 
     def run_route(self, agent, config: RouteConfig, opendrive_str: str,
                   max_ticks: Optional[int] = None,
-                  triggers: Optional[list] = None) -> RouteRecord:
+                  triggers: Optional[list] = None,
+                  rough_map=None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
-        activated along the route and collisions are scored."""
+        activated along the route and collisions are scored.
+        rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
+        outside-route-lanes percentage penalty."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -128,6 +131,11 @@ class ClosedLoopRunner:
             AgentBlockedCriterion(),
             RouteDeviationCriterion(route_xy),
         ]
+        if rough_map is not None:
+            from mmfn_tpu.harness.criteria import OutsideRouteLanesCriterion
+
+            criteria.append(OutsideRouteLanesCriterion(
+                [lane.nodes for lane in rough_map.lanes]))
         timeout = route_timeout_seconds(length)
         max_ticks = max_ticks or int(timeout / DT)
 

@@ -232,3 +232,36 @@ def test_npc_agent_completes_route():
                          trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)], index=0)
     record = ClosedLoopRunner().run_route(NpcAgent(), config, STRAIGHT_XODR)
     assert record.status == "Completed"
+
+
+def test_outside_lanes_penalty(tmp_path):
+    """An agent driving off-lane accrues the outside-lanes percentage penalty."""
+    import subprocess
+    from mmfn_tpu.mapping import RoughMap
+    from mmfn_tpu.mapping.rough_map import default_tool_path
+
+    tool = default_tool_path()
+    if not os.path.exists(tool):
+        subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
+                       check=True, capture_output=True)
+    d = tmp_path / "map"
+    d.mkdir()
+    (d / "opstr.txt").write_text(STRAIGHT_XODR)
+    subprocess.run([tool, str(d)], check=True, capture_output=True)
+    rmap = RoughMap().read(str(d / "a.rmap"))
+
+    # route parallel to the lane but 12 m off it -> always outside
+    config = RouteConfig(route_id="off", town="TownTest",
+                         trajectory=[(0.0, 14.0, 0.0), (120.0, 14.0, 0.0)], index=0)
+    record = ClosedLoopRunner().run_route(ScriptedAgent(), config, STRAIGHT_XODR,
+                                          rough_map=rmap)
+    assert record.status == "Completed"
+    assert len(record.infractions["outside_route_lanes"]) == 1
+    assert record.scores["score_penalty"] < 0.1  # ~100% outside
+
+    # on-lane route -> no penalty (fresh manager => index 0)
+    config2 = RouteConfig(route_id="on", town="TownTest",
+                          trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)], index=0)
+    record2 = ClosedLoopRunner().run_route(ScriptedAgent(), config2, STRAIGHT_XODR,
+                                           rough_map=rmap)
+    assert record2.scores["score_penalty"] > 0.95
