@@ -171,15 +171,29 @@ class PreprocessedDataset:
             return pickle.load(f)
 
 
+def _pickle_one(args) -> None:
+    dataset, index, path = args
+    with open(path, "wb") as f:
+        pickle.dump(dataset[index], f)
+
+
 def preprocess_to_pickles(dataset: CarlaDataset, out_dir: str,
-                          limit: Optional[int] = None) -> int:
+                          limit: Optional[int] = None,
+                          workers: int = 0) -> int:
     """phase1: decode every raw sample once and pickle it (the reference's
-    preprocess_dataset_for, phase1_preprocess_data.py:31-48)."""
+    preprocess_dataset_for, phase1_preprocess_data.py:31-48). ``workers`` > 1
+    fans the CPU-heavy decode out over a process pool."""
     os.makedirs(out_dir, exist_ok=True)
     n = len(dataset) if limit is None else min(limit, len(dataset))
-    for i in range(n):
-        with open(os.path.join(out_dir, f"{i}.pkl"), "wb") as f:
-            pickle.dump(dataset[i], f)
+    jobs = [(dataset, i, os.path.join(out_dir, f"{i}.pkl")) for i in range(n)]
+    if workers and workers > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(workers) as pool:
+            pool.map(_pickle_one, jobs, chunksize=8)
+    else:
+        for job in jobs:
+            _pickle_one(job)
     return n
 
 

@@ -49,7 +49,7 @@ def main():
         if bad:
             print(f"{bc.FAIL}{len(bad)} corrupt samples in {split}: {bad[:10]}...{bc.ENDC}")
         out = os.path.join(os.path.dirname(root), f"pro_{split}_f{name}")
-        n = preprocess_to_pickles(ds, out)
+        n = preprocess_to_pickles(ds, out, workers=int(cfg.get("workers", 0)))
         print(f"{bc.OKGREEN}{split}: wrote {n} samples to {out}{bc.ENDC}")
 
 

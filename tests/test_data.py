@@ -94,3 +94,10 @@ def test_data_loader_sharding(route_dir):
     shard0 = list(data_loader(ds, 1, 8, shard_index=0, shard_count=2, num_threads=1))
     shard1 = list(data_loader(ds, 1, 8, shard_index=1, shard_count=2, num_threads=1))
     assert len(shard0) + len(shard1) == len(ds)
+
+
+def test_preprocess_workers(route_dir, tmp_path):
+    from mmfn_tpu.data.dataset import preprocess_to_pickles
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    n = preprocess_to_pickles(ds, str(tmp_path / "pro_mp"), workers=2)
+    assert len(list((tmp_path / "pro_mp").glob("*.pkl"))) == n == len(ds)
