@@ -75,3 +75,15 @@ def test_registry_entry_points():
     model = fn(CFG)
     assert model.variant == "vec"
     assert get_entry_point("mmfn_rad")(CFG).variant == "rad"
+
+
+def test_attention_introspection():
+    from mmfn_tpu.utils.introspection import forward_with_intermediates, attention_rollout
+
+    batch = synthetic_batch(batch_size=1, max_lanes=8)
+    model, variables, _ = _init_and_run("vec", batch)
+    out, inter = forward_with_intermediates(model, variables, batch)
+    assert out.shape == (1, 4, 2)
+    rollout = attention_rollout(inter, "transformer4")
+    assert rollout.size > 0
+    assert rollout.shape[1] == 512  # stage-4 embedding width
