@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""End-to-end learning demo, no CARLA required.
+
+1. The rule-based expert drives routes in the kinematic fake world (with the
+   deterministic birdview camera) and records a dataset at 2 Hz.
+2. phase-1 preprocessing pickles the samples.
+3. An MMFN-vec policy trains on them (data-parallel over local devices).
+4. The trained policy drives a held-out route closed-loop and is scored
+   against a random-init policy.
+
+This exercises every layer of the framework end to end: native map
+vectorization, expert + writer, dataset, engine, jitted inference, PID,
+criteria, scoring.
+
+Usage:
+    python examples/train_fake_world.py [--epochs 30] [--n-layer 2] [--out /tmp/demo]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.collate import data_loader
+from mmfn_tpu.data.dataset import CarlaDataset, PreprocessedDataset, preprocess_to_pickles
+from mmfn_tpu.harness.agents import MMFNAgent
+from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
+from mmfn_tpu.harness.replay import ClosedLoopRunner
+from mmfn_tpu.harness.route import RouteConfig
+from mmfn_tpu.mapping import RoughMap, build_rmap
+from mmfn_tpu.mapping.birdview import BirdViewProducer
+from mmfn_tpu.models import build_model
+from mmfn_tpu.train import Engine, create_train_state
+
+XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE><header revMajor="1" revMinor="4" name="line"/>
+<road name="R0" length="600.0" id="0" junction="-1">
+<planView><geometry s="0.0" x="-50.0" y="0.0" hdg="0.0" length="600.0"><line/></geometry></planView>
+<lanes><laneSection s="0.0"><center><lane id="0" type="none" level="false"/></center>
+<right><lane id="-1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></right>
+<left><lane id="1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></left>
+</laneSection></lanes></road></OpenDRIVE>
+"""
+
+# forward routes on the right lane (y=+1.75), reverse on the left (y=-1.75)
+COLLECT_ROUTES = [
+    [(0.0, 1.75, 0.0), (180.0, 1.75, 0.0)],
+    [(60.0, 1.75, 0.0), (260.0, 1.75, 0.0)],
+    [(150.0, 1.75, 0.0), (330.0, 1.75, 0.0)],
+    [(300.0, -1.75, 0.0), (100.0, -1.75, 0.0)],
+    [(200.0, -1.75, 0.0), (20.0, -1.75, 0.0)],
+]
+EVAL_ROUTE = [(30.0, 1.75, 0.0), (210.0, 1.75, 0.0)]
+
+
+def make_map(out_dir):
+    map_dir = os.path.join(out_dir, "map", "opendrive")
+    os.makedirs(map_dir, exist_ok=True)
+    with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
+        f.write(XODR)
+    assert not build_rmap([map_dir]), "native vectorizer failed"
+    rmap_path = os.path.join(map_dir, "a.rmap")
+    return rmap_path, BirdViewProducer.from_opendrive(rmap_path)
+
+
+def collect(out_dir, birdview, cfg):
+    town_dir = os.path.join(out_dir, "TownFake_short")
+    runner = ClosedLoopRunner(max_wall_seconds=120)
+    for i, traj in enumerate(COLLECT_ROUTES):
+        agent = ExpertCollectionAgent({
+            "config": cfg, "save_path": os.path.join(town_dir, f"route_{i:02d}"),
+            "image_ext": "npy", "seed": i,
+            "tmp_dir": os.path.join(out_dir, f"expert_map_{i}")})
+        record = runner.run_route(
+            agent, RouteConfig(str(i), "TownFake", traj, 0), XODR,
+            world_kwargs={"camera_birdview": birdview})
+        print(f"collect route {i}: {record.status}, "
+              f"score {record.scores['score_composed']:.0f}")
+    return town_dir
+
+
+def evaluate(variables, model, cfg, birdview, label):
+    agent = MMFNAgent({"variant": "vec", "model": model, "variables": variables,
+                       "config": cfg, "points_per_sweep": 2048})
+    runner = ClosedLoopRunner(max_wall_seconds=240)
+    record = runner.run_route(
+        agent, RouteConfig("eval", "TownFake", EVAL_ROUTE, 0), XODR,
+        world_kwargs={"camera_birdview": birdview})
+    print(f"{label}: {record.status}, driving score "
+          f"{record.scores['score_composed']:.1f} "
+          f"(completion {record.scores['score_route']:.1f}%)")
+    return record.scores["score_composed"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/mmfn_tpu_demo")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-layer", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    cfg = GlobalConfig(n_layer=args.n_layer, max_lanes=16, lr=3e-4)
+    t0 = time.time()
+    rmap_path, birdview = make_map(args.out)
+
+    town_dir = collect(args.out, birdview, cfg)
+    ds = CarlaDataset([town_dir], cfg, image_ext="npy")
+    print(f"collected {len(ds)} samples in {time.time() - t0:.0f}s")
+    pro = os.path.join(args.out, "pro_train")
+    preprocess_to_pickles(ds, pro, workers=4)
+    train_set = PreprocessedDataset(pro)
+
+    model = build_model(cfg, "vec")
+    sample = next(data_loader(train_set, args.batch, cfg.max_lanes, num_threads=1))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
+    untrained = {"params": jax.tree.map(np.asarray, dict(state.params)),
+                 "batch_stats": jax.tree.map(np.asarray, dict(state.batch_stats))}
+
+    engine = Engine(model, cfg, os.path.join(args.out, "log"))
+    rng = jax.random.PRNGKey(1)
+    t1 = time.time()
+    for epoch in range(args.epochs):
+        state = engine.train(
+            state, data_loader(train_set, args.batch, cfg.max_lanes,
+                               shuffle=True, seed=epoch, num_threads=2), rng)
+        if epoch % 5 == 0 or epoch == args.epochs - 1:
+            print(f"epoch {epoch}: loss {engine.train_loss[-1]:.3f}")
+    print(f"trained {args.epochs} epochs in {time.time() - t1:.0f}s "
+          f"on {jax.default_backend()}")
+    engine.validate(state, data_loader(train_set, args.batch, cfg.max_lanes,
+                                       num_threads=1))
+    engine.save(state)
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    score_untrained = evaluate(untrained, model, cfg, birdview, "random-init policy")
+    score_trained = evaluate(trained, model, cfg, birdview, "trained policy")
+    print(f"driving score: untrained {score_untrained:.1f} -> "
+          f"trained {score_trained:.1f}")
+
+
+if __name__ == "__main__":
+    main()

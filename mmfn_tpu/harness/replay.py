@@ -36,12 +36,18 @@ DT = 0.05  # 20 Hz fixed step, matching leaderboard_evaluator.py:203-205
 
 @dataclass
 class KinematicWorld:
-    """Bicycle-model ego with synthetic sensor frames."""
+    """Bicycle-model ego with synthetic sensor frames.
+
+    The camera is random noise by default; pass ``camera_birdview`` (a
+    BirdViewProducer) to render a deterministic ego-centric map raster instead,
+    giving learned agents a real visual signal in the fake world.
+    """
 
     opendrive_str: str
     start: Tuple[float, float, float]        # x, y, yaw
     seed: int = 0
     lidar_points: int = 1200
+    camera_birdview: object = None
     x: float = field(init=False)
     y: float = field(init=False)
     yaw: float = field(init=False)
@@ -75,8 +81,17 @@ class KinematicWorld:
         radar = np.abs(rng.normal(size=(20, 4))).astype(np.float32) + 0.1
         gps = np.array([self.x / GPS_SCALE[0], self.y / GPS_SCALE[1], 0.0])
         imu = np.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0, self.yaw])
+        if self.camera_birdview is not None:
+            from mmfn_tpu.mapping.birdview import BirdViewProducer
+
+            raster = BirdViewProducer.as_rgb(
+                self.camera_birdview.produce([self.x, self.y, self.yaw]))
+            rgb = np.zeros((300, 400, 4), np.uint8)
+            rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
+        else:
+            rgb = rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)
         data = {
-            "rgb": (f, rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)),
+            "rgb": (f, rgb),
             "lidar": (f, lidar),
             "radar_front": (f, radar),
             "radar_rear": (f, radar.copy()),
@@ -111,7 +126,8 @@ class ClosedLoopRunner:
     def run_route(self, agent, config: RouteConfig, opendrive_str: str,
                   max_ticks: Optional[int] = None,
                   triggers: Optional[list] = None,
-                  rough_map=None) -> RouteRecord:
+                  rough_map=None,
+                  world_kwargs: Optional[dict] = None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
         rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
@@ -122,7 +138,8 @@ class ClosedLoopRunner:
 
         x0, y0 = trajectory[0][:2]
         x1, y1 = trajectory[1][:2] if len(trajectory) > 1 else (x0 + 1, y0)
-        world = KinematicWorld(opendrive_str, (x0, y0, math.atan2(y1 - y0, x1 - x0)))
+        world = KinematicWorld(opendrive_str, (x0, y0, math.atan2(y1 - y0, x1 - x0)),
+                               **(world_kwargs or {}))
 
         route_xy = [p for p, _ in world_plan]
         length = route_length(trajectory)

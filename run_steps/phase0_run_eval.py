@@ -50,7 +50,8 @@ def build_agent(cfg, shared=None):
     ``shared`` caches the jitted pipeline across routes to avoid recompiles."""
     shared = shared if shared is not None else {}
     agent_cfg = cfg["agent"]
-    if agent_cfg.get("type", "e2e") == "expert":
+    agent_type = agent_cfg.get("type", "e2e")
+    if agent_type == "expert":
         # data-collection mode (the reference's phase0 collect with MMFNPilot)
         from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
 
@@ -60,6 +61,29 @@ def build_agent(cfg, shared=None):
             "image_ext": agent_cfg.get("image_ext", "png"),
             "seed": agent_cfg.get("seed", 0),
         })
+    if agent_type == "npc":
+        from mmfn_tpu.harness.agents.trivial import NpcAgent
+
+        return NpcAgent()
+    if agent_type in ("aim", "cilrs", "transfuser"):
+        from mmfn_tpu.harness.agents.baseline import BaselineAgent
+        from mmfn_tpu.models import get_entry_point as get_model
+
+        gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
+        model = get_model(agent_type)(gconf)
+        batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
+        if agent_type == "cilrs":
+            import jax.numpy as jnp
+
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                batch, jnp.ones((1,), jnp.int32), False)
+        else:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                batch, False)
+        return BaselineAgent({"kind": agent_type, "model": model,
+                              "variables": variables, "config": gconf})
     gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
     model = build_model(gconf, agent_cfg.get("variant", "vec"))
     batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
