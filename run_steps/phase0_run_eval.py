@@ -135,6 +135,22 @@ def main():
         run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint)
         return
 
+    # vectorize the fake world's map once so the outside-lanes penalty applies
+    rough_map = None
+    try:
+        import tempfile
+
+        from mmfn_tpu.mapping import RoughMap, build_rmap
+
+        map_dir = os.path.join(tempfile.mkdtemp(prefix="mmfn_eval_map_"), "opendrive")
+        os.makedirs(map_dir, exist_ok=True)
+        with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
+            f.write(FALLBACK_XODR)
+        if not build_rmap([map_dir]):
+            rough_map = RoughMap().read(os.path.join(map_dir, "a.rmap"))
+    except Exception:
+        rough_map = None
+
     shared = {}
     runner = ClosedLoopRunner(statistics)
     t0 = time.time()
@@ -147,7 +163,8 @@ def main():
 
             triggers = parse_scenario_file(cfg["scenarios"], config.town)
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
-        record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers)
+        record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers,
+                                  rough_map=rough_map)
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
         print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")
