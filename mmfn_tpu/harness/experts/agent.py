@@ -102,30 +102,38 @@ class ExpertCollectionAgent(AutonomousAgent):
             with open(os.path.join(od_dir, "opstr.txt"), "w") as f:
                 f.write(opendrive_str)
 
-    def _world_view(self, priv: dict) -> WorldView:
-        x, y, yaw, v = priv["ego"]
-        ego = EgoState(position=np.array([x, y]),
-                       velocity=np.array([v * math.cos(yaw), v * math.sin(yaw)]),
-                       yaw=yaw)
-        vehicles, walkers = [], []
-        front: Optional[Actor] = None
-        front_dist = float("inf")
-        for a in priv.get("actors", []):
-            actor = Actor(position=np.asarray(a.position, dtype=np.float64),
-                          velocity=np.asarray(a.velocity, dtype=np.float64),
-                          yaw=a.yaw, extent=a.extent, actor_id=a.actor_id)
-            dist = float(np.linalg.norm(actor.position - ego.position))
-            if dist > self.NEARBY_DIS:
-                continue
-            if a.kind == "walker":
-                walkers.append(actor)
-            else:
-                vehicles.append(actor)
-                if (abs(angle_to_target(ego.position, yaw, actor.position))
-                        < self.FRONT_CONE_DEG and dist < front_dist):
-                    front, front_dist = actor, dist
-        return WorldView(ego=ego, vehicles=vehicles, walkers=walkers,
-                         car_in_front=front)
+    def _detect_front_car(self, view: WorldView) -> Optional[Actor]:
+        front, front_dist = None, float("inf")
+        for actor in view.vehicles:
+            dist = float(np.linalg.norm(actor.position - view.ego.position))
+            if (dist < front_dist and dist <= self.NEARBY_DIS
+                    and abs(angle_to_target(view.ego.position, view.ego.yaw,
+                                            actor.position)) < self.FRONT_CONE_DEG):
+                front, front_dist = actor, dist
+        return front
+
+    def _world_view(self, priv) -> WorldView:
+        if isinstance(priv, WorldView):
+            # CARLA path: carla_glue.world_view_from_carla delivers a prebuilt
+            # snapshot on the privileged channel
+            view = priv
+        else:
+            x, y, yaw, v = priv["ego"]
+            ego = EgoState(position=np.array([x, y]),
+                           velocity=np.array([v * math.cos(yaw), v * math.sin(yaw)]),
+                           yaw=yaw)
+            vehicles, walkers = [], []
+            for a in priv.get("actors", []):
+                actor = Actor(position=np.asarray(a.position, dtype=np.float64),
+                              velocity=np.asarray(a.velocity, dtype=np.float64),
+                              yaw=a.yaw, extent=a.extent, actor_id=a.actor_id)
+                if np.linalg.norm(actor.position - ego.position) > self.NEARBY_DIS:
+                    continue
+                (walkers if a.kind == "walker" else vehicles).append(actor)
+            view = WorldView(ego=ego, vehicles=vehicles, walkers=walkers)
+        if view.car_in_front is None:
+            view.car_in_front = self._detect_front_car(view)
+        return view
 
     # ---- main step ------------------------------------------------------------ #
 
