@@ -102,8 +102,6 @@ def timed_loop(pipeline, variables, inputs, iters):
 def timed_train(model, cfg, batch_size, iters=20):
     """Train-step throughput: fori_loop carrying TrainState (natural sequential
     dependence), timed like the inference loop."""
-    import optax
-
     from mmfn_tpu.data.synthetic import synthetic_batch
     from mmfn_tpu.train import create_train_state
     from mmfn_tpu.train.engine import create_optimizer, waypoint_l1_loss

@@ -17,7 +17,6 @@ Usage:
 """
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -34,7 +33,7 @@ from mmfn_tpu.harness.agents import MMFNAgent
 from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
-from mmfn_tpu.mapping import RoughMap, build_rmap
+from mmfn_tpu.mapping import build_rmap
 from mmfn_tpu.mapping.birdview import BirdViewProducer
 from mmfn_tpu.models import build_model
 from mmfn_tpu.train import Engine, create_train_state

@@ -22,7 +22,6 @@ world, and this file only translates between CARLA types and numpy.
 from __future__ import annotations
 
 import math
-import os
 import subprocess
 import threading
 import time

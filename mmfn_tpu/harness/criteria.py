@@ -10,7 +10,6 @@ the CARLA glue; the scoring layer consumes whatever events exist.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

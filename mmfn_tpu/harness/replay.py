@@ -26,7 +26,7 @@ from mmfn_tpu.control.planner import GPS_SCALE
 from mmfn_tpu.harness.criteria import (
     AgentBlockedCriterion, Criterion, RouteCompletionCriterion,
     RouteDeviationCriterion, route_timeout_seconds)
-from mmfn_tpu.harness.events import RoadOption, TrafficEvent, TrafficEventType
+from mmfn_tpu.harness.events import TrafficEvent, TrafficEventType
 from mmfn_tpu.harness.route import RouteConfig, interpolate_trajectory, route_length
 from mmfn_tpu.harness.scenarios import ScenarioManagerLite, check_collision
 from mmfn_tpu.harness.statistics import RouteRecord, StatisticsManager
