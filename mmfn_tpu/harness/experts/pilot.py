@@ -73,6 +73,14 @@ class ExpertPilot:
             ttc_b = ttc_disc(ego.position, v.position, ego.velocity, v.velocity)
             if min(ttc_a, ttc_b) < self.VEHICLE_TTC:
                 return f"vehicle:{v.actor_id}"
+            # proximity gate: hold distance behind a slow/stopped vehicle in
+            # the forward cone (TTC alone lets the ego creep into the bumper
+            # as both speed and TTC decay together; reference STOP_THRESHOLD)
+            gap = float(np.linalg.norm(v.position - ego.position))
+            if (gap < self.STOP_THRESHOLD
+                    and np.linalg.norm(v.velocity) < self.CLOSE_OBS_SPEED
+                    and abs(angle_to_target(ego.position, ego.yaw, v.position)) < 45.0):
+                return f"vehicle:{v.actor_id}"
         return None
 
     def _walker_hazard(self, world: WorldView) -> Optional[str]:
@@ -123,13 +131,18 @@ class ExpertPilot:
         target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
         target_speed = 0.0 if brake else target_speed
 
-        # car-following: hold the leader's speed instead of hard-braking
+        # car-following: hold the leader's speed instead of hard-braking —
+        # but never while the predicted closest approach is unsafe (a decel-
+        # erating leader keeps shrinking the gap even at matched speed)
         leader = world.car_in_front
-        if (leader is not None and hazard is None
+        if (leader is not None
                 and not ego.in_junction and not leader.in_junction):
             gap = float(np.linalg.norm(leader.position - pos))
             leader_speed = float(np.linalg.norm(leader.velocity))
-            if (gap > max(self.STOP_THRESHOLD, 1.5 * speed)
+            safe_approach = predicted_min_distance(
+                pos, leader.position, ego.velocity, leader.velocity, 3.0) > 6.0
+            if (hazard is None and safe_approach
+                    and gap > max(self.STOP_THRESHOLD, 1.5 * speed)
                     and leader_speed > self.CLOSE_OBS_SPEED * 0.5):
                 target_speed = leader_speed
                 brake = False

@@ -147,11 +147,86 @@ class CutInVehicle(ScenarioBehavior):
                                      extent=2.2, actor_id=self.actor_id)]
 
 
+class LeadVehicleSlows(ScenarioBehavior):
+    """A lead vehicle ahead brakes to a stop (srunner FollowLeadingVehicle)."""
+
+    START_SPEED = 6.0
+    DECEL = 2.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        pos = np.array([t.x, t.y]) + ahead * 25.0
+        self.actors = [ScenarioActor("vehicle", pos, ahead * self.START_SPEED,
+                                     yaw=t.yaw, extent=2.2, actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        for a in self.actors:
+            speed = float(np.linalg.norm(a.velocity))
+            if speed > 0:
+                new_speed = max(0.0, speed - self.DECEL * dt)
+                a.velocity = a.velocity * (new_speed / speed if speed else 0.0)
+        super().step(dt)
+
+
+class OppositeDirection(ScenarioBehavior):
+    """An oncoming vehicle in the opposing lane (srunner
+    ManeuverOppositeDirection)."""
+
+    SPEED = 8.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        pos = np.array([t.x, t.y]) + ahead * 60.0 - lateral * 3.5
+        self.actors = [ScenarioActor("vehicle", pos, -ahead * self.SPEED,
+                                     yaw=t.yaw + math.pi, extent=2.2,
+                                     actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        super().step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 120:
+            self.actors = []
+            self.done = True
+
+
+class JunctionCrossing(ScenarioBehavior):
+    """A vehicle crosses the ego path perpendicularly at the trigger
+    (srunner SignalizedJunction*/NoSignalJunction scenarios)."""
+
+    SPEED = 7.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        pos = np.array([t.x, t.y]) + ahead * 18.0 + lateral * 25.0
+        self.actors = [ScenarioActor("vehicle", pos, -lateral * self.SPEED,
+                                     yaw=t.yaw - math.pi / 2, extent=2.2,
+                                     actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        super().step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 60:
+            self.actors = []
+            self.done = True
+
+
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
 SCENARIO_CLASSES = {
-    "Scenario3": CrossingWalker,     # dynamic object crossing
-    "Scenario2": StoppedVehicle,     # control loss / blocked lane
-    "Scenario4": CutInVehicle,
+    "Scenario1": StoppedVehicle,      # control loss -> stalled vehicle analog
+    "Scenario2": LeadVehicleSlows,    # follow leading vehicle
+    "Scenario3": CrossingWalker,      # dynamic object crossing
+    "Scenario4": CutInVehicle,        # vehicle turning / cut-in
+    "Scenario5": LeadVehicleSlows,    # other leading vehicle
+    "Scenario6": OppositeDirection,   # maneuver opposite direction
+    "Scenario7": JunctionCrossing,    # signalized junction crossings
+    "Scenario8": JunctionCrossing,
+    "Scenario9": JunctionCrossing,
+    "Scenario10": JunctionCrossing,   # no-signal junction
 }
 
 

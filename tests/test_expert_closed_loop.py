@@ -89,3 +89,26 @@ def test_parse_reference_scenario_json():
     triggers = parse_scenario_file(path, "Town01")
     assert len(triggers) > 10
     assert all(isinstance(t.x, float) for t in triggers[:5])
+
+
+def test_expert_handles_lead_vehicle_scenario(tool, tmp_path):
+    """Scenario2: a braking lead vehicle — expert must not rear-end it."""
+    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="Scenario2")]
+    agent, record = _run(tool, tmp_path, triggers=triggers, length=150.0)
+    assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
+def test_scenario_catalog_behaviors():
+    """Every catalog entry activates and produces/retires actors sanely."""
+    from mmfn_tpu.harness.scenarios import SCENARIO_CLASSES
+
+    for stype, cls in SCENARIO_CLASSES.items():
+        mgr = ScenarioManagerLite([ScenarioTrigger(x=10.0, y=0.0, yaw=0.0,
+                                                   scenario_type=stype)])
+        actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
+        assert len(actors) >= 1, stype
+        # run a while; behaviors must keep actors finite and eventually retire
+        for _ in range(2000):
+            actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
+        for a in actors:
+            assert np.isfinite(a.position).all()

@@ -132,3 +132,122 @@ def test_build_rmap_driver(tool, tmp_path):
     (d / "opstr.txt").write_text(_XODR_TEMPLATE.format(roads=_STRAIGHT))
     assert build_rmap([str(d)], tool_path=tool) is False  # False = no error
     assert (d / "a.rmap").exists()
+
+
+_SPIRAL = """
+  <road name="R2" length="60.0" id="2" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="60.0">
+        <spiral curvStart="0.0" curvEnd="0.04"/>
+      </geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+"""
+
+_PARAMPOLY = """
+  <road name="R3" length="50.0" id="3" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="50.0">
+        <paramPoly3 aU="0" bU="50" cU="0" dU="0" aV="0" bV="0" cV="8" dV="0"
+                    pRange="normalized"/>
+      </geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+"""
+
+_OFFSET_SECTIONS = """
+  <road name="R4" length="100.0" id="4" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="100.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneOffset s="0.0" a="1.0" b="0.0" c="0.0" d="0.0"/>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="4.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+      <laneSection s="50.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="2.0" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+"""
+
+
+def _spiral_lane_node(curv_end, length, s, t):
+    """Numerically integrate the clothoid and offset laterally by t; returns
+    the expected node in the CARLA (y-flipped) frame."""
+    n = 20000
+    ds = s / n
+    x = y = 0.0
+    dk = curv_end / length
+    for i in range(n):
+        si = (i + 0.5) * ds
+        h = dk * si * si / 2.0
+        x += ds * math.cos(h)
+        y += ds * math.sin(h)
+    h = dk * s * s / 2.0
+    x += t * -math.sin(h)
+    y += t * math.cos(h)
+    return x, -y
+
+
+def test_spiral_geometry(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _SPIRAL)
+    nodes = np.concatenate([l.nodes for l in rmap.lanes])
+    # sample at s=30 (7th node of the first chunk), lane center t=-1.5
+    ex, ey = _spiral_lane_node(0.04, 60.0, 30.0, -1.5)
+    d = np.linalg.norm(nodes[:, :2] - np.array([ex, ey]), axis=1)
+    assert d.min() < 0.2, (ex, ey, nodes[np.argmin(d)])
+    # reference line bends +y in xodr -> the far end bends -y in CARLA
+    assert nodes[np.argmax(nodes[:, 0]), 1] < 0
+
+
+def test_parampoly3_geometry(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _PARAMPOLY)
+    nodes = np.concatenate([l.nodes for l in rmap.lanes])
+    # v(p)=8p^2 bends +y in xodr -> lane y should go negative in CARLA frame
+    # beyond the initial straight part
+    assert nodes[:, 1].min() < -4.0
+    assert nodes[:, 0].max() > 30.0
+
+
+def test_lane_offset_and_sections(tool, tmp_path):
+    rmap, _ = _run_tool(tool, tmp_path, _OFFSET_SECTIONS)
+    nodes = np.concatenate([l.nodes for l in rmap.lanes])
+    first = nodes[np.isclose(nodes[:, 0], 0.0, atol=0.1)]
+    # laneOffset +1 shifts the center to t=+1; lane center t = 1 - 2 = -1
+    # -> CARLA y = +1
+    np.testing.assert_allclose(first[:, 1], 1.0, atol=0.05)
+    # second section (s>=50): width 2 -> t = 1 - 1 = 0 -> CARLA y = 0
+    late = nodes[nodes[:, 0] >= 55.0]
+    np.testing.assert_allclose(late[:, 1], 0.0, atol=0.05)
