@@ -3,9 +3,11 @@
 Event-emitting equivalents of the py_trees criteria RouteScenario assembles
 (leaderboard route_scenario.py:526-561 / srunner atomic_criteria.py):
 RouteCompletion, AgentBlocked (<0.1 m/s for 180 s), RouteDeviation (30 m),
-and the route timeout (0.8 s/m + 5 s, route_scenario.py:51-52,260-272).
-Collision/red-light/stop criteria require simulator ground truth and live in
-the CARLA glue; the scoring layer consumes whatever events exist.
+RunningRedLight / RunningStop against the fake world's signal model
+(harness/traffic.py), and the route timeout (0.8 s/m + 5 s,
+route_scenario.py:51-52,260-272). Collision criteria require actor ground
+truth and live with the scenario engine / CARLA glue; the scoring layer
+consumes whatever events exist.
 """
 
 from __future__ import annotations
@@ -185,6 +187,77 @@ class OutsideRouteLanesCriterion(Criterion):
                 f"Agent went outside its route lanes for about "
                 f"{self._outside_m:.3f} meters ({self.percentage:.2f}% of the route)")
             self.events.append(event)
+
+
+class RunningRedLightCriterion(Criterion):
+    """Crossing a signal's stop line while its state is red
+    (atomic_criteria.py RunningRedLightTest:1690 semantics — the reference
+    checks the ego's track against the light's trigger-volume stop line)."""
+
+    def __init__(self, lights):
+        super().__init__()
+        self.lights = list(lights)
+        self._last = None
+        self._done = set()
+
+    def update(self, position, speed, game_time) -> None:
+        pos = np.asarray(position, dtype=np.float64)
+        if self._last is not None:
+            for li in self.lights:
+                if li.light_id in self._done:
+                    continue
+                if li.state(game_time) == "red" and li.crossed(self._last, pos):
+                    self._done.add(li.light_id)
+                    event = TrafficEvent(TrafficEventType.TRAFFIC_LIGHT_INFRACTION)
+                    event.set_dict({"id": li.light_id,
+                                    "x": float(li.position[0]),
+                                    "y": float(li.position[1])})
+                    event.set_message(
+                        f"Agent ran a red light {li.light_id} at "
+                        f"({li.position[0]:.2f}, {li.position[1]:.2f})")
+                    self.events.append(event)
+        self._last = pos
+
+
+class RunningStopCriterion(Criterion):
+    """Leaving a stop sign's zone without the speed ever dropping below the
+    stop threshold (atomic_criteria.py RunningStopTest:1877 semantics)."""
+
+    EXIT_HYSTERESIS = 1.0  # meters beyond the zone before judging
+
+    def __init__(self, stop_signs):
+        super().__init__()
+        self.signs = list(stop_signs)
+        self._entered = set()
+        self._served = set()
+        self._done = set()
+
+    def _infraction(self, sign) -> None:
+        self._done.add(sign.stop_id)
+        event = TrafficEvent(TrafficEventType.STOP_INFRACTION)
+        event.set_dict({"id": sign.stop_id,
+                        "x": float(sign.position[0]),
+                        "y": float(sign.position[1])})
+        event.set_message(
+            f"Agent ran a stop sign {sign.stop_id} at "
+            f"({sign.position[0]:.2f}, {sign.position[1]:.2f})")
+        self.events.append(event)
+
+    def update(self, position, speed, game_time) -> None:
+        pos = np.asarray(position, dtype=np.float64)
+        for sign in self.signs:
+            if sign.stop_id in self._done:
+                continue
+            d = float(np.linalg.norm(pos - sign.position))
+            if d < sign.ZONE_RADIUS:
+                self._entered.add(sign.stop_id)
+                if speed < sign.SPEED_THRESHOLD:
+                    self._served.add(sign.stop_id)
+            elif (sign.stop_id in self._entered
+                  and d > sign.ZONE_RADIUS + self.EXIT_HYSTERESIS):
+                if sign.stop_id not in self._served:
+                    self._infraction(sign)
+                self._done.add(sign.stop_id)
 
 
 def route_timeout_seconds(route_length_m: float) -> float:

@@ -28,7 +28,7 @@ from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.control.planner import RoutePlanner
 from mmfn_tpu.data.writer import DatasetWriter
 from mmfn_tpu.harness.agents.base import AutonomousAgent, Track, VehicleControl
-from mmfn_tpu.harness.experts.pilot import ExpertPilot, angle_to_target
+from mmfn_tpu.harness.experts.pilot import ExpertPilot, SimplePilot, angle_to_target
 from mmfn_tpu.harness.experts.world_view import Actor, EgoState, WorldView
 from mmfn_tpu.mapping import RoughMap, build_rmap
 from mmfn_tpu.mapping.birdview import BirdViewProducer
@@ -54,7 +54,10 @@ class ExpertCollectionAgent(AutonomousAgent):
         conf = conf or {}
         self.track = Track.MAP
         self.config: GlobalConfig = conf.get("config") or GlobalConfig()
-        self.pilot = ExpertPilot()
+        # 'mmfn' -> ExpertPilot (MMFNPilot rules); 'auto' -> SimplePilot
+        # (the reference's LBC-style AutoPilot, auto_pilot.py:56)
+        self.pilot = (SimplePilot() if conf.get("pilot") == "auto"
+                      else ExpertPilot())
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
                                   self.config.right, self.config.lane_node_num,
                                   self.config.feature_num)
@@ -130,7 +133,9 @@ class ExpertCollectionAgent(AutonomousAgent):
                 if np.linalg.norm(actor.position - ego.position) > self.NEARBY_DIS:
                     continue
                 (walkers if a.kind == "walker" else vehicles).append(actor)
-            view = WorldView(ego=ego, vehicles=vehicles, walkers=walkers)
+            view = WorldView(ego=ego, vehicles=vehicles, walkers=walkers,
+                             red_light=bool(priv.get("red_light", False)),
+                             stop_sign=bool(priv.get("stop_sign", False)))
         if view.car_in_front is None:
             view.car_in_front = self._detect_front_car(view)
         return view
@@ -146,6 +151,8 @@ class ExpertCollectionAgent(AutonomousAgent):
         self.step += 1
 
         priv = input_data["privileged"][1]
+        self._light_states = (priv.get("light_states", [])
+                              if isinstance(priv, dict) else [])
         world = self._world_view(priv)
         pos = world.ego.position
 
@@ -179,7 +186,8 @@ class ExpertCollectionAgent(AutonomousAgent):
         actors = [(float(a.position[0]), float(a.position[1]), a.yaw, 4.5, 2.0)
                   for a in world.vehicles]
         raster = BirdViewProducer.as_rgb(
-            self.birdview.produce([x, y, yaw], actors=actors))
+            self.birdview.produce([x, y, yaw], actors=actors,
+                                  lights=self._light_states))
         self.writer.save_frame(
             rgb_front=np.ascontiguousarray(rgb),
             lidar=input_data["lidar"][1],

@@ -156,3 +156,43 @@ class ExpertPilot:
 
         return ExpertDecision(steer=steer, throttle=throttle, brake=brake,
                               target_speed=target_speed, hazard=hazard)
+
+
+class SimplePilot(ExpertPilot):
+    """LBC-style AutoPilot (reference team_code/expert_agent/auto_pilot.py:56):
+    the same angle-PID steering stack but a lower fixed cruise speed and plain
+    distance/cone hazard tests instead of TTC prediction — the cheaper, more
+    conservative expert used for quick data collection.
+    """
+
+    CRUISE_SPEED = 4.0
+    TURN_SPEED = 3.0
+    BRAKE_DISTANCE = 9.0         # vehicles inside this forward-cone distance
+    WALKER_DISTANCE = 9.0
+    FRONT_CONE_DEG = 60.0
+
+    def _vehicle_hazard(self, world: WorldView) -> Optional[str]:
+        ego = world.ego
+        for v in world.vehicles:
+            gap = float(np.linalg.norm(v.position - ego.position))
+            if (gap < self.BRAKE_DISTANCE
+                    and abs(angle_to_target(ego.position, ego.yaw,
+                                            v.position)) < self.FRONT_CONE_DEG):
+                return f"vehicle:{v.actor_id}"
+        return None
+
+    def _walker_hazard(self, world: WorldView) -> Optional[str]:
+        ego = world.ego
+        for w in world.walkers:
+            if float(np.linalg.norm(w.position - ego.position)) < self.WALKER_DISTANCE:
+                return f"walker:{w.actor_id}"
+        return None
+
+    def get_control(self, world: WorldView, near_target: np.ndarray,
+                    far_target: np.ndarray) -> ExpertDecision:
+        # no car-following override: the simple pilot just keeps distance
+        leader = world.car_in_front
+        world.car_in_front = None
+        decision = super().get_control(world, near_target, far_target)
+        world.car_in_front = leader
+        return decision

@@ -48,6 +48,7 @@ class KinematicWorld:
     seed: int = 0
     lidar_points: int = 1200
     camera_birdview: object = None
+    signals: object = None                   # harness.traffic.SignalSet
     x: float = field(init=False)
     y: float = field(init=False)
     yaw: float = field(init=False)
@@ -84,8 +85,11 @@ class KinematicWorld:
         if self.camera_birdview is not None:
             from mmfn_tpu.mapping.birdview import BirdViewProducer
 
+            lights = (self.signals.light_states(f * DT)
+                      if self.signals is not None else None)
             raster = BirdViewProducer.as_rgb(
-                self.camera_birdview.produce([self.x, self.y, self.yaw]))
+                self.camera_birdview.produce([self.x, self.y, self.yaw],
+                                             lights=lights))
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
         else:
@@ -127,11 +131,15 @@ class ClosedLoopRunner:
                   max_ticks: Optional[int] = None,
                   triggers: Optional[list] = None,
                   rough_map=None,
+                  signals=None,
                   world_kwargs: Optional[dict] = None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
         rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
-        outside-route-lanes percentage penalty."""
+        outside-route-lanes percentage penalty.
+        signals: optional harness.traffic.SignalSet -> traffic lights / stop
+        signs gate the expert (privileged channel) and are scored by the
+        RunningRedLight / RunningStop criteria."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -153,6 +161,12 @@ class ClosedLoopRunner:
 
             criteria.append(OutsideRouteLanesCriterion(
                 [lane.nodes for lane in rough_map.lanes]))
+        if signals is not None:
+            from mmfn_tpu.harness.criteria import (
+                RunningRedLightCriterion, RunningStopCriterion)
+
+            criteria.append(RunningRedLightCriterion(signals.lights))
+            criteria.append(RunningStopCriterion(signals.stop_signs))
         timeout = route_timeout_seconds(length)
         max_ticks = max_ticks or int(timeout / DT)
 
@@ -171,9 +185,17 @@ class ClosedLoopRunner:
             # privileged channel: ground-truth ego + scenario actors, consumed
             # by rule-based experts (the leaderboard gives experts direct world
             # access; the fake world provides it explicitly)
+            red_light = stop_sign = False
+            if signals is not None:
+                red_light, stop_sign = signals.gating(
+                    np.array([world.x, world.y]), world.yaw, game_time)
             frame["privileged"] = (world.frame, {
                 "ego": (world.x, world.y, world.yaw, world.v),
                 "actors": scenario_actors,
+                "red_light": red_light,
+                "stop_sign": stop_sign,
+                "light_states": (signals.light_states(game_time)
+                                 if signals is not None else []),
             })
             for tag, (f, payload) in frame.items():
                 if tag not in agent.sensor_interface._sensors:
@@ -187,6 +209,9 @@ class ClosedLoopRunner:
             except Exception as e:  # agent crash -> scored failure
                 failure = f"Agent crashed: {e}"
                 break
+            noise = scenario_mgr.steer_noise()
+            if noise:
+                control.steer = float(np.clip(control.steer + noise, -1.0, 1.0))
             world.tick(control)
             game_time += DT
             position = (world.x, world.y)

@@ -94,6 +94,10 @@ class ScenarioBehavior:
         for a in self.actors:
             a.step(dt)
 
+    def steer_noise(self) -> float:
+        """Additive ego steering perturbation (only ControlLoss uses this)."""
+        return 0.0
+
 
 class CrossingWalker(ScenarioBehavior):
     """A pedestrian crosses the road ahead of the trigger (object-crash analog,
@@ -119,8 +123,42 @@ class CrossingWalker(ScenarioBehavior):
             self.done = True
 
 
+class ControlLoss(ScenarioBehavior):
+    """Srunner Scenario1 (control_loss.py): the EGO's steering is perturbed by
+    short random-amplitude pulses over a few seconds, simulating loss of
+    control (e.g. ice); the agent must recover and stay in its lane. The pulse
+    schedule is seeded from the trigger position so runs are deterministic."""
+
+    N_PULSES = 3
+    PULSE_SECONDS = 0.6
+    GAP_SECONDS = 1.2
+    MAX_OFFSET = 0.12
+
+    def on_activate(self) -> None:
+        rng = np.random.default_rng(
+            abs(hash((round(self.trigger.x, 1), round(self.trigger.y, 1)))) % (2 ** 32))
+        self._offsets = rng.uniform(0.06, self.MAX_OFFSET, self.N_PULSES) \
+            * rng.choice([-1.0, 1.0], self.N_PULSES)
+        self._t = 0.0
+
+    def step(self, dt: float) -> None:
+        self._t += dt
+        if self._t > self.N_PULSES * (self.PULSE_SECONDS + self.GAP_SECONDS):
+            self.done = True
+
+    def steer_noise(self) -> float:
+        if self.done or not self.active:
+            return 0.0
+        period = self.PULSE_SECONDS + self.GAP_SECONDS
+        i = int(self._t // period)
+        if i >= self.N_PULSES or (self._t % period) > self.PULSE_SECONDS:
+            return 0.0
+        return float(self._offsets[i])
+
+
 class StoppedVehicle(ScenarioBehavior):
-    """A stalled vehicle blocks the lane past the trigger (control-loss analog)."""
+    """A stalled vehicle blocks the lane past the trigger (srunner
+    object_crash_vehicle StationaryObjectCrossing analog)."""
 
     SPAWN_AHEAD = 20.0
 
@@ -217,7 +255,7 @@ class JunctionCrossing(ScenarioBehavior):
 
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
 SCENARIO_CLASSES = {
-    "Scenario1": StoppedVehicle,      # control loss -> stalled vehicle analog
+    "Scenario1": ControlLoss,         # ego steering perturbation (control_loss.py)
     "Scenario2": LeadVehicleSlows,    # follow leading vehicle
     "Scenario3": CrossingWalker,      # dynamic object crossing
     "Scenario4": CutInVehicle,        # vehicle turning / cut-in
@@ -245,6 +283,11 @@ class ScenarioManagerLite:
                 b.step(dt)
                 actors.extend(b.actors)
         return actors
+
+    def steer_noise(self) -> float:
+        """Aggregate ego steering perturbation from active behaviors."""
+        return float(sum(b.steer_noise() for b in self.behaviors
+                         if b.active and not b.done))
 
 
 def check_collision(ego_xy: np.ndarray, ego_extent: float,

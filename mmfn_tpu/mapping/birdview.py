@@ -28,19 +28,28 @@ from mmfn_tpu.mapping.rough_map import RoughMap
 
 LANE_WIDTH_M = 3.5
 
-# mask indices (subset of the reference's 9 bitmasks, __init__.py:41-50)
+# mask indices (the reference's bitmasks, __init__.py:41-50; PEDESTRIANS is
+# folded into VEHICLES — fake-world walkers draw as actor boxes)
 ROAD = 0
 CENTERLINES = 1
 VEHICLES = 2
 EGO = 3
-N_MASKS = 4
+RED_LIGHTS = 4
+YELLOW_LIGHTS = 5
+GREEN_LIGHTS = 6
+N_MASKS = 7
 
 _PALETTE = {
     ROAD: (85, 85, 85),
     CENTERLINES: (255, 255, 255),
     VEHICLES: (0, 180, 255),
     EGO: (60, 250, 60),
+    RED_LIGHTS: (255, 60, 60),
+    YELLOW_LIGHTS: (255, 220, 60),
+    GREEN_LIGHTS: (80, 255, 120),
 }
+_LIGHT_MASK = {"red": RED_LIGHTS, "yellow": YELLOW_LIGHTS, "green": GREEN_LIGHTS}
+LIGHT_RADIUS_M = 1.2
 
 _static_cache: Dict[str, "BirdViewProducer"] = {}
 
@@ -88,9 +97,12 @@ class BirdViewProducer:
     # ---- rasterization ---------------------------------------------------------- #
 
     def produce(self, pose2d: Sequence[float],
-                actors: Optional[List[Tuple[float, float, float, float, float]]] = None
+                actors: Optional[List[Tuple[float, float, float, float, float]]] = None,
+                lights: Optional[List[Tuple[float, float, str]]] = None
                 ) -> np.ndarray:
-        """pose2d [x, y, theta]; actors: [(x, y, yaw, length, width), ...].
+        """pose2d [x, y, theta]; actors: [(x, y, yaw, length, width), ...];
+        lights: [(x, y, state)] with state in red|yellow|green (stop-line
+        markers, the reference's 3-state light masks).
 
         Returns (target_size, target_size, N_MASKS) uint8 masks, ego centered
         and heading up.
@@ -125,8 +137,17 @@ class BirdViewProducer:
         ego = np.zeros_like(vehicles)
         draw_box(ego, x, y, theta, 4.9, 2.1)
 
+        light_masks = [np.zeros_like(vehicles) for _ in range(3)]
+        r_px = max(2, int(LIGHT_RADIUS_M * self.ppm))
+        for (lx, ly, state) in lights or []:
+            px = (np.array([lx, ly]) - np.array([x, y])) * self.ppm + half
+            idx = _LIGHT_MASK.get(state, RED_LIGHTS) - RED_LIGHTS
+            cv2.circle(light_masks[idx], tuple(np.round(px).astype(int)), r_px,
+                       255, -1)
+
         masks = np.stack(
-            [crop(self._road), crop(self._center), vehicles, ego], axis=-1)
+            [crop(self._road), crop(self._center), vehicles, ego, *light_masks],
+            axis=-1)
 
         # rotate so the ego heading points up, then center-crop
         angle_deg = math.degrees(theta) + 90.0
@@ -140,6 +161,6 @@ class BirdViewProducer:
     @staticmethod
     def as_rgb(masks: np.ndarray) -> np.ndarray:
         rgb = np.zeros(masks.shape[:2] + (3,), np.uint8)
-        for idx in (ROAD, CENTERLINES, VEHICLES, EGO):  # later layers on top
+        for idx in range(masks.shape[-1]):  # later layers draw on top
             rgb[masks[..., idx] > 0] = _PALETTE[idx]
         return rgb

@@ -21,8 +21,11 @@
 //       intersection:    1 if the road belongs to a junction
 //       turn_dir:        0 straight, 1 left, 2 right (heading change over the
 //                        polyline in the CARLA frame, +-0.15 rad threshold)
-//       traffic_control: 1 if the road carries a traffic-light (type 1000001)
-//                        or stop (type 206) signal
+//       traffic_control: 1 for nodes within +-15 m (along s) of a
+//                        traffic-light (type 1000001) or stop (type 206)
+//                        signal on the road — signal-local, not road-wide,
+//                        so downstream consumers (SignalSet derivation, the
+//                        model's lane features) see where the stop line is
 //
 // Geometry support: line, arc, spiral (midpoint-integrated clothoid), poly3,
 // paramPoly3; laneOffset and per-lane cubic width records; multiple lane
@@ -258,7 +261,7 @@ struct Road {
   std::string id;
   double length = 0;
   bool junction = false;
-  bool traffic_control = false;
+  std::vector<double> signal_s;  // s-positions of control signals
   std::vector<Geometry> geoms;
   std::vector<Poly3> lane_offsets;
   std::vector<LaneSection> sections;
@@ -305,7 +308,7 @@ static std::vector<Road> parse_opendrive(const XmlNode* root) {
       for (const XmlNode* sig : signals->all("signal")) {
         std::string t = sig->attrs_str("type");
         if (t == "1000001" || t == "206" || t == "1000011")
-          road.traffic_control = true;
+          road.signal_s.push_back(sig->attr("s"));
       }
     }
 
@@ -376,6 +379,7 @@ static const double kSampleStep = 5.0;   // meters between nodes
 static const int kMaxNodes = 10;         // per .rmap lane polyline
 static const double kBoxMargin = 2.0;    // bbox inflation, meters
 static const double kTurnThresh = 0.15;  // radians over one polyline
+static const double kSignalWindow = 15.0; // node-to-signal s distance, meters
 
 static double wrap_pi(double a) {
   while (a > M_PI) a -= 2 * M_PI;
@@ -384,7 +388,8 @@ static double wrap_pi(double a) {
 }
 
 static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(carla), hdg(xodr)
-                        bool junction, bool control, std::vector<OutLane>* out) {
+                        bool junction, const std::vector<char>& control,
+                        std::vector<OutLane>* out) {
   for (size_t start = 0; start < pts.size(); start += kMaxNodes) {
     size_t end = std::min(start + kMaxNodes, pts.size());
     if (end - start < 2) {
@@ -400,7 +405,8 @@ static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(
     else if (dh < -kTurnThresh) turn = 1;  // left
     for (size_t i = start; i < end; i++) {
       double x = pts[i][0], y = pts[i][1];
-      lane.nodes.push_back({x, y, junction ? 1.0 : 0.0, turn, control ? 1.0 : 0.0});
+      lane.nodes.push_back({x, y, junction ? 1.0 : 0.0, turn,
+                            control[i] ? 1.0 : 0.0});
       lane.minx = std::min(lane.minx, x); lane.maxx = std::max(lane.maxx, x);
       lane.miny = std::min(lane.miny, y); lane.maxy = std::max(lane.maxy, y);
     }
@@ -423,9 +429,14 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
         for (size_t li = 0; li < side.size(); li++) {
           if (side[li].type != "driving") continue;
           std::vector<std::array<double, 3>> pts;
+          std::vector<char> ctrl;
           for (int k = 0; k < n_samples; k++) {
             double ds = sec_len * k / (n_samples - 1);
             double s = sec.s + ds;
+            bool near_sig = false;
+            for (double sig_s : road.signal_s)
+              if (std::abs(s - sig_s) <= kSignalWindow) near_sig = true;
+            ctrl.push_back(near_sig ? 1 : 0);
             double rx, ry, rh;
             road.eval_ref(s, &rx, &ry, &rh);
             double t = road.lane_offset_at(s);
@@ -436,7 +447,7 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
             double y = ry + t * std::cos(rh);
             pts.push_back({x, -y, rh});  // CARLA y-flip
           }
-          emit_chunks(pts, road.junction, road.traffic_control, &out);
+          emit_chunks(pts, road.junction, ctrl, &out);
         }
       };
       sample_side(sec.left, +1);

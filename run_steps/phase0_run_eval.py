@@ -60,6 +60,7 @@ def build_agent(cfg, shared=None):
             "save_path": agent_cfg.get("data_save"),
             "image_ext": agent_cfg.get("image_ext", "png"),
             "seed": agent_cfg.get("seed", 0),
+            "pilot": agent_cfg.get("pilot", "mmfn"),
         })
     if agent_type == "npc":
         from mmfn_tpu.harness.agents.trivial import NpcAgent
@@ -162,9 +163,16 @@ def main():
             from mmfn_tpu.harness.scenarios import parse_scenario_file
 
             triggers = parse_scenario_file(cfg["scenarios"], config.town)
+        signals = None
+        if rough_map is not None and cfg.get("signals", True):
+            from mmfn_tpu.harness.replay import plan_from_trajectory
+            from mmfn_tpu.harness.traffic import signals_from_rough_map
+
+            _, world_plan = plan_from_trajectory(config.trajectory)
+            signals = signals_from_rough_map(rough_map, [p for p, _ in world_plan])
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
         record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers,
-                                  rough_map=rough_map)
+                                  rough_map=rough_map, signals=signals)
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
         print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")

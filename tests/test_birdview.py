@@ -24,7 +24,8 @@ def rmap(tmp_path):
 def test_masks_shape_and_ego(rmap):
     bev = BirdViewProducer(rmap, target_size=256, pixels_per_meter=8)
     masks = bev.produce([20.0, 0.0, 0.0])
-    assert masks.shape == (256, 256, 4)
+    from mmfn_tpu.mapping.birdview import N_MASKS
+    assert masks.shape == (256, 256, N_MASKS)
     # ego drawn at the center
     assert masks[128, 128, EGO] > 0
     # the lane under the ego is road
@@ -63,3 +64,19 @@ def test_static_cache(tmp_path, rmap):
     a = BirdViewProducer.from_opendrive(path)
     b = BirdViewProducer.from_opendrive(path)
     assert a is b
+
+
+def test_light_masks_render_states(rmap):
+    from mmfn_tpu.mapping.birdview import GREEN_LIGHTS, RED_LIGHTS, YELLOW_LIGHTS
+
+    bev = BirdViewProducer(rmap, target_size=256, pixels_per_meter=8)
+    lights = [(25.0, 0.0, "red"), (30.0, 0.0, "green"), (35.0, 0.0, "yellow")]
+    masks = bev.produce([20.0, 0.0, 0.0], lights=lights)
+    assert masks[..., RED_LIGHTS].sum() > 0
+    assert masks[..., GREEN_LIGHTS].sum() > 0
+    assert masks[..., YELLOW_LIGHTS].sum() > 0
+    # heading-up frame: ego faces +x in the world -> lights ahead are above
+    ys = np.nonzero(masks[..., RED_LIGHTS])[0]
+    assert ys.mean() < 128
+    rgb = BirdViewProducer.as_rgb(masks)
+    assert (rgb == np.array([255, 60, 60])).all(axis=-1).any()

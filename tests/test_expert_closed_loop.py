@@ -106,9 +106,27 @@ def test_scenario_catalog_behaviors():
         mgr = ScenarioManagerLite([ScenarioTrigger(x=10.0, y=0.0, yaw=0.0,
                                                    scenario_type=stype)])
         actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
-        assert len(actors) >= 1, stype
+        # every behavior acts: spawns actors or perturbs the ego's steering
+        assert len(actors) >= 1 or mgr.steer_noise() != 0.0, stype
         # run a while; behaviors must keep actors finite and eventually retire
         for _ in range(2000):
             actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
         for a in actors:
             assert np.isfinite(a.position).all()
+
+
+def test_simple_pilot_completes_and_avoids(tool, tmp_path):
+    """The AutoPilot-style SimplePilot drives the route and brakes for the
+    stalled-vehicle scenario using plain distance tests."""
+    config = RouteConfig(route_id="0", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)], index=0)
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "map"),
+                                   "config": GlobalConfig(), "pilot": "auto"})
+    from mmfn_tpu.harness.experts.pilot import SimplePilot
+
+    assert isinstance(agent.pilot, SimplePilot)
+    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="Scenario4")]
+    record = ClosedLoopRunner(max_wall_seconds=90).run_route(
+        agent, config, STRAIGHT_XODR, triggers=triggers)
+    assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()

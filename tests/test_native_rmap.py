@@ -111,7 +111,11 @@ def test_arc_junction_signal(tool, tmp_path):
     radii = np.linalg.norm(nodes[:, :2] - center, axis=1)
     np.testing.assert_allclose(radii, 48.0, atol=0.05)
     assert np.all(nodes[:, 2] == 1)   # junction
-    assert np.all(nodes[:, 4] == 1)   # traffic control
+    # traffic control is signal-local: the light sits at s=10, so nodes within
+    # the +-15 m window are controlled and the far end of the arc is not
+    assert np.all(nodes[:3, 4] == 1)
+    all_nodes = np.concatenate([l.nodes for l in rmap.lanes])
+    assert np.any(all_nodes[:, 4] == 0)
     # xodr CCW arc becomes a right turn after the CARLA y-flip
     assert np.all(nodes[:, 3] == 2)
 
