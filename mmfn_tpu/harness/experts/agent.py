@@ -58,6 +58,12 @@ class ExpertCollectionAgent(AutonomousAgent):
         # (the reference's LBC-style AutoPilot, auto_pilot.py:56)
         self.pilot = (SimplePilot() if conf.get("pilot") == "auto"
                       else ExpertPilot())
+        # MMFNPPilot analog (mmfn_ppilot.py:142-145): a stop counter requests
+        # fault removal (delete blockers / force lights green) from the world
+        self.force_unblock = bool(conf.get("force_unblock", False))
+        self.unblock_ticks = int(conf.get("unblock_ticks", 600))  # 30 s @ 20 Hz
+        self._stop_counter = 0
+        self._unblock_requested = False
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
                                   self.config.right, self.config.lane_node_num,
                                   self.config.feature_num)
@@ -160,6 +166,12 @@ class ExpertCollectionAgent(AutonomousAgent):
         far_node, far_cmd = self._command_planner.run_step(pos)
 
         decision = self.pilot.get_control(world, near_node, far_node)
+        if self.force_unblock:
+            self._stop_counter = (self._stop_counter + 1
+                                  if world.ego.speed < 0.1 else 0)
+            if self._stop_counter > self.unblock_ticks:
+                self._unblock_requested = True
+                self._stop_counter = 0
         steer = float(np.clip(decision.steer + 1e-2 * self._rng.standard_normal(),
                               -1.0, 1.0))
         control = VehicleControl(steer=steer, throttle=decision.throttle,
@@ -200,3 +212,9 @@ class ExpertCollectionAgent(AutonomousAgent):
             command=int(getattr(far_cmd, "value", far_cmd)),
             steer=control.steer, throttle=control.throttle, brake=control.brake,
             weather=self.step // 200 % len(WEATHERS))
+
+    def consume_unblock_request(self) -> bool:
+        """True once per triggered stop-counter threshold; the closed-loop
+        runner answers by deleting blockers / forcing lights green."""
+        req, self._unblock_requested = self._unblock_requested, False
+        return req

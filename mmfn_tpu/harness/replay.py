@@ -212,6 +212,14 @@ class ClosedLoopRunner:
             noise = scenario_mgr.steer_noise()
             if noise:
                 control.steer = float(np.clip(control.steer + noise, -1.0, 1.0))
+            # fault removal (force_destory_actor analog): a stop-counter-
+            # triggered request deletes blockers and forces lights green
+            if getattr(agent, "consume_unblock_request", None) is not None \
+                    and agent.consume_unblock_request():
+                scenario_mgr.remove_actors_near(
+                    np.array([world.x, world.y]), radius=15.0)
+                if signals is not None:
+                    signals.force_green(game_time, duration=10.0)
             world.tick(control)
             game_time += DT
             position = (world.x, world.y)

@@ -289,6 +289,23 @@ class ScenarioManagerLite:
         return float(sum(b.steer_noise() for b in self.behaviors
                          if b.active and not b.done))
 
+    def remove_actors_near(self, xy: np.ndarray, radius: float = 15.0) -> int:
+        """Fault removal: delete scenario actors blocking the ego (the
+        reference's force_destory_actor deletes nearby NPCs,
+        base_agent.py:273-289). Returns the number of actors removed."""
+        removed = 0
+        xy = np.asarray(xy, dtype=np.float64)
+        for b in self.behaviors:
+            if not b.active or b.done:
+                continue
+            keep = [a for a in b.actors
+                    if np.linalg.norm(a.position - xy) > radius]
+            removed += len(b.actors) - len(keep)
+            b.actors = keep
+            if not keep:
+                b.done = True
+        return removed
+
 
 def check_collision(ego_xy: np.ndarray, ego_extent: float,
                     actors: Sequence[ScenarioActor]) -> Optional[ScenarioActor]:

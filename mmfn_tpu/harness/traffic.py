@@ -58,12 +58,16 @@ class TrafficLight:
 
     def __post_init__(self):
         self.position = np.asarray(self.position, dtype=np.float64)
+        self.forced_green_until = -1.0  # fault removal: force_destory_actor's
+        #                                 "set light green" analog (base_agent.py:273-289)
 
     @property
     def cycle(self) -> float:
         return self.green + self.yellow + self.red
 
     def state(self, game_time: float) -> str:
+        if game_time < self.forced_green_until:
+            return "green"
         if self.cycle <= 0.0:       # degenerate config: fail safe (always red)
             return "red"
         t = (game_time + self.offset) % self.cycle
@@ -153,6 +157,13 @@ class SignalSet:
         """[(x, y, state)] for rasterization."""
         return [(float(li.position[0]), float(li.position[1]),
                  li.state(game_time)) for li in self.lights]
+
+    def force_green(self, game_time: float, duration: float = 10.0) -> None:
+        """Fault removal: force every light green for ``duration`` seconds
+        (the reference unsticks jammed egos this way, base_agent.py:273-289)."""
+        for li in self.lights:
+            li.forced_green_until = max(li.forced_green_until,
+                                        game_time + duration)
 
 
 def signals_from_rough_map(rough_map, route_xy: Sequence[Tuple[float, float]],

@@ -47,6 +47,9 @@ class SelfAttention(nn.Module):
         v = self.value(x).reshape(b, t, self.n_head, hs).transpose(0, 2, 1, 3)
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=self.precision) / jnp.sqrt(hs).astype(x.dtype)
         att = nn.softmax(att, axis=-1)
+        # recorded only when "intermediates" is mutable/captured (viz tooling,
+        # utils/introspection.py) — free in normal jitted forwards
+        self.sow("intermediates", "attention_weights", att)
         att = self.attn_drop(att, deterministic=not train)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v, precision=self.precision)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, c)

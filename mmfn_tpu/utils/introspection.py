@@ -26,8 +26,14 @@ def forward_with_intermediates(model, variables, batch,
         def filter_fn(mdl, method_name):
             return type(mdl).__name__ in ("SelfAttention", "FusionTransformer")
 
-    out, state = model.apply(variables, batch, False,
-                             capture_intermediates=filter_fn)
+    # one jitted program: through async/relay runtimes an op-by-op capture
+    # forward costs thousands of dispatches; the captured pytree jits fine
+    @jax.jit
+    def run(variables, batch):
+        return model.apply(variables, batch, False,
+                           capture_intermediates=filter_fn)
+
+    out, state = run(variables, batch)
     return out, state.get("intermediates", {})
 
 
@@ -55,3 +61,37 @@ def attention_rollout(intermediates: Dict, transformer: str = "transformer4"
     if not outputs:
         return np.zeros((0, 0))
     return np.mean([o.mean(axis=0) for o in outputs], axis=0)
+
+
+def attention_weights(intermediates: Dict) -> Dict[str, np.ndarray]:
+    """Collect the softmax attention maps sown by every SelfAttention
+    (gpt.py), keyed by their module path. Each value is (B, heads, T, T)."""
+    maps: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                walk(v, path)
+        else:
+            arr = np.asarray(node)
+            if path and path[-1] == "attention_weights" and arr.ndim == 4:
+                maps["/".join(path[:-1])] = arr
+
+    walk(intermediates, ())
+    return maps
+
+
+def token_attention_image(att: np.ndarray, query_group: int, key_group: int,
+                          grid: int = 8) -> np.ndarray:
+    """Average one stage's (B, H, T, T) attention into a (grid*grid,) map of
+    how much modality ``query_group``'s tokens attend to each spatial token of
+    modality ``key_group``, reshaped to (grid, grid). Token layout is
+    n_groups x grid^2 (gpt.py: per-modality 8x8 grids concatenated)."""
+    n = grid * grid
+    sub = att.mean(axis=(0, 1))          # (T, T) averaged over batch + heads
+    q0, k0 = query_group * n, key_group * n
+    block = sub[q0:q0 + n, k0:k0 + n]    # queries x keys
+    return block.mean(axis=0).reshape(grid, grid)

@@ -87,3 +87,31 @@ def test_attention_introspection():
     rollout = attention_rollout(inter, "transformer4")
     assert rollout.size > 0
     assert rollout.shape[1] == 512  # stage-4 embedding width
+
+
+def test_attention_capture_and_token_maps():
+    """SelfAttention sows softmax maps; introspection extracts (B,H,T,T) maps
+    and cross-modality token images (viz tooling, scripts/viz_attention.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmfn_tpu.models.gpt import FusionTransformer
+    from mmfn_tpu.utils.introspection import (
+        attention_weights, token_attention_image)
+
+    ft = FusionTransformer(n_embd=32, n_head=4, block_exp=2, n_layer=2,
+                           n_groups=3)
+    grids = [jnp.ones((2, 8, 8, 32)) * i for i in range(3)]
+    vel = jnp.ones((2,))
+    variables = ft.init(jax.random.PRNGKey(0), grids, vel, False)
+    _, state = ft.apply(
+        variables, grids, vel, False,
+        capture_intermediates=lambda m, _: type(m).__name__ == "SelfAttention")
+    maps = attention_weights(state["intermediates"])
+    assert len(maps) == 2                      # one per block
+    att = next(iter(maps.values()))
+    assert att.shape == (2, 4, 192, 192)       # B, heads, 3*64 tokens
+    np.testing.assert_allclose(att.sum(axis=-1), 1.0, atol=1e-5)  # softmax rows
+    img = token_attention_image(att, 0, 2)
+    assert img.shape == (8, 8) and np.isfinite(img).all()

@@ -181,3 +181,32 @@ def test_expert_recovers_from_control_loss(tool, tmp_path):
     record = ClosedLoopRunner(max_wall_seconds=120).run_route(
         agent, _route(), STRAIGHT_XODR, triggers=triggers)
     assert record.status == "Completed", record.to_dict()
+
+
+def test_force_unblock_removes_blocker(tool, tmp_path):
+    """MMFNPPilot analog: a permanently stalled vehicle blocks the lane; with
+    force_unblock the stop counter fires, the blocker is deleted, and the
+    route completes (without it the expert would sit until AgentBlocked)."""
+    from mmfn_tpu.harness.scenarios import ScenarioTrigger
+
+    triggers = [ScenarioTrigger(x=30.0, y=1.75, yaw=0.0, scenario_type="Scenario1")]
+    # Scenario1 is now ControlLoss; use the stalled-vehicle behavior directly
+    triggers[0].scenario_type = "Scenario5"  # LeadVehicleSlows stops and stays
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "map"),
+                                   "config": GlobalConfig(),
+                                   "force_unblock": True,
+                                   "unblock_ticks": 100})   # 5 s for test speed
+    record = ClosedLoopRunner(max_wall_seconds=120).run_route(
+        agent, _route(), STRAIGHT_XODR, triggers=triggers)
+    assert record.status == "Completed", record.to_dict()
+    assert len(record.infractions["collisions_vehicle"]) == 0
+
+
+def test_force_green_unsticks_dead_light():
+    li = TrafficLight(position=[0.0, 0.0], yaw=0.0, green=0, yellow=0, red=1e9)
+    signals = SignalSet(lights=[li])
+    assert li.state(50.0) == "red"
+    signals.force_green(50.0, duration=10.0)
+    assert li.state(55.0) == "green"
+    assert li.state(61.0) == "red"          # reverts after the grace window
