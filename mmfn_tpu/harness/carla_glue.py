@@ -362,8 +362,26 @@ def world_view_from_carla(world, ego_vehicle, nearby_dis: float = 30.0):
         state = ego_vehicle.get_traffic_light_state()
         red_light = state in (carla.TrafficLightState.Red,
                               carla.TrafficLightState.Yellow)
+
+    # stop signs: trigger-volume distance + forward-cone test, the reference's
+    # MapAgent.get_nearby_lights pattern applied to traffic.stop actors
+    # (map_agent.py:38-76)
+    stop_sign = False
+    for actor in world.get_actors().filter("*traffic.stop*"):
+        trigger = actor.get_transform().transform(
+            actor.trigger_volume.location)
+        pos = np.array([trigger.x, trigger.y])
+        rel = pos - ego.position
+        dist = float(np.linalg.norm(rel))
+        if dist > 12.0:
+            continue
+        ahead = math.degrees(math.atan2(rel[1], rel[0])) - tf.rotation.yaw
+        ahead = (ahead + 180.0) % 360.0 - 180.0
+        if abs(ahead) < 60.0:
+            stop_sign = True
+            break
     return WorldView(ego=ego, vehicles=vehicles, walkers=walkers,
-                     red_light=red_light)
+                     red_light=red_light, stop_sign=stop_sign)
 
 
 class CollisionCriterion:

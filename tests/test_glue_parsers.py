@@ -70,3 +70,74 @@ def test_speedometer_reader_forward_speed():
     finally:
         reader.stop()
         time.sleep(0.01)
+
+
+def test_world_view_from_carla_stop_sign_detection():
+    """Stop-sign gating via trigger-volume distance + forward cone
+    (glue port of MapAgent.get_nearby_lights, map_agent.py:38-76)."""
+    import math
+
+    from mmfn_tpu.harness.carla_glue import world_view_from_carla
+
+    class Vec:
+        def __init__(self, x, y, z=0.0):
+            self.x, self.y, self.z = x, y, z
+
+    class Rot:
+        def __init__(self, yaw):
+            self.yaw = yaw
+
+    class Transform:
+        def __init__(self, x, y, yaw=0.0):
+            self.location, self.rotation = Vec(x, y), Rot(yaw)
+
+        def transform(self, loc):
+            c, s = math.cos(math.radians(self.rotation.yaw)), \
+                math.sin(math.radians(self.rotation.yaw))
+            return Vec(self.location.x + c * loc.x - s * loc.y,
+                       self.location.y + s * loc.x + c * loc.y)
+
+    class Ego:
+        id = 1
+
+        def get_transform(self):
+            return Transform(0.0, 0.0, 0.0)
+
+        def get_velocity(self):
+            return Vec(5.0, 0.0)
+
+        def is_at_traffic_light(self):
+            return False
+
+    class StopActor:
+        id = 2
+        type_id = "traffic.stop"
+
+        def __init__(self, x, y):
+            self._tf = Transform(x, y, 0.0)
+            self.trigger_volume = type("TV", (), {"location": Vec(0.0, 0.0)})()
+
+        def get_transform(self):
+            return self._tf
+
+    class Actors(list):
+        def filter(self, pattern):
+            key = pattern.strip("*")
+            return [a for a in self if key in a.type_id]
+
+    class World:
+        def __init__(self, actors):
+            self._actors = Actors(actors)
+
+        def get_actors(self):
+            return self._actors
+
+    # sign 8 m ahead in the cone -> gates
+    view = world_view_from_carla(World([StopActor(8.0, 0.0)]), Ego())
+    assert view.stop_sign and not view.red_light
+    # sign behind -> ignored
+    view = world_view_from_carla(World([StopActor(-8.0, 0.0)]), Ego())
+    assert not view.stop_sign
+    # sign too far -> ignored
+    view = world_view_from_carla(World([StopActor(40.0, 0.0)]), Ego())
+    assert not view.stop_sign
