@@ -253,6 +253,63 @@ class JunctionCrossing(ScenarioBehavior):
             self.done = True
 
 
+class JunctionLeftTurn(JunctionCrossing):
+    """An oncoming vehicle turns left across the ego's path (srunner
+    SignalizedJunctionLeftTurn): spawns ahead in the opposing lane and arcs
+    across the junction."""
+
+    SPEED = 6.0
+    TURN_RATE = 0.35  # rad/s yaw change through the junction
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        pos = np.array([t.x, t.y]) + ahead * 35.0 - lateral * 3.5
+        self.actors = [ScenarioActor("vehicle", pos, -ahead * self.SPEED,
+                                     yaw=t.yaw + math.pi, extent=2.2,
+                                     actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        for a in self.actors:
+            # arc: rotate the velocity toward the ego's lane (a left turn in
+            # the oncoming vehicle's frame)
+            c, s = math.cos(-self.TURN_RATE * dt), math.sin(-self.TURN_RATE * dt)
+            a.velocity = np.array([c * a.velocity[0] - s * a.velocity[1],
+                                   s * a.velocity[0] + c * a.velocity[1]])
+            a.yaw = math.atan2(a.velocity[1], a.velocity[0])
+            a.step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 70:
+            self.actors = []
+            self.done = True
+
+
+class JunctionRightTurn(JunctionCrossing):
+    """A crossing vehicle turns right into the ego's lane (srunner
+    SignalizedJunctionRightTurn): enters perpendicular, then merges to travel
+    in the ego's direction ahead of it."""
+
+    SPEED = 6.0
+    TURN_RATE = 0.5
+
+    def step(self, dt: float) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        for a in self.actors:
+            # rotate velocity toward the ego heading until aligned
+            if float(a.velocity @ ahead) < 0.95 * np.linalg.norm(a.velocity):
+                c, s = math.cos(self.TURN_RATE * dt), math.sin(self.TURN_RATE * dt)
+                a.velocity = np.array([c * a.velocity[0] - s * a.velocity[1],
+                                       s * a.velocity[0] + c * a.velocity[1]])
+                a.yaw = math.atan2(a.velocity[1], a.velocity[0])
+            a.step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 80:
+            self.actors = []
+            self.done = True
+
+
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
 SCENARIO_CLASSES = {
     "Scenario1": ControlLoss,         # ego steering perturbation (control_loss.py)
@@ -261,9 +318,9 @@ SCENARIO_CLASSES = {
     "Scenario4": CutInVehicle,        # vehicle turning / cut-in
     "Scenario5": LeadVehicleSlows,    # other leading vehicle
     "Scenario6": OppositeDirection,   # maneuver opposite direction
-    "Scenario7": JunctionCrossing,    # signalized junction crossings
-    "Scenario8": JunctionCrossing,
-    "Scenario9": JunctionCrossing,
+    "Scenario7": JunctionCrossing,    # signalized junction straight crossing
+    "Scenario8": JunctionLeftTurn,    # signalized junction left turn
+    "Scenario9": JunctionRightTurn,   # signalized junction right turn
     "Scenario10": JunctionCrossing,   # no-signal junction
 }
 

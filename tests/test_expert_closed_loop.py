@@ -130,3 +130,12 @@ def test_simple_pilot_completes_and_avoids(tool, tmp_path):
     record = ClosedLoopRunner(max_wall_seconds=90).run_route(
         agent, config, STRAIGHT_XODR, triggers=triggers)
     assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
+def test_expert_handles_junction_turns(tool, tmp_path):
+    """Scenario8/9: turning junction traffic — expert must avoid both."""
+    for stype in ("Scenario8", "Scenario9"):
+        triggers = [ScenarioTrigger(x=60.0, y=1.75, yaw=0.0, scenario_type=stype)]
+        agent, record = _run(tool, tmp_path, triggers=triggers, length=150.0)
+        assert len(record.infractions["collisions_vehicle"]) == 0, \
+            (stype, record.to_dict())
