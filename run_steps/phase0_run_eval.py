@@ -61,6 +61,7 @@ def build_agent(cfg, shared=None):
             "image_ext": agent_cfg.get("image_ext", "png"),
             "seed": agent_cfg.get("seed", 0),
             "pilot": agent_cfg.get("pilot", "mmfn"),
+            "force_unblock": agent_cfg.get("force_unblock", False),
         })
     if agent_type == "npc":
         from mmfn_tpu.harness.agents.trivial import NpcAgent
