@@ -62,7 +62,11 @@ class AutonomousAgent:
 
     def set_global_plan(self, global_plan_gps, global_plan_world_coord) -> None:
         """Downsample the dense (1 m) interpolated route to ~50 m hops
-        (autonomous_agent.py:120-126)."""
+        (autonomous_agent.py:120-126). The dense plans are kept too: experts
+        steer on them (the reference MapAgent's second RoutePlanner over the
+        dense gps plan, map_agent.py:25-26 — 50 m hops cut corners)."""
+        self._global_plan_dense = list(global_plan_gps)
+        self._global_plan_world_coord_dense = list(global_plan_world_coord)
         ds_ids = downsample_route(global_plan_world_coord, 50)
         self._global_plan_world_coord = [
             (global_plan_world_coord[x][0], global_plan_world_coord[x][1])

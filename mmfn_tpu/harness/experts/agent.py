@@ -87,8 +87,11 @@ class ExpertCollectionAgent(AutonomousAgent):
     # ---- helpers -------------------------------------------------------------- #
 
     def _init_route(self) -> None:
+        # near planner steers on the DENSE plan (MMFNPilot's _waypoint_planner
+        # over _plan_gps_HACK, mmfn_pilot.py:74-76 / map_agent.py:25-26); the
+        # command planner issues targets from the ~50 m downsampled plan
         self._waypoint_planner = RoutePlanner(4.0, 50.0)
-        self._waypoint_planner.set_route(self._global_plan, gps=True)
+        self._waypoint_planner.set_route(self._global_plan_dense, gps=True)
         self._command_planner = RoutePlanner(7.5, 25.0)
         self._command_planner.set_route(self._global_plan, gps=True)
         self.initialized = True

@@ -148,6 +148,8 @@ class ClosedLoopRunner:
         x1, y1 = trajectory[1][:2] if len(trajectory) > 1 else (x0 + 1, y0)
         world = KinematicWorld(opendrive_str, (x0, y0, math.atan2(y1 - y0, x1 - x0)),
                                **(world_kwargs or {}))
+        if signals is not None and world.signals is None:
+            world.signals = signals   # camera renders 3-state light markers
 
         route_xy = [p for p, _ in world_plan]
         length = route_length(trajectory)

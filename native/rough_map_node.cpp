@@ -390,7 +390,12 @@ static double wrap_pi(double a) {
 static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(carla), hdg(xodr)
                         bool junction, const std::vector<char>& control,
                         std::vector<OutLane>* out) {
-  for (size_t start = 0; start < pts.size(); start += kMaxNodes) {
+  // consecutive chunks SHARE their boundary node (stride kMaxNodes-1): the
+  // chunked polylines tile the lane seamlessly, so polyline consumers (the
+  // outside-lanes criterion, birdview, VectorNet segments) see no gaps and
+  // no dropped road tail.
+  size_t stride = static_cast<size_t>(kMaxNodes - 1);
+  for (size_t start = 0; start + 1 < pts.size() || start == 0; start += stride) {
     size_t end = std::min(start + kMaxNodes, pts.size());
     if (end - start < 2) {
       if (start == 0 && end == 1) end = 1;  // lone node still emitted

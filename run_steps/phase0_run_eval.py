@@ -86,7 +86,11 @@ def build_agent(cfg, shared=None):
                 batch, False)
         return BaselineAgent({"kind": agent_type, "model": model,
                               "variables": variables, "config": gconf})
-    gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
+    # model-shape overrides so checkpoints trained at other sizes load
+    # (e.g. the examples/train_fake_world.py demo: n_layer=2 max_lanes=16)
+    overrides = {k: agent_cfg[k] for k in ("n_layer", "n_embd", "n_head")
+                 if k in agent_cfg}
+    gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64), **overrides)
     model = build_model(gconf, agent_cfg.get("variant", "vec"))
     batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
     variables = model.init(
@@ -138,18 +142,24 @@ def main():
         return
 
     # vectorize the fake world's map once so the outside-lanes penalty applies
+    # and the deterministic birdview camera (the fake world's visual signal,
+    # same as examples/train_fake_world.py) can render
     rough_map = None
+    birdview = None
     try:
         import tempfile
 
         from mmfn_tpu.mapping import RoughMap, build_rmap
+        from mmfn_tpu.mapping.birdview import BirdViewProducer
 
         map_dir = os.path.join(tempfile.mkdtemp(prefix="mmfn_eval_map_"), "opendrive")
         os.makedirs(map_dir, exist_ok=True)
         with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
             f.write(FALLBACK_XODR)
         if not build_rmap([map_dir]):
-            rough_map = RoughMap().read(os.path.join(map_dir, "a.rmap"))
+            rmap_path = os.path.join(map_dir, "a.rmap")
+            rough_map = RoughMap().read(rmap_path)
+            birdview = BirdViewProducer.from_opendrive(rmap_path)
     except Exception:
         rough_map = None
 
@@ -173,7 +183,8 @@ def main():
             signals = signals_from_rough_map(rough_map, [p for p, _ in world_plan])
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
         record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers,
-                                  rough_map=rough_map, signals=signals)
+                                  rough_map=rough_map, signals=signals,
+                                  world_kwargs={"camera_birdview": birdview})
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
         print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")

@@ -139,3 +139,59 @@ def test_expert_handles_junction_turns(tool, tmp_path):
         agent, record = _run(tool, tmp_path, triggers=triggers, length=150.0)
         assert len(record.infractions["collisions_vehicle"]) == 0, \
             (stype, record.to_dict())
+
+
+CURVED_XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE>
+  <header revMajor="1" revMinor="4" name="curve"/>
+  <road name="R0" length="147.1238898" id="0" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="50.0"><line/></geometry>
+      <geometry s="50.0" x="50.0" y="0.0" hdg="0.0" length="47.1238898">
+        <arc curvature="0.033333333"/>
+      </geometry>
+      <geometry s="97.1238898" x="80.0" y="30.0" hdg="1.5707963" length="50.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+</OpenDRIVE>
+"""
+
+
+def test_expert_drives_curved_road(tool, tmp_path):
+    """Line -> 90-degree arc -> line: the route is the vectorizer's own lane
+    polyline, so this closes vectorizer -> planner -> PID steering -> lane
+    keeping in one loop. The expert must complete without leaving the lane."""
+    import tempfile
+
+    from mmfn_tpu.mapping.rough_map import RoughMap, build_rmap
+
+    d = os.path.join(str(tmp_path), "curve_map", "opendrive")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "opstr.txt"), "w") as f:
+        f.write(CURVED_XODR)
+    assert not build_rmap([d], tool_path=tool)
+    rmap = RoughMap().read(os.path.join(d, "a.rmap"))
+    nodes = np.concatenate([l.nodes[:, :2] for l in rmap.lanes])
+    trajectory = [(float(x), float(y), 0.0) for x, y in nodes[::2]]
+    assert len(trajectory) > 8
+
+    config = RouteConfig(route_id="curve", town="TownCurve",
+                         trajectory=trajectory, index=0)
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "curve_agent"),
+                                   "config": GlobalConfig()})
+    runner = ClosedLoopRunner(max_wall_seconds=90)
+    record = runner.run_route(agent, config, CURVED_XODR, rough_map=rmap)
+    assert record.status == "Completed", record.to_dict()
+    # stayed in the lane through the bend (outside-lanes penalty untouched)
+    assert record.scores["score_penalty"] > 0.95, record.to_dict()

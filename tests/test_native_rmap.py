@@ -91,8 +91,11 @@ def _run_tool(tool, tmp_path, roads_xml):
 
 def test_straight_road_geometry(tool, tmp_path):
     rmap, _ = _run_tool(tool, tmp_path, _STRAIGHT)
-    # only the driving lane is vectorized (sidewalk skipped); 21 samples -> 2 chunks
-    assert len(rmap.lanes) == 2
+    # only the driving lane is vectorized (sidewalk skipped); 21 samples ->
+    # 3 chunks with shared boundary nodes (seamless tiling)
+    assert len(rmap.lanes) == 3
+    # consecutive chunks share their boundary node
+    np.testing.assert_allclose(rmap.lanes[0].nodes[-1], rmap.lanes[1].nodes[0])
     nodes = rmap.lanes[0].nodes
     # right lane center at t=-1.75 (xodr) -> CARLA y = +1.75
     np.testing.assert_allclose(nodes[:, 1], 1.75)
