@@ -132,6 +132,7 @@ class ClosedLoopRunner:
                   triggers: Optional[list] = None,
                   rough_map=None,
                   signals=None,
+                  background=None,
                   world_kwargs: Optional[dict] = None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
@@ -139,7 +140,11 @@ class ClosedLoopRunner:
         outside-route-lanes percentage penalty.
         signals: optional harness.traffic.SignalSet -> traffic lights / stop
         signs gate the expert (privileged channel) and are scored by the
-        RunningRedLight / RunningStop criteria."""
+        RunningRedLight / RunningStop criteria.
+        background: optional harness.npc_traffic.BackgroundTraffic -> ambient
+        lane-following vehicles (the reference's 120-300 background actors,
+        route_scenario.py:444-475) are stepped each tick, shown to the expert,
+        and scored on collision."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -183,6 +188,10 @@ class ClosedLoopRunner:
         failure = ""
         for _ in range(max_ticks):
             scenario_actors = scenario_mgr.tick(np.array([world.x, world.y]), DT)
+            if background is not None:
+                scenario_actors = scenario_actors + background.tick(
+                    np.array([world.x, world.y]), world.v, DT,
+                    game_time=game_time, other_actors=scenario_actors)
             frame = world.sensor_frame()
             # privileged channel: ground-truth ego + scenario actors, consumed
             # by rule-based experts (the leaderboard gives experts direct world
@@ -220,6 +229,9 @@ class ClosedLoopRunner:
                     and agent.consume_unblock_request():
                 scenario_mgr.remove_actors_near(
                     np.array([world.x, world.y]), radius=15.0)
+                if background is not None:
+                    background.remove_near(
+                        np.array([world.x, world.y]), radius=15.0)
                 if signals is not None:
                     signals.force_green(game_time, duration=10.0)
             world.tick(control)

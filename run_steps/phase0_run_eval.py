@@ -181,9 +181,19 @@ def main():
 
             _, world_plan = plan_from_trajectory(config.trajectory)
             signals = signals_from_rough_map(rough_map, [p for p, _ in world_plan])
+        background = None
+        bg_amount = int(cfg.get("background_traffic", 0))
+        if rough_map is not None and bg_amount > 0:
+            from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
+
+            background = BackgroundTraffic(
+                [lane.nodes for lane in rough_map.lanes], bg_amount,
+                seed=config.index, signals=signals,
+                ego_start=config.trajectory[0][:2])
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
         record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers,
                                   rough_map=rough_map, signals=signals,
+                                  background=background,
                                   world_kwargs={"camera_birdview": birdview})
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
