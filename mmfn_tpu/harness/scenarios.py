@@ -310,18 +310,84 @@ class JunctionRightTurn(JunctionCrossing):
             self.done = True
 
 
+class VehicleTurningRoute(ScenarioBehavior):
+    """A cyclist cuts across the road right after the ego turns at a junction
+    (srunner object_crash_intersection.py VehicleTurningRoute): closer and
+    faster than the walker crossing, with a vehicle-class collision penalty."""
+
+    BIKE_SPEED = 4.0
+    SPAWN_AHEAD = 9.0
+    SPAWN_LATERAL = 5.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        start = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD \
+            + lateral * self.SPAWN_LATERAL
+        self.actors = [ScenarioActor(
+            "vehicle", start, -lateral * self.BIKE_SPEED,
+            yaw=math.atan2(-lateral[1], -lateral[0]),
+            extent=0.8, actor_id=self.actor_id)]
+
+    def step(self, dt: float) -> None:
+        super().step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 30:
+            self.actors = []
+            self.done = True
+
+
+class OtherLeadingVehicle(ScenarioBehavior):
+    """Srunner other_leading_vehicle.py: a lead vehicle ahead brakes hard
+    mid-cruise while a second vehicle paces the ego in the adjacent lane,
+    blocking the overtake — the ego must brake, not swerve."""
+
+    CRUISE = 8.0
+    HARD_DECEL = 4.0
+    BRAKE_AFTER = 2.0      # seconds of cruising before the sudden brake
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        base = np.array([t.x, t.y])
+        self.actors = [
+            ScenarioActor("vehicle", base + ahead * 35.0, ahead * self.CRUISE,
+                          yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
+            ScenarioActor("vehicle", base + ahead * 20.0 - lateral * 3.5,
+                          ahead * self.CRUISE, yaw=t.yaw, extent=2.2,
+                          actor_id=self.actor_id + 500),
+        ]
+        self._t = 0.0
+
+    def step(self, dt: float) -> None:
+        self._t += dt
+        lead = self.actors[0] if self.actors else None
+        if lead is not None and self._t > self.BRAKE_AFTER:
+            speed = float(np.linalg.norm(lead.velocity))
+            if speed > 0:
+                new_speed = max(0.0, speed - self.HARD_DECEL * dt)
+                lead.velocity = lead.velocity * (new_speed / speed)
+        super().step(dt)
+
+
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
 SCENARIO_CLASSES = {
-    "Scenario1": ControlLoss,         # ego steering perturbation (control_loss.py)
-    "Scenario2": LeadVehicleSlows,    # follow leading vehicle
-    "Scenario3": CrossingWalker,      # dynamic object crossing
-    "Scenario4": CutInVehicle,        # vehicle turning / cut-in
-    "Scenario5": LeadVehicleSlows,    # other leading vehicle
-    "Scenario6": OppositeDirection,   # maneuver opposite direction
-    "Scenario7": JunctionCrossing,    # signalized junction straight crossing
-    "Scenario8": JunctionLeftTurn,    # signalized junction left turn
-    "Scenario9": JunctionRightTurn,   # signalized junction right turn
-    "Scenario10": JunctionCrossing,   # no-signal junction
+    "Scenario1": ControlLoss,          # ego steering perturbation (control_loss.py)
+    "Scenario2": LeadVehicleSlows,     # follow leading vehicle
+    "Scenario3": CrossingWalker,       # dynamic object crossing
+    "Scenario4": VehicleTurningRoute,  # cyclist crossing after a junction turn
+    "Scenario5": OtherLeadingVehicle,  # lead brakes hard, adjacent lane blocked
+    "Scenario6": OppositeDirection,    # maneuver opposite direction
+    "Scenario7": JunctionCrossing,     # signalized junction straight crossing
+    "Scenario8": JunctionLeftTurn,     # signalized junction left turn
+    "Scenario9": JunctionRightTurn,    # signalized junction right turn
+    "Scenario10": JunctionCrossing,    # no-signal junction
+    # srunner classes outside NUMBER_CLASS_TRANSLATION, reachable by name in
+    # placement JSONs (srunner/scenarios/cut_in.py, change_lane.py analogs)
+    "CutIn": CutInVehicle,
+    "StoppedVehicle": StoppedVehicle,
 }
 
 

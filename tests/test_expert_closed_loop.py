@@ -132,6 +132,22 @@ def test_simple_pilot_completes_and_avoids(tool, tmp_path):
     assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
 
 
+def test_expert_avoids_turning_cyclist(tool, tmp_path):
+    """Scenario4 (VehicleTurningRoute): a cyclist cuts across right after the
+    trigger — vehicle-class collision must not happen."""
+    triggers = [ScenarioTrigger(x=50.0, y=1.75, yaw=0.0, scenario_type="Scenario4")]
+    agent, record = _run(tool, tmp_path, triggers=triggers, length=150.0)
+    assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
+def test_expert_handles_hard_braking_lead(tool, tmp_path):
+    """Scenario5 (OtherLeadingVehicle): the lead brakes hard mid-cruise with
+    the adjacent lane blocked — the expert must brake, not collide."""
+    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="Scenario5")]
+    agent, record = _run(tool, tmp_path, triggers=triggers, length=200.0)
+    assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
 def test_expert_handles_junction_turns(tool, tmp_path):
     """Scenario8/9: turning junction traffic — expert must avoid both."""
     for stype in ("Scenario8", "Scenario9"):

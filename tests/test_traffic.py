@@ -189,9 +189,9 @@ def test_force_unblock_removes_blocker(tool, tmp_path):
     route completes (without it the expert would sit until AgentBlocked)."""
     from mmfn_tpu.harness.scenarios import ScenarioTrigger
 
-    triggers = [ScenarioTrigger(x=30.0, y=1.75, yaw=0.0, scenario_type="Scenario1")]
-    # Scenario1 is now ControlLoss; use the stalled-vehicle behavior directly
-    triggers[0].scenario_type = "Scenario5"  # LeadVehicleSlows stops and stays
+    # the stalled-vehicle behavior, reachable by name in the catalog
+    triggers = [ScenarioTrigger(x=30.0, y=1.75, yaw=0.0,
+                                scenario_type="StoppedVehicle")]
     agent = ExpertCollectionAgent({"rmap_tool": tool,
                                    "tmp_dir": str(tmp_path / "map"),
                                    "config": GlobalConfig(),
