@@ -49,6 +49,7 @@ class KinematicWorld:
     lidar_points: int = 1200
     camera_birdview: object = None
     signals: object = None                   # harness.traffic.SignalSet
+    actors: list = field(default_factory=list)  # ScenarioActors, set per tick
     x: float = field(init=False)
     y: float = field(init=False)
     yaw: float = field(init=False)
@@ -75,11 +76,82 @@ class KinematicWorld:
         self.y += self.v * math.sin(self.yaw) * DT
         self.frame += 1
 
+    # sensor synthesis geometry: the lidar/radar returns reflect the actors
+    # in view so learned agents get a real obstacle signal (the reference's
+    # sensors are CARLA raycasts; here actor outlines are sampled directly)
+    LIDAR_RANGE = 30.0          # actor-return synthesis radius, m
+    LIDAR_PER_ACTOR = 40        # outline samples per visible actor
+    GROUND_Z = -2.4             # sensor 2.5 m up -> ground in "below" slice
+    RADAR_FOV = math.radians(35.0)
+    RADAR_RANGE = 100.0
+    RADAR_CLUTTER = 20
+
+    def _ego_frame(self, position: np.ndarray) -> Tuple[float, float]:
+        """(lateral, forward) offsets of a world point in the sensor frame
+        (pre-y-flip: +forward maps to the BEV's far side after the agents'
+        ``points[:, 1] *= -1``)."""
+        rel = np.asarray(position, dtype=np.float64) - np.array([self.x, self.y])
+        fwd = float(rel @ np.array([math.cos(self.yaw), math.sin(self.yaw)]))
+        lat = float(rel @ np.array([math.sin(self.yaw), -math.cos(self.yaw)]))
+        return lat, fwd
+
+    def _synth_lidar(self) -> np.ndarray:
+        rng = self._rng
+        n_ground = self.lidar_points
+        ground = np.empty((n_ground, 4), np.float32)
+        ground[:, 0] = rng.uniform(-20, 20, n_ground)          # lateral
+        ground[:, 1] = rng.uniform(-8, 24, n_ground)           # forward
+        ground[:, 2] = self.GROUND_Z + rng.normal(0, 0.05, n_ground)
+        ground[:, 3] = rng.uniform(0.2, 0.6, n_ground)         # intensity
+        chunks = [ground]
+        for a in self.actors:
+            lat, fwd = self._ego_frame(a.position)
+            if math.hypot(lat, fwd) > self.LIDAR_RANGE:
+                continue
+            ang = rng.uniform(0, 2 * math.pi, self.LIDAR_PER_ACTOR)
+            r = a.extent * rng.uniform(0.8, 1.0, self.LIDAR_PER_ACTOR)
+            pts = np.empty((self.LIDAR_PER_ACTOR, 4), np.float32)
+            pts[:, 0] = lat + r * np.cos(ang)
+            pts[:, 1] = fwd + r * np.sin(ang)
+            pts[:, 2] = rng.uniform(-1.8, -0.5, self.LIDAR_PER_ACTOR)  # body
+            pts[:, 3] = rng.uniform(0.4, 0.9, self.LIDAR_PER_ACTOR)
+            chunks.append(pts)
+        return np.concatenate(chunks, axis=0)
+
+    def _synth_radar(self, rear: bool) -> np.ndarray:
+        """Rows [velocity, altitude, azimuth, depth] (the parsed CARLA layout,
+        sensor_interface.py:169-175); negative velocity = approaching."""
+        rng = self._rng
+        clutter = np.empty((self.RADAR_CLUTTER, 4), np.float32)
+        clutter[:, 0] = rng.normal(0, 0.05, self.RADAR_CLUTTER)   # ~static
+        clutter[:, 1] = rng.normal(0, 0.02, self.RADAR_CLUTTER)
+        clutter[:, 2] = rng.uniform(-self.RADAR_FOV / 2, self.RADAR_FOV / 2,
+                                    self.RADAR_CLUTTER)
+        clutter[:, 3] = rng.uniform(5, self.RADAR_RANGE, self.RADAR_CLUTTER)
+        rows = [clutter]
+        face_yaw = self.yaw + (math.pi if rear else 0.0)
+        face = np.array([math.cos(face_yaw), math.sin(face_yaw)])
+        side = np.array([math.sin(face_yaw), -math.cos(face_yaw)])
+        ego_vel = self.v * np.array([math.cos(self.yaw), math.sin(self.yaw)])
+        for a in self.actors:
+            rel = np.asarray(a.position, dtype=np.float64) \
+                - np.array([self.x, self.y])
+            depth = float(np.linalg.norm(rel))
+            if not 0.5 < depth < self.RADAR_RANGE:
+                continue
+            azimuth = math.atan2(float(rel @ side), float(rel @ face))
+            if abs(azimuth) > self.RADAR_FOV / 2:
+                continue
+            closing = float((rel / depth) @ (np.asarray(a.velocity) - ego_vel))
+            altitude = math.atan2(-1.0 + 0.1 * (a.actor_id % 5), depth)
+            rows.append(np.array(
+                [[closing, altitude, azimuth, depth]], np.float32))
+        return np.concatenate(rows, axis=0)
+
     def sensor_frame(self) -> Dict[str, Tuple[int, object]]:
         f = self.frame
         rng = self._rng
-        lidar = rng.uniform(-20, 20, size=(self.lidar_points, 4)).astype(np.float32)
-        radar = np.abs(rng.normal(size=(20, 4))).astype(np.float32) + 0.1
+        lidar = self._synth_lidar()
         gps = np.array([self.x / GPS_SCALE[0], self.y / GPS_SCALE[1], 0.0])
         imu = np.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0, self.yaw])
         if self.camera_birdview is not None:
@@ -87,9 +159,12 @@ class KinematicWorld:
 
             lights = (self.signals.light_states(f * DT)
                       if self.signals is not None else None)
+            boxes = [(float(a.position[0]), float(a.position[1]), float(a.yaw),
+                      2 * float(a.extent), 1.4 * float(a.extent))
+                     for a in self.actors]
             raster = BirdViewProducer.as_rgb(
                 self.camera_birdview.produce([self.x, self.y, self.yaw],
-                                             lights=lights))
+                                             actors=boxes, lights=lights))
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
         else:
@@ -97,8 +172,8 @@ class KinematicWorld:
         data = {
             "rgb": (f, rgb),
             "lidar": (f, lidar),
-            "radar_front": (f, radar),
-            "radar_rear": (f, radar.copy()),
+            "radar_front": (f, self._synth_radar(rear=False)),
+            "radar_rear": (f, self._synth_radar(rear=True)),
             "gps": (f, gps),
             "imu": (f, imu),
             "speed": (f, {"speed": self.v}),
@@ -192,6 +267,7 @@ class ClosedLoopRunner:
                 scenario_actors = scenario_actors + background.tick(
                     np.array([world.x, world.y]), world.v, DT,
                     game_time=game_time, other_actors=scenario_actors)
+            world.actors = scenario_actors   # sensors reflect the live actors
             frame = world.sensor_frame()
             # privileged channel: ground-truth ego + scenario actors, consumed
             # by rule-based experts (the leaderboard gives experts direct world

@@ -265,3 +265,52 @@ def test_outside_lanes_penalty(tmp_path):
     record2 = ClosedLoopRunner().run_route(ScriptedAgent(), config2, STRAIGHT_XODR,
                                            rough_map=rmap)
     assert record2.scores["score_penalty"] > 0.95
+
+
+def test_sensors_reflect_actors():
+    """Synthesized lidar/radar carry the live actors (learned agents see
+    obstacles in the fake world, not noise)."""
+    from mmfn_tpu.harness.replay import KinematicWorld
+    from mmfn_tpu.harness.scenarios import ScenarioActor
+    from mmfn_tpu.ops.lidar import lidar_to_histogram_features_np
+
+    world = KinematicWorld(STRAIGHT_XODR, (0.0, 0.0, 0.0))
+    world.v = 5.0
+
+    # no actors: only ground returns (below the -2 m height split)
+    lidar = world.sensor_frame()["lidar"][1]
+    assert (lidar[:, 2] <= -2.0).all()
+
+    # a stopped vehicle 10 m ahead, slightly left
+    world.actors = [ScenarioActor("vehicle", np.array([10.0, 1.0]),
+                                  np.zeros(2), extent=2.2, actor_id=7)]
+    frame = world.sensor_frame()
+    lidar = frame["lidar"][1]
+    body = lidar[lidar[:, 2] > -2.0]
+    assert len(body) > 0
+    # sensor frame pre-flip: +y forward, x lateral (left positive here: y=+1)
+    assert abs(np.median(body[:, 1]) - 10.0) < 2.5
+    assert abs(np.median(body[:, 0]) - 1.0) < 2.5
+    # the BEV consumed by the model shows the obstacle ahead (-y half)
+    pts = lidar[:, :3].copy()
+    pts[:, 1] *= -1
+    bev = lidar_to_histogram_features_np(pts)
+    above = bev[..., 1]
+    fwd_half = above[:, :above.shape[1] // 2]
+    assert fwd_half.sum() > 0
+
+    # front radar sees it approaching (ego moving, actor stopped -> closing<0)
+    radar_front = frame["radar_front"][1]
+    hits = radar_front[np.abs(radar_front[:, 3] - np.hypot(10.0, 1.0)) < 0.5]
+    assert len(hits) == 1
+    assert hits[0, 0] < -4.0            # ~ -ego speed
+    # rear radar does not (outside its cone)
+    radar_rear = frame["radar_rear"][1]
+    assert not (np.abs(radar_rear[:, 3] - np.hypot(10.0, 1.0)) < 0.5).any()
+
+    # an actor behind shows up in the rear radar instead
+    world.actors = [ScenarioActor("vehicle", np.array([-12.0, 0.0]),
+                                  np.zeros(2), extent=2.2, actor_id=8)]
+    frame = world.sensor_frame()
+    assert (np.abs(frame["radar_rear"][1][:, 3] - 12.0) < 0.5).any()
+    assert not (np.abs(frame["radar_front"][1][:, 3] - 12.0) < 0.5).any()
