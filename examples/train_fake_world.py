@@ -59,6 +59,16 @@ COLLECT_ROUTES = [
 EVAL_ROUTE = [(30.0, 1.75, 0.0), (210.0, 1.75, 0.0)]
 
 
+def make_background(rmap_path, amount, seed):
+    if amount <= 0:
+        return None
+    from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
+    from mmfn_tpu.mapping import RoughMap
+
+    lanes = [l.nodes for l in RoughMap().read(rmap_path).lanes]
+    return BackgroundTraffic(lanes, amount, seed=seed)
+
+
 def make_map(out_dir):
     map_dir = os.path.join(out_dir, "map", "opendrive")
     os.makedirs(map_dir, exist_ok=True)
@@ -69,7 +79,7 @@ def make_map(out_dir):
     return rmap_path, BirdViewProducer.from_opendrive(rmap_path)
 
 
-def collect(out_dir, birdview, cfg):
+def collect(out_dir, birdview, cfg, rmap_path, traffic=0):
     town_dir = os.path.join(out_dir, "TownFake_short")
     runner = ClosedLoopRunner(max_wall_seconds=120)
     for i, traj in enumerate(COLLECT_ROUTES):
@@ -79,18 +89,20 @@ def collect(out_dir, birdview, cfg):
             "tmp_dir": os.path.join(out_dir, f"expert_map_{i}")})
         record = runner.run_route(
             agent, RouteConfig(str(i), "TownFake", traj, 0), XODR,
+            background=make_background(rmap_path, traffic, seed=i),
             world_kwargs={"camera_birdview": birdview})
         print(f"collect route {i}: {record.status}, "
               f"score {record.scores['score_composed']:.0f}")
     return town_dir
 
 
-def evaluate(variables, model, cfg, birdview, label):
+def evaluate(variables, model, cfg, birdview, label, rmap_path, traffic=0):
     agent = MMFNAgent({"variant": "vec", "model": model, "variables": variables,
                        "config": cfg, "points_per_sweep": 2048})
     runner = ClosedLoopRunner(max_wall_seconds=240)
     record = runner.run_route(
         agent, RouteConfig("eval", "TownFake", EVAL_ROUTE, 0), XODR,
+        background=make_background(rmap_path, traffic, seed=99),
         world_kwargs={"camera_birdview": birdview})
     print(f"{label}: {record.status}, driving score "
           f"{record.scores['score_composed']:.1f} "
@@ -104,13 +116,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n-layer", type=int, default=2)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--traffic", type=int, default=0,
+                    help="ambient NPC vehicles during collect AND eval")
     args = ap.parse_args()
 
     cfg = GlobalConfig(n_layer=args.n_layer, max_lanes=16, lr=3e-4)
     t0 = time.time()
     rmap_path, birdview = make_map(args.out)
 
-    town_dir = collect(args.out, birdview, cfg)
+    town_dir = collect(args.out, birdview, cfg, rmap_path, traffic=args.traffic)
     ds = CarlaDataset([town_dir], cfg, image_ext="npy")
     print(f"collected {len(ds)} samples in {time.time() - t0:.0f}s")
     pro = os.path.join(args.out, "pro_train")
@@ -139,8 +153,10 @@ def main():
     engine.save(state)
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
-    score_untrained = evaluate(untrained, model, cfg, birdview, "random-init policy")
-    score_trained = evaluate(trained, model, cfg, birdview, "trained policy")
+    score_untrained = evaluate(untrained, model, cfg, birdview,
+                               "random-init policy", rmap_path, args.traffic)
+    score_trained = evaluate(trained, model, cfg, birdview,
+                             "trained policy", rmap_path, args.traffic)
     print(f"driving score: untrained {score_untrained:.1f} -> "
           f"trained {score_trained:.1f}")
 

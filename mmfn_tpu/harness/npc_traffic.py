@@ -78,6 +78,7 @@ class BackgroundTraffic:
             self._lanes.append(pts)
             self._cum.append(np.concatenate([[0.0], np.cumsum(seg)]))
         self.npcs: List[_Npc] = []
+        self._next_id = 5000
         if not self._lanes:
             return
         occupied: List[tuple] = []         # (lane_idx, s) spawn reservations
@@ -95,7 +96,8 @@ class BackgroundTraffic:
                 continue
             occupied.append((li, s))
             cruise = float(self._rng.uniform(*CRUISE_SPEED))
-            self.npcs.append(_Npc(li, s, cruise, 5000 + len(self.npcs)))
+            self.npcs.append(_Npc(li, s, cruise, self._next_id))
+            self._next_id += 1
 
     # ---- geometry ------------------------------------------------------- #
 
@@ -119,6 +121,11 @@ class BackgroundTraffic:
             if avoid_xy is not None and np.linalg.norm(pos - avoid_xy) < EGO_CLEAR_RADIUS:
                 continue
             npc.lane_idx, npc.s, npc.speed = li, s, 0.0
+            # a respawn is logically a NEW vehicle: fresh id so a second
+            # collision with it is scored independently (reference background
+            # actors are distinct CARLA actors)
+            npc.actor_id = self._next_id
+            self._next_id += 1
             return
         npc.alive = False   # nowhere to respawn; retire
 
@@ -143,20 +150,18 @@ class BackgroundTraffic:
             pos, yaw = self._locate(npc.lane_idx, npc.s)
             states.append((npc, pos, yaw))
 
-        positions = [(p, n.speed) for n, p, _ in states]
+        # loop-invariant obstacles (ego + scenario actors) hoisted out
+        obstacles = [ego_xy] + [np.asarray(a.position, dtype=np.float64)
+                                for a in other_actors]
+        positions = [p for _, p, _ in states]
         for npc, pos, yaw in states:
             heading = np.array([math.cos(yaw), math.sin(yaw)])
             lateral = np.array([-heading[1], heading[0]])
 
             # nearest obstruction ahead in my lane corridor
             gap = float("inf")
-            candidates = [(ego_xy, ego_v)]
-            candidates += [(a.position, float(np.linalg.norm(a.velocity)))
-                           for a in other_actors]
-            candidates += [(p, v) for p, v in positions
-                           if p is not pos]
-            for oxy, _ov in candidates:
-                rel = np.asarray(oxy, dtype=np.float64) - pos
+            for oxy in obstacles + [p for p in positions if p is not pos]:
+                rel = oxy - pos
                 fwd = float(rel @ heading)
                 if 0.1 < fwd < HEADWAY_LOOK and abs(float(rel @ lateral)) < LANE_HALF_WIDTH:
                     gap = min(gap, fwd)

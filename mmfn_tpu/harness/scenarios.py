@@ -341,11 +341,15 @@ class VehicleTurningRoute(ScenarioBehavior):
 class OtherLeadingVehicle(ScenarioBehavior):
     """Srunner other_leading_vehicle.py: a lead vehicle ahead brakes hard
     mid-cruise while a second vehicle paces the ego in the adjacent lane,
-    blocking the overtake — the ego must brake, not swerve."""
+    blocking the overtake — the ego must brake, not swerve. Like the
+    reference, the lead slows to cruise/3.2 and keeps driving (it does not
+    park), and the behavior retires once the pair has driven clear."""
 
     CRUISE = 8.0
     HARD_DECEL = 4.0
     BRAKE_AFTER = 2.0      # seconds of cruising before the sudden brake
+    SLOW_SPEED = CRUISE / 3.2   # srunner's first_vehicle_speed / 3.2 target
+    RETIRE_DIST = 200.0
 
     def on_activate(self) -> None:
         t = self.trigger
@@ -366,10 +370,15 @@ class OtherLeadingVehicle(ScenarioBehavior):
         lead = self.actors[0] if self.actors else None
         if lead is not None and self._t > self.BRAKE_AFTER:
             speed = float(np.linalg.norm(lead.velocity))
-            if speed > 0:
-                new_speed = max(0.0, speed - self.HARD_DECEL * dt)
+            if speed > self.SLOW_SPEED:
+                new_speed = max(self.SLOW_SPEED, speed - self.HARD_DECEL * dt)
                 lead.velocity = lead.velocity * (new_speed / speed)
         super().step(dt)
+        if self.actors and all(
+                np.linalg.norm(a.position - np.array([self.trigger.x, self.trigger.y]))
+                > self.RETIRE_DIST for a in self.actors):
+            self.actors = []
+            self.done = True
 
 
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)

@@ -32,3 +32,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def tool():
+    """Path to the native rough_map_node binary, building it on first use."""
+    import subprocess
+
+    from mmfn_tpu.mapping.rough_map import default_tool_path
+
+    path = default_tool_path()
+    if not os.path.exists(path):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            subprocess.run([os.path.join(root, "scripts", "build_native.sh")],
+                           check=True, capture_output=True)
+        except Exception as e:
+            pytest.skip(f"native tool unavailable: {e}")
+    return path

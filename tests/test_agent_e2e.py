@@ -5,8 +5,6 @@ Uses a 1-layer fusion config to keep the CPU compile tractable; the point is
 exercising every seam of the closed-loop path, not model quality.
 """
 
-import os
-import subprocess
 
 import jax
 import numpy as np
@@ -17,23 +15,7 @@ from mmfn_tpu.data.synthetic import synthetic_batch
 from mmfn_tpu.harness.agents import MMFNAgent
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
-from mmfn_tpu.mapping.rough_map import default_tool_path
 from tests.test_harness import STRAIGHT_XODR
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tool():
-    path = default_tool_path()
-    if not os.path.exists(path):
-        try:
-            subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
-                           check=True, capture_output=True)
-        except Exception as e:
-            pytest.skip(f"native tool unavailable: {e}")
-    return path
-
 
 @pytest.mark.parametrize("variant", ["vec"])
 def test_mmfn_agent_closed_loop_smoke(tool, variant, tmp_path):

@@ -1,7 +1,6 @@
 """Closed-loop expert: drives, collects a dataset, reacts to scenarios."""
 
 import os
-import subprocess
 
 import numpy as np
 import pytest
@@ -12,24 +11,8 @@ from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
 from mmfn_tpu.harness.scenarios import (
-    CrossingWalker, ScenarioManagerLite, ScenarioTrigger, parse_scenario_file)
-from mmfn_tpu.mapping.rough_map import default_tool_path
+    ScenarioManagerLite, ScenarioTrigger, parse_scenario_file)
 from tests.test_harness import STRAIGHT_XODR
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tool():
-    path = default_tool_path()
-    if not os.path.exists(path):
-        try:
-            subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
-                           check=True, capture_output=True)
-        except Exception as e:
-            pytest.skip(f"native tool unavailable: {e}")
-    return path
-
 
 def _run(tool, tmp_path, triggers=None, save=False, length=120.0):
     config = RouteConfig(route_id="0", town="TownTest",
@@ -116,8 +99,8 @@ def test_scenario_catalog_behaviors():
 
 
 def test_simple_pilot_completes_and_avoids(tool, tmp_path):
-    """The AutoPilot-style SimplePilot drives the route and brakes for the
-    stalled-vehicle scenario using plain distance tests."""
+    """The AutoPilot-style SimplePilot drives the route and brakes for a
+    cut-in vehicle using plain distance tests."""
     config = RouteConfig(route_id="0", town="TownTest",
                          trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)], index=0)
     agent = ExpertCollectionAgent({"rmap_tool": tool,
@@ -126,7 +109,7 @@ def test_simple_pilot_completes_and_avoids(tool, tmp_path):
     from mmfn_tpu.harness.experts.pilot import SimplePilot
 
     assert isinstance(agent.pilot, SimplePilot)
-    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="Scenario4")]
+    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="CutIn")]
     record = ClosedLoopRunner(max_wall_seconds=90).run_route(
         agent, config, STRAIGHT_XODR, triggers=triggers)
     assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
@@ -146,6 +129,9 @@ def test_expert_handles_hard_braking_lead(tool, tmp_path):
     triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0, scenario_type="Scenario5")]
     agent, record = _run(tool, tmp_path, triggers=triggers, length=200.0)
     assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+    # the lead keeps driving at cruise/3.2 (srunner semantics), so the route
+    # still completes behind it
+    assert record.status == "Completed", record.to_dict()
 
 
 def test_expert_handles_junction_turns(tool, tmp_path):

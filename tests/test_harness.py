@@ -288,9 +288,11 @@ def test_sensors_reflect_actors():
     lidar = frame["lidar"][1]
     body = lidar[lidar[:, 2] > -2.0]
     assert len(body) > 0
-    # sensor frame pre-flip: +y forward, x lateral (left positive here: y=+1)
-    assert abs(np.median(body[:, 1]) - 10.0) < 2.5
-    assert abs(np.median(body[:, 0]) - 1.0) < 2.5
+    # sensor frame pre-flip: +y forward, +x right — the actor sits 1 m LEFT
+    # of the ego (world y=+1, ego yaw 0), so lateral must be -1; the tight
+    # tolerance (< extent) makes a left/right mirror fail this assertion
+    assert abs(np.median(body[:, 1]) - 10.0) < 1.5
+    assert abs(np.median(body[:, 0]) + 1.0) < 1.5
     # the BEV consumed by the model shows the obstacle ahead (-y half)
     pts = lidar[:, :3].copy()
     pts[:, 1] *= -1

@@ -1,29 +1,11 @@
 """Integration tests for the native OpenDRIVE -> .rmap vectorizer."""
 
 import math
-import os
 import subprocess
 
 import numpy as np
-import pytest
 
 from mmfn_tpu.mapping import RoughMap, build_rmap
-from mmfn_tpu.mapping.rough_map import default_tool_path
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tool():
-    path = default_tool_path()
-    if not os.path.exists(path):
-        build = os.path.join(ROOT, "scripts", "build_native.sh")
-        try:
-            subprocess.run([build], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            pytest.skip(f"cannot build native tool: {e}")
-    return path
-
 
 _XODR_TEMPLATE = """<?xml version="1.0" standalone="yes"?>
 <OpenDRIVE>

@@ -1,15 +1,10 @@
 """Background NPC traffic (the reference's background_activity analog,
 route_scenario.py:444-475): lane following, headway, red lights, scoring."""
 
-import math
-import os
-import subprocess
 
 import numpy as np
-import pytest
 
-from mmfn_tpu.harness.npc_traffic import (
-    BackgroundTraffic, HEADWAY_STOP, MIN_SPAWN_GAP, _Npc)
+from mmfn_tpu.harness.npc_traffic import BackgroundTraffic, MIN_SPAWN_GAP, _Npc
 from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
 
 DT = 0.05
@@ -108,23 +103,6 @@ def test_short_and_degenerate_lanes_are_skipped():
 
 
 # ---- closed-loop integration (expert among traffic) ----------------------- #
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tool():
-    from mmfn_tpu.mapping.rough_map import default_tool_path
-
-    path = default_tool_path()
-    if not os.path.exists(path):
-        try:
-            subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
-                           check=True, capture_output=True)
-        except Exception as e:
-            pytest.skip(f"native tool unavailable: {e}")
-    return path
-
 
 def test_expert_drives_among_background_traffic(tool, tmp_path):
     from mmfn_tpu.config import GlobalConfig

@@ -1,8 +1,6 @@
 """Traffic lights / stop signs: cycle, gating, criteria, closed-loop scoring."""
 
 import math
-import os
-import subprocess
 
 import numpy as np
 import pytest
@@ -16,23 +14,8 @@ from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
 from mmfn_tpu.harness.traffic import (
     SignalSet, StopSign, TrafficLight, signals_from_rough_map)
-from mmfn_tpu.mapping.rough_map import RoughLane, RoughMap, default_tool_path
+from mmfn_tpu.mapping.rough_map import RoughLane, RoughMap
 from tests.test_harness import STRAIGHT_XODR
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def tool():
-    path = default_tool_path()
-    if not os.path.exists(path):
-        try:
-            subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
-                           check=True, capture_output=True)
-        except Exception as e:
-            pytest.skip(f"native tool unavailable: {e}")
-    return path
-
 
 def test_light_cycle_deterministic():
     li = TrafficLight(position=[0.0, 0.0], yaw=0.0, green=5, yellow=2, red=3)
