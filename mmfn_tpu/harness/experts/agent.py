@@ -178,7 +178,8 @@ class ExpertCollectionAgent(AutonomousAgent):
         steer = float(np.clip(decision.steer + 1e-2 * self._rng.standard_normal(),
                               -1.0, 1.0))
         control = VehicleControl(steer=steer, throttle=decision.throttle,
-                                 brake=float(decision.brake))
+                                 brake=float(decision.brake),
+                                 reverse=decision.reverse)
 
         if self.writer is not None and self.writer.should_save(self.step):
             self._save_frame(input_data, world, near_node, far_node, far_cmd,
@@ -214,6 +215,7 @@ class ExpertCollectionAgent(AutonomousAgent):
             x_command=float(far_node[0]), y_command=float(far_node[1]),
             command=int(getattr(far_cmd, "value", far_cmd)),
             steer=control.steer, throttle=control.throttle, brake=control.brake,
+            reverse=control.reverse,
             weather=self.step // 200 % len(WEATHERS))
 
     def consume_unblock_request(self) -> bool:

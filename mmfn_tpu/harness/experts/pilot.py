@@ -43,6 +43,7 @@ class ExpertDecision:
     brake: bool
     target_speed: float
     hazard: Optional[str]
+    reverse: bool = False
 
 
 class ExpertPilot:
@@ -57,6 +58,8 @@ class ExpertPilot:
     VEHICLE_LATERAL_GATE = 2.5   # meters; projection-TTC lateral miss gate
     WALKER_HORIZON = 4.0         # closest-approach prediction window, seconds
     WALKER_SAFE_DIST = 3.5       # brake when predicted approach is closer
+    RED_ANGLE_DIFF = 20.0        # deg; misalignment triggering straightening
+    STRAIGHTEN_SPEED = 0.4       # m/s creep while correcting the pose
 
     def __init__(self):
         self._turn_controller = PIDController(1.25, 0.75, 0.3, n=40)
@@ -131,6 +134,19 @@ class ExpertPilot:
         target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
         target_speed = 0.0 if brake else target_speed
 
+        # red-light pose straightening (mmfn_pilot.py:142-152, 266-273): gated
+        # at a light with the heading badly off the lane, creep at 0.4 m/s —
+        # in reverse when nobody is behind — steering back into alignment so
+        # the restart after green is clean
+        reverse = False
+        if (world.red_light and abs(angle_unnorm) > self.RED_ANGLE_DIFF
+                and not (hazard or "").startswith("walker")):
+            target_speed = self.STRAIGHTEN_SPEED
+            reverse = not world.cars_behind
+            angle_turn = (-1.0 if reverse else 1.0) * angle_unnorm / 90.0
+            steer = float(np.clip(self._turn_controller.step(angle_turn), -1.0, 1.0))
+            brake = False
+
         # car-following: hold the leader's speed instead of hard-braking —
         # but never while the predicted closest approach is unsafe (a decel-
         # erating leader keeps shrinking the gap even at matched speed)
@@ -155,7 +171,8 @@ class ExpertPilot:
             throttle = 0.0
 
         return ExpertDecision(steer=steer, throttle=throttle, brake=brake,
-                              target_speed=target_speed, hazard=hazard)
+                              target_speed=target_speed, hazard=hazard,
+                              reverse=reverse)
 
 
 class SimplePilot(ExpertPilot):

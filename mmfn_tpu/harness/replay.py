@@ -67,9 +67,16 @@ class KinematicWorld:
         self._rng = np.random.default_rng(self.seed)
 
     def tick(self, control) -> None:
-        accel = (control.throttle * self.MAX_ACCEL - control.brake * self.MAX_BRAKE
-                 - self.DRAG * self.v)
-        self.v = max(0.0, self.v + accel * DT)
+        if getattr(control, "reverse", False):
+            # reverse gear: throttle accelerates backwards (capped), brake
+            # still pushes toward standstill
+            accel = (-control.throttle * self.MAX_ACCEL
+                     + control.brake * self.MAX_BRAKE - self.DRAG * self.v)
+            self.v = float(np.clip(self.v + accel * DT, -3.0, 0.0))
+        else:
+            accel = (control.throttle * self.MAX_ACCEL
+                     - control.brake * self.MAX_BRAKE - self.DRAG * self.v)
+            self.v = max(0.0, self.v + accel * DT)
         self.yaw += (self.v / self.WHEELBASE) * math.tan(
             control.steer * self.MAX_STEER_ANGLE) * DT
         self.x += self.v * math.cos(self.yaw) * DT
@@ -321,7 +328,7 @@ class ClosedLoopRunner:
                 collision_events.append(TrafficEvent(
                     etype, f"collided with scenario {hit.kind} {hit.actor_id}"))
             for c in criteria:
-                c.update(position, world.v, game_time)
+                c.update(position, abs(world.v), game_time)
             if criteria[0].completed:
                 break
             if any(getattr(c, "triggered", False) for c in criteria[1:]):

@@ -49,8 +49,11 @@ def create_optimizer(config: GlobalConfig) -> optax.GradientTransformation:
 
 def create_train_state(model, config: GlobalConfig, rng, sample_batch: Batch,
                        tx: Optional[optax.GradientTransformation] = None) -> TrainState:
-    variables = model.init({"params": rng, "dropout": jax.random.PRNGKey(0)},
-                           sample_batch, True)
+    # jit the init: flax's Module.init runs the forward eagerly op-by-op,
+    # which costs minutes of per-primitive dispatch on CPU for the full
+    # graph; one traced compile is ~10x faster and persistently cacheable
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": rng, "dropout": jax.random.PRNGKey(0)}, sample_batch, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = tx or create_optimizer(config)

@@ -452,6 +452,13 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
             double y = ry + t * std::cos(rh);
             pts.push_back({x, -y, rh});  // CARLA y-flip
           }
+          if (sign > 0) {
+            // left lanes (positive ids) run AGAINST road s: emit their
+            // polylines in direction of travel so consumers that read order
+            // as heading (lane-following traffic, turn_dir) are correct.
+            std::reverse(pts.begin(), pts.end());
+            std::reverse(ctrl.begin(), ctrl.end());
+          }
           emit_chunks(pts, road.junction, ctrl, &out);
         }
       };

@@ -98,3 +98,44 @@ def test_dataset_writer_roundtrip(tmp_path):
     sample = ds[0]
     assert sample["image"].shape == (256, 256, 3)
     assert sample["waypoints"].shape == (4, 2)
+
+
+def test_red_light_pose_straightening():
+    """Gated at a red light with the heading >20 deg off the lane: creep at
+    0.4 m/s in reverse when nobody is behind, forward when someone is
+    (mmfn_pilot.py:142-152, 266-273)."""
+    import math
+
+    near, far = np.array([5.0, 0.0]), np.array([50.0, 0.0])
+    skewed = EgoState(position=np.zeros(2), velocity=np.zeros(2),
+                      yaw=math.radians(30.0))
+
+    d = ExpertPilot().get_control(WorldView(ego=skewed, red_light=True), near, far)
+    assert d.reverse and not d.brake
+    assert d.target_speed == pytest.approx(0.4)
+    assert d.throttle > 0.0
+
+    behind = Actor(position=np.array([-8.0, 0.0]), velocity=np.zeros(2))
+    d2 = ExpertPilot().get_control(
+        WorldView(ego=skewed, red_light=True, cars_behind=[behind]), near, far)
+    assert not d2.reverse and not d2.brake
+    assert d2.target_speed == pytest.approx(0.4)
+
+    # aligned ego: plain red-light braking, no maneuver
+    aligned = EgoState(position=np.zeros(2), velocity=np.zeros(2), yaw=0.0)
+    d3 = ExpertPilot().get_control(WorldView(ego=aligned, red_light=True), near, far)
+    assert d3.brake and not d3.reverse
+
+
+def test_kinematic_world_reverse_gear():
+    from mmfn_tpu.harness.agents.base import VehicleControl
+    from mmfn_tpu.harness.replay import KinematicWorld
+
+    world = KinematicWorld("<OpenDRIVE/>", (0.0, 0.0, 0.0))
+    for _ in range(40):
+        world.tick(VehicleControl(throttle=0.5, reverse=True))
+    assert world.v < 0.0 and world.v >= -3.0
+    assert world.x < -0.1                       # moved backwards
+    for _ in range(40):
+        world.tick(VehicleControl(brake=1.0, reverse=True))
+    assert world.v == pytest.approx(0.0, abs=1e-6)

@@ -96,13 +96,20 @@ def test_arc_junction_signal(tool, tmp_path):
     radii = np.linalg.norm(nodes[:, :2] - center, axis=1)
     np.testing.assert_allclose(radii, 48.0, atol=0.05)
     assert np.all(nodes[:, 2] == 1)   # junction
-    # traffic control is signal-local: the light sits at s=10, so nodes within
-    # the +-15 m window are controlled and the far end of the arc is not
-    assert np.all(nodes[:3, 4] == 1)
+    # traffic control is signal-local: the light sits at s=10, so exactly the
+    # nodes within the +-15 m window (arc length from the road start (0,0))
+    # are controlled, wherever chunking/reversal puts them
     all_nodes = np.concatenate([l.nodes for l in rmap.lanes])
-    assert np.any(all_nodes[:, 4] == 0)
-    # xodr CCW arc becomes a right turn after the CARLA y-flip
-    assert np.all(nodes[:, 3] == 2)
+    controlled = all_nodes[all_nodes[:, 4] == 1]
+    uncontrolled = all_nodes[all_nodes[:, 4] == 0]
+    assert len(controlled) and len(uncontrolled)
+    # chord distance from the road start for arc length 25 on R=48: ~24.7
+    start = np.array([0.0, 0.0])
+    assert np.linalg.norm(controlled[:, :2] - start, axis=1).max() < 25.0
+    assert np.linalg.norm(uncontrolled[:, :2] - start, axis=1).min() > 24.0
+    # xodr CCW arc + CARLA y-flip = right turn along road s; the left lane
+    # travels against s, so in ITS direction of travel it is a left turn
+    assert np.all(nodes[:, 3] == 1)
 
 
 def test_crop_pipeline_end_to_end(tool, tmp_path):

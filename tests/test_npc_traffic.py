@@ -131,3 +131,45 @@ def test_expert_drives_among_background_traffic(tool, tmp_path):
         agent, config, STRAIGHT_XODR, background=bg)
     # the expert keeps headway: no vehicle collisions among traffic
     assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
+def test_npcs_travel_in_lane_direction_on_two_lane_road(tool, tmp_path):
+    """Left-lane (positive id) polylines come out of the vectorizer in
+    direction of travel, so NPCs on a two-way road drive WITH their lane,
+    never head-on (regression: demo route 3 collision)."""
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+
+    two_lane = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE><header revMajor="1" revMinor="4" name="line"/>
+<road name="R0" length="200.0" id="0" junction="-1">
+<planView><geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="200.0"><line/></geometry></planView>
+<lanes><laneSection s="0.0"><center><lane id="0" type="none" level="false"/></center>
+<right><lane id="-1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></right>
+<left><lane id="1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></left>
+</laneSection></lanes></road></OpenDRIVE>
+"""
+    map_dir = tmp_path / "two" / "opendrive"
+    map_dir.mkdir(parents=True)
+    (map_dir / "opstr.txt").write_text(two_lane)
+    assert not build_rmap([str(map_dir)], tool_path=tool)
+    rm = RoughMap().read(str(map_dir / "a.rmap"))
+
+    for lane in rm.lanes:
+        dx = np.diff(lane.nodes[:, 0])
+        y = np.median(lane.nodes[:, 1])
+        if y > 0:         # right lane (xodr t<0 -> CARLA +y): travels +x
+            assert np.all(dx > 0), lane.nodes[:, :2]
+        else:             # left lane: travels -x
+            assert np.all(dx < 0), lane.nodes[:, :2]
+
+    # NPCs spawned on those lanes keep each lane's direction
+    bg = BackgroundTraffic([l.nodes for l in rm.lanes], amount=8, seed=0)
+    for _ in range(100):
+        actors = bg.tick(np.array([1000.0, 1000.0]), 0.0, DT)
+    for a in actors:
+        if np.linalg.norm(a.velocity) < 0.5:
+            continue
+        if a.position[1] > 0:
+            assert a.velocity[0] > 0
+        else:
+            assert a.velocity[0] < 0
