@@ -157,7 +157,7 @@ def main():
         radar=init_inp["radar"], radar_adj=radar_adjacency(init_inp["radar"]),
         target_point=init_inp["target_point"], velocity=init_inp["velocity"],
     )
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnums=(2,))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         init_batch, False)
 

@@ -77,11 +77,11 @@ def build_agent(cfg, shared=None):
         if agent_type == "cilrs":
             import jax.numpy as jnp
 
-            variables = model.init(
+            variables = jax.jit(model.init, static_argnums=(3,))(
                 {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                 batch, jnp.ones((1,), jnp.int32), False)
         else:
-            variables = model.init(
+            variables = jax.jit(model.init, static_argnums=(2,))(
                 {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                 batch, False)
         return BaselineAgent({"kind": agent_type, "model": model,
@@ -93,7 +93,7 @@ def build_agent(cfg, shared=None):
     gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64), **overrides)
     model = build_model(gconf, agent_cfg.get("variant", "vec"))
     batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnums=(2,))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch, False)
 
