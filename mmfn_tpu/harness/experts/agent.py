@@ -76,6 +76,8 @@ class ExpertCollectionAgent(AutonomousAgent):
             self.writer = DatasetWriter(conf["save_path"],
                                         image_ext=conf.get("image_ext", "npy"))
         self.birdview: Optional[BirdViewProducer] = None
+        self._lane_xy = np.zeros((0, 2))
+        self._lane_idx = np.zeros((0,), np.int64)
         self.step = -1
         self.initialized = False
 
@@ -107,12 +109,75 @@ class ExpertCollectionAgent(AutonomousAgent):
         self.rough_map.read(rmap_path)
         self.birdview = BirdViewProducer.from_opendrive(
             rmap_path, target_size=self.config.input_resolution)
+        self._build_lane_lookup()
         self.rough_map_loaded = True
         if self.writer is not None:
             od_dir = os.path.join(self.writer.route_dir, "opendrive")
             os.makedirs(od_dir, exist_ok=True)
             with open(os.path.join(od_dir, "opstr.txt"), "w") as f:
                 f.write(opendrive_str)
+
+    # ---- lane identity (for the change-lane hazard) ----------------------- #
+
+    LANE_CORRIDOR = 2.0     # half lane width-ish: "on this polyline", meters
+
+    def _build_lane_lookup(self) -> None:
+        """Densify chunk polylines to ~1 m for nearest-lane queries (the
+        reference reads lane ids off the CARLA map, mmfn_pilot.py
+        _is_change_lane; here lane identity = vectorized chunk index)."""
+        xs, idxs = [], []
+        for i, lane in enumerate(self.rough_map.lanes):
+            pts = np.asarray(lane.nodes[:, :2], dtype=np.float64)
+            if len(pts) < 2:
+                xs.append(pts)
+                idxs.append(np.full(len(pts), i))
+                continue
+            dense = [pts[:1]]
+            for a, b in zip(pts[:-1], pts[1:]):
+                n = max(1, int(np.linalg.norm(b - a)))
+                t = np.linspace(0.0, 1.0, n + 1)[1:, None]
+                dense.append(a * (1 - t) + b * t)
+            dense = np.concatenate(dense, axis=0)
+            xs.append(dense)
+            idxs.append(np.full(len(dense), i))
+        self._lane_xy = (np.concatenate(xs, axis=0)
+                         if xs else np.zeros((0, 2)))
+        self._lane_idx = (np.concatenate(idxs, axis=0).astype(np.int64)
+                          if idxs else np.zeros((0,), np.int64))
+
+    def _chunks_near(self, xy, radius: Optional[float] = None) -> set:
+        """Chunk indices whose polyline passes within `radius` of xy."""
+        if self._lane_xy.shape[0] == 0:
+            return set()
+        d = np.linalg.norm(self._lane_xy - np.asarray(xy, dtype=np.float64),
+                           axis=1)
+        r = self.LANE_CORRIDOR if radius is None else radius
+        return set(self._lane_idx[d < r].tolist())
+
+    def _annotate_lane_change(self, view: WorldView, near_node, far_node) -> None:
+        """Mark a route-required lane change and per-actor lane occupancy so
+        the pilot's _change_lane_hazard can gate the merge."""
+        ego_chunks = self._chunks_near(view.ego.position)
+        if not ego_chunks:
+            return
+        target_chunks = (self._chunks_near(near_node)
+                         | self._chunks_near(far_node))
+        off_lane = target_chunks - ego_chunks
+        if not off_lane or (target_chunks & ego_chunks):
+            return   # targets still covered by the current lane's chunks
+        view.lane_change_required = True
+        view.change_lane_ids = sorted(off_lane)
+        view.ego.lane_id = min(ego_chunks)
+        for v in list(view.vehicles) + list(view.cars_behind):
+            chunks = self._chunks_near(v.position)
+            if chunks & off_lane:
+                v.lane_id = min(chunks & off_lane)
+            elif chunks & ego_chunks:
+                v.lane_id = view.ego.lane_id
+            elif chunks:
+                v.lane_id = min(chunks)
+            else:
+                v.lane_id = -1
 
     def _detect_front_car(self, view: WorldView) -> Optional[Actor]:
         front, front_dist = None, float("inf")
@@ -168,6 +233,8 @@ class ExpertCollectionAgent(AutonomousAgent):
         near_node, near_cmd = self._waypoint_planner.run_step(pos)
         far_node, far_cmd = self._command_planner.run_step(pos)
 
+        if self.rough_map_loaded:
+            self._annotate_lane_change(world, near_node, far_node)
         decision = self.pilot.get_control(world, near_node, far_node)
         if self.force_unblock:
             self._stop_counter = (self._stop_counter + 1

@@ -60,11 +60,16 @@ class ExpertPilot:
     WALKER_SAFE_DIST = 3.5       # brake when predicted approach is closer
     RED_ANGLE_DIFF = 20.0        # deg; misalignment triggering straightening
     STRAIGHTEN_SPEED = 0.4       # m/s creep while correcting the pose
+    CHANGE_LANE_DIST = 8.0       # base merge-blocking window, meters
+    CONSIDER_ANGLE = 120.0       # deg; heading-alignment cone for merges
+    CHANGE_LANE_PATIENCE = 20    # decisions before giving up on the merge wait
 
     def __init__(self):
         self._turn_controller = PIDController(1.25, 0.75, 0.3, n=40)
         self._speed_controller = PIDController(5.0, 0.5, 1.0, n=40)
         self._stop_completed = False
+        self._stop_for_change_lane = 0
+        self._over_time = False
 
     # ---- hazards -------------------------------------------------------------- #
 
@@ -100,6 +105,30 @@ class ExpertPilot:
                 return f"walker:{w.actor_id}"
         return None
 
+    def _change_lane_hazard(self, world: WorldView):
+        """A vehicle occupying the target lane of a route-required lane change
+        (mmfn_pilot.py:_is_change_lane): roughly-aligned traffic inside a
+        speed-scaled window blocks the merge; parked cars outside junctions
+        are ignored. Returns the blocking Actor or None."""
+        if not world.lane_change_required or not world.change_lane_ids:
+            return None
+        ego = world.ego
+        for v in list(world.vehicles) + list(world.cars_behind):
+            if v.lane_id == ego.lane_id or v.lane_id not in world.change_lane_ids:
+                continue
+            speed_v = float(np.linalg.norm(v.velocity))
+            if speed_v < 0.1 and not world.ego.in_junction:
+                continue      # parked car, not merging traffic
+            dist = float(np.linalg.norm(v.position - ego.position))
+            threshold = float(np.clip(
+                max(self.CHANGE_LANE_DIST, 2.0 * ego.speed, 2.0 * speed_v),
+                0.0, self.STOP_THRESHOLD * 1.5))
+            heading_diff = abs((math.degrees(v.yaw - ego.yaw) + 180.0)
+                               % 360.0 - 180.0)
+            if dist < threshold and heading_diff < self.CONSIDER_ANGLE * 0.65:
+                return v
+        return None
+
     def _stop_sign_hazard(self, world: WorldView) -> Optional[str]:
         if not world.stop_sign:
             self._stop_completed = False
@@ -108,12 +137,22 @@ class ExpertPilot:
             self._stop_completed = True
         return None if self._stop_completed else "stop_sign"
 
+    def _hazards(self, world: WorldView) -> dict:
+        change = self._change_lane_hazard(world)
+        return {
+            "vehicle": self._vehicle_hazard(world),
+            "walker": self._walker_hazard(world),
+            "change_lane": f"change_lane:{change.actor_id}" if change else None,
+            "red_light": "red_light" if world.red_light else None,
+            "stop_sign": self._stop_sign_hazard(world),
+            "_change_actor": change,
+        }
+
     def should_brake(self, world: WorldView) -> Optional[str]:
-        for hazard in (self._vehicle_hazard(world), self._walker_hazard(world),
-                       "red_light" if world.red_light else None,
-                       self._stop_sign_hazard(world)):
-            if hazard:
-                return hazard
+        h = self._hazards(world)
+        for key in ("vehicle", "walker", "change_lane", "red_light", "stop_sign"):
+            if h[key]:
+                return h[key]
         return None
 
     # ---- control -------------------------------------------------------------- #
@@ -129,10 +168,34 @@ class ExpertPilot:
 
         angle_far_unnorm = angle_to_target(pos, ego.yaw, far_target)
         should_slow = abs(angle_far_unnorm) > 45.0 or abs(angle_unnorm) > 5.0
-        hazard = self.should_brake(world)
+        h = self._hazards(world)
+        hazard = next((h[k] for k in ("vehicle", "walker", "change_lane",
+                                      "red_light", "stop_sign") if h[k]), None)
         brake = hazard is not None
         target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
         target_speed = 0.0 if brake else target_speed
+
+        # merge-wait patience (mmfn_pilot.py:127-140): when only a stopped
+        # vehicle in the target lane is holding us, count; past the patience
+        # threshold ignore the change-lane hazard until it clears
+        change_actor = h["_change_actor"]
+        if (h["change_lane"] and not h["red_light"] and not h["stop_sign"]
+                and float(np.linalg.norm(change_actor.velocity)) < 1.0):
+            self._stop_for_change_lane += 1
+        elif not self._over_time:
+            self._stop_for_change_lane = 0
+        if self._stop_for_change_lane > self.CHANGE_LANE_PATIENCE:
+            self._over_time = True
+            others = [h[k] for k in ("vehicle", "walker", "red_light", "stop_sign")]
+            brake = any(x is not None for x in others)
+            if brake:
+                hazard = next(x for x in others if x)
+            else:
+                hazard = None
+                target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
+            if h["change_lane"] is None:
+                self._stop_for_change_lane = 0
+                self._over_time = False
 
         # red-light pose straightening (mmfn_pilot.py:142-152, 266-273): gated
         # at a light with the heading badly off the lane, creep at 0.4 m/s —

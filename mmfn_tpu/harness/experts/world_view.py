@@ -50,3 +50,8 @@ class WorldView:
     stop_sign: bool = False          # an un-served stop sign gates the ego
     car_in_front: Optional[Actor] = None
     cars_behind: List[Actor] = field(default_factory=list)
+    # route requires a lane change (the planner targets sit on another lane);
+    # change_lane_ids = the lane ids the ego must cross into
+    # (mmfn_pilot.py:_is_change_lane route/lane-id tests)
+    lane_change_required: bool = False
+    change_lane_ids: List[int] = field(default_factory=list)

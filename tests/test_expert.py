@@ -139,3 +139,47 @@ def test_kinematic_world_reverse_gear():
     for _ in range(40):
         world.tick(VehicleControl(brake=1.0, reverse=True))
     assert world.v == pytest.approx(0.0, abs=1e-6)
+
+
+def test_change_lane_hazard_and_patience():
+    """A moving vehicle in the merge-target lane gates the lane change
+    (mmfn_pilot.py:_is_change_lane); a slow blocker only holds the ego for
+    CHANGE_LANE_PATIENCE decisions before the wait is abandoned
+    (mmfn_pilot.py:127-140)."""
+    near, far = np.array([6.0, -3.5]), np.array([30.0, -3.5])
+
+    def world_with(blocker_speed):
+        # beside-and-slightly-ahead in the adjacent lane: outside the forward
+        # proximity cone (60 deg) and both TTC gates (lateral 3.5 m), so only
+        # the change-lane rule can fire
+        ego = EgoState(position=np.zeros(2), velocity=np.array([3.0, 0.0]),
+                       yaw=0.0, lane_id=1)
+        blocker = Actor(position=np.array([2.0, -3.5]),
+                        velocity=np.array([blocker_speed, 0.0]),
+                        yaw=0.0, lane_id=2, actor_id=42)
+        return WorldView(ego=ego, vehicles=[blocker],
+                         lane_change_required=True, change_lane_ids=[2])
+
+    pilot = ExpertPilot()
+    d = pilot.get_control(world_with(3.0), near, far)
+    assert d.hazard == "change_lane:42" and d.brake
+
+    # parked car in the target lane outside a junction: not merging traffic
+    d2 = ExpertPilot().get_control(world_with(0.0), near, far)
+    assert d2.hazard is None
+
+    # slow (but moving) blocker: brake at first, give up after the patience
+    pilot3 = ExpertPilot()
+    last = None
+    for _ in range(pilot3.CHANGE_LANE_PATIENCE + 3):
+        last = pilot3.get_control(world_with(0.5), near, far)
+    assert not last.brake and last.hazard is None
+
+    # vehicle in the ego's own lane id never triggers the merge gate
+    ego = EgoState(position=np.zeros(2), velocity=np.array([3.0, 0.0]),
+                   yaw=0.0, lane_id=1)
+    same_lane = Actor(position=np.array([40.0, 0.0]),
+                      velocity=np.array([3.0, 0.0]), yaw=0.0, lane_id=1)
+    w = WorldView(ego=ego, vehicles=[same_lane],
+                  lane_change_required=True, change_lane_ids=[2])
+    assert ExpertPilot()._change_lane_hazard(w) is None

@@ -197,3 +197,47 @@ def test_expert_drives_curved_road(tool, tmp_path):
     assert record.status == "Completed", record.to_dict()
     # stayed in the lane through the bend (outside-lanes penalty untouched)
     assert record.scores["score_penalty"] > 0.95, record.to_dict()
+
+
+TWO_LANE_XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE><header revMajor="1" revMinor="4" name="line"/>
+<road name="R0" length="200.0" id="0" junction="-1">
+<planView><geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="200.0"><line/></geometry></planView>
+<lanes><laneSection s="0.0"><center><lane id="0" type="none" level="false"/></center>
+<right><lane id="-1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></right>
+<left><lane id="1" type="driving" level="false"><width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/></lane></left>
+</laneSection></lanes></road></OpenDRIVE>
+"""
+
+
+def test_lane_change_annotation(tool, tmp_path):
+    """Route targets on the other lane of a two-lane road mark a required
+    lane change; actors are labeled with ego-lane vs target-lane identity."""
+    from mmfn_tpu.harness.experts.world_view import Actor, EgoState, WorldView
+
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "map"),
+                                   "config": GlobalConfig()})
+    agent._save_map(TWO_LANE_XODR)
+
+    ego = EgoState(position=np.array([50.0, 1.75]),
+                   velocity=np.array([5.0, 0.0]), yaw=0.0)
+    same = Actor(position=np.array([60.0, 1.75]), velocity=np.zeros(2),
+                 actor_id=1)
+    other = Actor(position=np.array([55.0, -1.75]), velocity=np.zeros(2),
+                  actor_id=2)
+    view = WorldView(ego=ego, vehicles=[same, other])
+
+    # targets on the ego's own lane: no lane change flagged
+    agent._annotate_lane_change(view, np.array([55.0, 1.75]),
+                                np.array([80.0, 1.75]))
+    assert not view.lane_change_required
+
+    # targets on the opposite lane: flagged, actors labeled by lane
+    view2 = WorldView(ego=ego, vehicles=[same, other])
+    agent._annotate_lane_change(view2, np.array([55.0, -1.75]),
+                                np.array([80.0, -1.75]))
+    assert view2.lane_change_required
+    assert view2.change_lane_ids
+    assert same.lane_id == view2.ego.lane_id
+    assert other.lane_id in view2.change_lane_ids
