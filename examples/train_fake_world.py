@@ -59,14 +59,14 @@ COLLECT_ROUTES = [
 EVAL_ROUTE = [(30.0, 1.75, 0.0), (210.0, 1.75, 0.0)]
 
 
-def make_background(rmap_path, amount, seed):
+def make_background(rmap_path, amount, seed, ego_start=None):
     if amount <= 0:
         return None
     from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
     from mmfn_tpu.mapping import RoughMap
 
     lanes = [l.nodes for l in RoughMap().read(rmap_path).lanes]
-    return BackgroundTraffic(lanes, amount, seed=seed)
+    return BackgroundTraffic(lanes, amount, seed=seed, ego_start=ego_start)
 
 
 def make_map(out_dir):
@@ -89,7 +89,8 @@ def collect(out_dir, birdview, cfg, rmap_path, traffic=0):
             "tmp_dir": os.path.join(out_dir, f"expert_map_{i}")})
         record = runner.run_route(
             agent, RouteConfig(str(i), "TownFake", traj, 0), XODR,
-            background=make_background(rmap_path, traffic, seed=i),
+            background=make_background(rmap_path, traffic, seed=i,
+                                       ego_start=traj[0][:2]),
             world_kwargs={"camera_birdview": birdview})
         print(f"collect route {i}: {record.status}, "
               f"score {record.scores['score_composed']:.0f}")
@@ -102,7 +103,8 @@ def evaluate(variables, model, cfg, birdview, label, rmap_path, traffic=0):
     runner = ClosedLoopRunner(max_wall_seconds=240)
     record = runner.run_route(
         agent, RouteConfig("eval", "TownFake", EVAL_ROUTE, 0), XODR,
-        background=make_background(rmap_path, traffic, seed=99),
+        background=make_background(rmap_path, traffic, seed=99,
+                                   ego_start=EVAL_ROUTE[0][:2]),
         world_kwargs={"camera_birdview": birdview})
     print(f"{label}: {record.status}, driving score "
           f"{record.scores['score_composed']:.1f} "

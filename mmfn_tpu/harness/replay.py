@@ -320,7 +320,7 @@ class ClosedLoopRunner:
             world.tick(control)
             game_time += DT
             position = (world.x, world.y)
-            hit = check_collision(np.asarray(position), 2.0, scenario_actors)
+            hit = check_collision(np.asarray(position), world.yaw, scenario_actors)
             if hit is not None and hit.actor_id not in collided_ids:
                 collided_ids.add(hit.actor_id)
                 etype = (TrafficEventType.COLLISION_PEDESTRIAN if hit.kind == "walker"

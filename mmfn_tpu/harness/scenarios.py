@@ -439,9 +439,53 @@ class ScenarioManagerLite:
         return removed
 
 
-def check_collision(ego_xy: np.ndarray, ego_extent: float,
+# vehicle footprint: CARLA lincoln.mkz2017 is ~4.9 x 2.1 m; actor boxes are
+# derived from the scalar extent the same way the birdview draws them
+EGO_HALF = (2.45, 1.05)            # (half length, half width), meters
+
+
+def _obb_axes(yaw: float):
+    c, s = math.cos(yaw), math.sin(yaw)
+    return np.array([c, s]), np.array([-s, c])
+
+
+def _obb_overlap(ca, yaw_a, half_a, cb, yaw_b, half_b) -> bool:
+    """Separating-axis test for two oriented rectangles."""
+    ax = _obb_axes(yaw_a)
+    bx = _obb_axes(yaw_b)
+    d = np.asarray(cb, dtype=np.float64) - np.asarray(ca, dtype=np.float64)
+    for axis in (*ax, *bx):
+        ra = half_a[0] * abs(axis @ ax[0]) + half_a[1] * abs(axis @ ax[1])
+        rb = half_b[0] * abs(axis @ bx[0]) + half_b[1] * abs(axis @ bx[1])
+        if abs(d @ axis) > ra + rb:
+            return False
+    return True
+
+
+def actor_half_extents(a: ScenarioActor):
+    """(half length, half width) box for an actor: vehicles are elongated
+    (matching the birdview raster, length 2*extent, width 1.4*extent);
+    walkers are squares of their radius."""
+    if a.kind == "vehicle":
+        return (float(a.extent), 0.7 * float(a.extent))
+    return (float(a.extent), float(a.extent))
+
+
+def check_collision(ego_xy: np.ndarray, ego_yaw: float,
                     actors: Sequence[ScenarioActor]) -> Optional[ScenarioActor]:
+    """Oriented-box collision between the ego footprint and each actor.
+
+    Circle tests cannot model cars: the ~4.9 m length would need a radius
+    that false-positives on traffic one lane over (3.5 m lane spacing), and a
+    width-sized radius misses real rear-ends. The reference relies on CARLA's
+    physical collision sensor (box colliders); this is the kinematic analog.
+    """
+    ego_xy = np.asarray(ego_xy, dtype=np.float64)
     for a in actors:
-        if np.linalg.norm(np.asarray(ego_xy) - a.position) < ego_extent + a.extent:
+        # cheap reject: beyond any possible overlap
+        if np.linalg.norm(ego_xy - a.position) > 8.0:
+            continue
+        if _obb_overlap(ego_xy, ego_yaw, EGO_HALF,
+                        a.position, a.yaw, actor_half_extents(a)):
             return a
     return None

@@ -173,3 +173,32 @@ def test_npcs_travel_in_lane_direction_on_two_lane_road(tool, tmp_path):
             assert a.velocity[0] > 0
         else:
             assert a.velocity[0] < 0
+
+
+def test_oriented_box_collision():
+    """Box collision: adjacent-lane passes (3.5 m) are clean, real rear-ends
+    and crossing overlaps register (circle tests cannot do both)."""
+    from mmfn_tpu.harness.scenarios import ScenarioActor, check_collision
+
+    def car(x, y, yaw=0.0, aid=1):
+        return ScenarioActor("vehicle", np.array([x, y], dtype=float),
+                             np.zeros(2), yaw=yaw, extent=2.2, actor_id=aid)
+
+    ego = np.array([0.0, 0.0])
+    # oncoming car one lane over: no collision
+    assert check_collision(ego, 0.0, [car(0.0, 3.5, yaw=np.pi)]) is None
+    # side-by-side in the adjacent lane: no collision
+    assert check_collision(ego, 0.0, [car(1.5, 3.5)]) is None
+    # rear-end: bumper overlap at 4 m center distance, same lane
+    assert check_collision(ego, 0.0, [car(4.0, 0.0)]) is not None
+    # clear gap ahead: 5.5 m centers is daylight
+    assert check_collision(ego, 0.0, [car(5.5, 0.0)]) is None
+    # perpendicular crossing vehicle overlapping the ego's nose
+    assert check_collision(ego, 0.0, [car(2.5, 0.5, yaw=np.pi / 2)]) is not None
+    # walker brushing the ego's side
+    walker = ScenarioActor("walker", np.array([0.0, 1.4]), np.zeros(2),
+                           extent=0.5, actor_id=9)
+    assert check_collision(ego, 0.0, [walker]) is not None
+    walker_far = ScenarioActor("walker", np.array([0.0, 2.0]), np.zeros(2),
+                               extent=0.5, actor_id=9)
+    assert check_collision(ego, 0.0, [walker_far]) is None
