@@ -141,9 +141,15 @@ def main():
         run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint)
         return
 
-    # vectorize the fake world's map once so the outside-lanes penalty applies
-    # and the deterministic birdview camera (the fake world's visual signal,
-    # same as examples/train_fake_world.py) can render
+    # the fake world's map: `map:` in the config names an OpenDRIVE file
+    # (e.g. data/maps/fake_town_loop.xodr); default is a straight road.
+    # Vectorize it once so the outside-lanes penalty applies and the
+    # deterministic birdview camera (the fake world's visual signal, same as
+    # examples/train_fake_world.py) can render
+    map_xodr = FALLBACK_XODR
+    if cfg.get("map"):
+        with open(cfg["map"]) as f:
+            map_xodr = f.read()
     rough_map = None
     birdview = None
     try:
@@ -155,7 +161,7 @@ def main():
         map_dir = os.path.join(tempfile.mkdtemp(prefix="mmfn_eval_map_"), "opendrive")
         os.makedirs(map_dir, exist_ok=True)
         with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
-            f.write(FALLBACK_XODR)
+            f.write(map_xodr)
         if not build_rmap([map_dir]):
             rmap_path = os.path.join(map_dir, "a.rmap")
             rough_map = RoughMap().read(rmap_path)
@@ -191,7 +197,7 @@ def main():
                 seed=config.index, signals=signals,
                 ego_start=config.trajectory[0][:2])
         print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
-        record = runner.run_route(agent, config, FALLBACK_XODR, triggers=triggers,
+        record = runner.run_route(agent, config, map_xodr, triggers=triggers,
                                   rough_map=rough_map, signals=signals,
                                   background=background,
                                   world_kwargs={"camera_birdview": birdview})
