@@ -30,6 +30,7 @@ from mmfn_tpu.data.synthetic import synthetic_batch
 from mmfn_tpu.harness.agents import MMFNAgent
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteIndexer
+from mmfn_tpu.harness.result_writer import format_global_summary, format_route_record
 from mmfn_tpu.harness.statistics import StatisticsManager
 from mmfn_tpu.models import build_model
 from mmfn_tpu.utils.cli import load_config
@@ -203,10 +204,11 @@ def main():
                                   world_kwargs={"camera_birdview": birdview})
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
-        print(f"  -> {record.status}, score {record.scores['score_composed']:.1f}")
+        print(format_route_record(record, title=f"route {config.route_id}"))
 
     global_record = statistics.compute_global_statistics(indexer.total)
     statistics.save_global_record(global_record, indexer.total, endpoint)
+    print(format_global_summary(statistics.records))
     print(f"{bc.OKGREEN}driving score: {global_record.scores['score_composed']:.2f} "
           f"({time.time() - t0:.0f}s){bc.ENDC}")
 
