@@ -58,6 +58,28 @@ COLLECT_ROUTES = [
 ]
 EVAL_ROUTE = [(30.0, 1.75, 0.0), (210.0, 1.75, 0.0)]
 
+# --map loop: the shipped signalized circuit (data/maps/fake_town_loop.xodr)
+# with collection segments covering its straights AND arcs, so the policy
+# sees turning data; evaluation is a held-out quarter of the ring.
+LOOP_XODR_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "maps", "fake_town_loop.xodr")
+LOOP_ROUTE_PATH = os.path.join(os.path.dirname(LOOP_XODR_PATH),
+                               os.pardir, "routes", "fake_loop.xml")
+
+
+def _loop_routes():
+    """Collection segments sliced from the shipped ring route (keypoints
+    follow the lane through the arcs, so interpolation stays on the road);
+    evaluation = the held-out closing corner."""
+    from mmfn_tpu.harness.route import parse_routes_file
+
+    ring = list(parse_routes_file(LOOP_ROUTE_PATH)[0].trajectory)
+    n = len(ring)
+    seg = max(4, n // 4)
+    collect = [ring[i:i + seg + 1] for i in range(0, n - seg, seg)]
+    eval_route = ring[-3:] + ring[:2]
+    return collect, eval_route
+
 
 def make_background(rmap_path, amount, seed, ego_start=None):
     if amount <= 0:
@@ -120,8 +142,15 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--traffic", type=int, default=0,
                     help="ambient NPC vehicles during collect AND eval")
+    ap.add_argument("--map", choices=["straight", "loop"], default="straight",
+                    help="fake-world map: straight road or the signalized loop")
     args = ap.parse_args()
 
+    global XODR, COLLECT_ROUTES, EVAL_ROUTE
+    if args.map == "loop":
+        with open(LOOP_XODR_PATH) as f:
+            XODR = f.read()
+        COLLECT_ROUTES, EVAL_ROUTE = _loop_routes()
     cfg = GlobalConfig(n_layer=args.n_layer, max_lanes=16, lr=3e-4)
     t0 = time.time()
     rmap_path, birdview = make_map(args.out)

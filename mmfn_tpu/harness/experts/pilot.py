@@ -82,12 +82,17 @@ class ExpertPilot:
             if min(ttc_a, ttc_b) < self.VEHICLE_TTC:
                 return f"vehicle:{v.actor_id}"
             # proximity gate: hold distance behind a slow/stopped vehicle in
-            # the forward cone (TTC alone lets the ego creep into the bumper
-            # as both speed and TTC decay together; reference STOP_THRESHOLD)
-            gap = float(np.linalg.norm(v.position - ego.position))
-            if (gap < self.STOP_THRESHOLD
-                    and np.linalg.norm(v.velocity) < self.CLOSE_OBS_SPEED
-                    and abs(angle_to_target(ego.position, ego.yaw, v.position)) < 45.0):
+            # MY lane corridor (TTC alone lets the ego creep into the bumper
+            # as both speed and TTC decay together; reference STOP_THRESHOLD).
+            # Corridor = ahead within STOP_THRESHOLD and laterally inside the
+            # lane — an angle cone would latch onto stopped traffic one lane
+            # over on curves and deadlock both parties.
+            rel = v.position - ego.position
+            fwd = float(rel @ np.array([math.cos(ego.yaw), math.sin(ego.yaw)]))
+            lat = float(rel @ np.array([-math.sin(ego.yaw), math.cos(ego.yaw)]))
+            if (0.0 < fwd < self.STOP_THRESHOLD
+                    and abs(lat) < self.VEHICLE_LATERAL_GATE
+                    and np.linalg.norm(v.velocity) < self.CLOSE_OBS_SPEED):
                 return f"vehicle:{v.actor_id}"
         return None
 

@@ -29,7 +29,10 @@ from mmfn_tpu.harness.scenarios import ScenarioActor
 CRUISE_SPEED = (4.0, 7.0)     # per-vehicle cruise speed range, m/s
 HEADWAY_STOP = 6.0            # bumper-to-bumper stop distance, m
 HEADWAY_LOOK = 18.0           # look-ahead distance for the leader search, m
-LANE_HALF_WIDTH = 2.5         # lateral window counting an actor as "in lane", m
+LANE_HALF_WIDTH = 2.8         # lateral window counting an actor as "in lane", m
+#   (> combined box half-widths 2.6: a stopped ego cutting into the passing
+#   margin on an arc makes the NPC yield instead of grazing it; oncoming
+#   traffic one full lane over at 3.5 m still passes freely)
 ACCEL = 3.0                   # m/s^2 toward target speed
 DECEL = 6.0                   # m/s^2 when braking
 MIN_SPAWN_GAP = 12.0          # spacing between spawned vehicles, m

@@ -241,3 +241,35 @@ def test_lane_change_annotation(tool, tmp_path):
     assert view2.change_lane_ids
     assert same.lane_id == view2.ego.lane_id
     assert other.lane_id in view2.change_lane_ids
+
+
+def test_expert_full_circuit_among_traffic(tool, tmp_path):
+    """The shipped signalized loop town end-to-end: the expert completes the
+    556 m circuit among 10 background vehicles with a perfect score (guards
+    route-keypoint density, arc passing clearance, signal gating)."""
+    from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
+    from mmfn_tpu.harness.route import parse_routes_file
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    xodr_path = os.path.join(root, "data", "maps", "fake_town_loop.xodr")
+    route_path = os.path.join(root, "data", "routes", "fake_loop.xml")
+    xodr = open(xodr_path).read()
+    config = parse_routes_file(route_path)[0]
+    config.index = 0
+
+    map_dir = tmp_path / "loop" / "opendrive"
+    map_dir.mkdir(parents=True)
+    (map_dir / "opstr.txt").write_text(xodr)
+    assert not build_rmap([str(map_dir)], tool_path=tool)
+    rough_map = RoughMap().read(str(map_dir / "a.rmap"))
+    bg = BackgroundTraffic([l.nodes for l in rough_map.lanes], amount=10,
+                           seed=0, ego_start=config.trajectory[0][:2])
+
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "map"),
+                                   "config": GlobalConfig()})
+    record = ClosedLoopRunner(max_wall_seconds=120).run_route(
+        agent, config, xodr, background=bg, rough_map=rough_map)
+    assert record.status == "Completed", record.to_dict()
+    assert record.scores["score_composed"] == 100.0, record.to_dict()
