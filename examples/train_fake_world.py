@@ -68,27 +68,41 @@ LOOP_ROUTE_PATH = os.path.join(os.path.dirname(LOOP_XODR_PATH),
 
 
 def _loop_routes():
-    """Collection segments sliced from the shipped ring route (keypoints
-    follow the lane through the arcs, so interpolation stays on the road);
-    evaluation = the held-out closing corner."""
+    """Collection segments = the first three quarters of the shipped ring
+    route (keypoints follow the lane through the arcs, so interpolation stays
+    on the road); evaluation = the truly held-out last quarter."""
     from mmfn_tpu.harness.route import parse_routes_file
 
     ring = list(parse_routes_file(LOOP_ROUTE_PATH)[0].trajectory)
     n = len(ring)
-    seg = max(4, n // 4)
-    collect = [ring[i:i + seg + 1] for i in range(0, n - seg, seg)]
-    eval_route = ring[-3:] + ring[:2]
+    seg = n // 4
+    collect = [ring[i * seg:(i + 1) * seg + 1] for i in range(3)]
+    eval_route = ring[3 * seg:] + ring[:1]      # closing quarter, unseen
     return collect, eval_route
 
 
-def make_background(rmap_path, amount, seed, ego_start=None):
+def make_background(rmap_path, amount, seed, ego_start=None, signals=None):
     if amount <= 0:
         return None
     from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
     from mmfn_tpu.mapping import RoughMap
 
     lanes = [l.nodes for l in RoughMap().read(rmap_path).lanes]
-    return BackgroundTraffic(lanes, amount, seed=seed, ego_start=ego_start)
+    return BackgroundTraffic(lanes, amount, seed=seed, ego_start=ego_start,
+                             signals=signals)
+
+
+def make_signals(rmap_path, trajectory):
+    """Traffic lights derived from the map's signal-controlled nodes along
+    the route (None when the map has no signals, e.g. the straight road)."""
+    from mmfn_tpu.harness.replay import plan_from_trajectory
+    from mmfn_tpu.harness.traffic import signals_from_rough_map
+    from mmfn_tpu.mapping import RoughMap
+
+    _, world_plan = plan_from_trajectory(trajectory)
+    signals = signals_from_rough_map(RoughMap().read(rmap_path),
+                                     [p for p, _ in world_plan])
+    return signals if (signals.lights or signals.stop_signs) else None
 
 
 def make_map(out_dir):
@@ -109,10 +123,12 @@ def collect(out_dir, birdview, cfg, rmap_path, traffic=0):
             "config": cfg, "save_path": os.path.join(town_dir, f"route_{i:02d}"),
             "image_ext": "npy", "seed": i,
             "tmp_dir": os.path.join(out_dir, f"expert_map_{i}")})
+        signals = make_signals(rmap_path, traj)
         record = runner.run_route(
             agent, RouteConfig(str(i), "TownFake", traj, 0), XODR,
             background=make_background(rmap_path, traffic, seed=i,
-                                       ego_start=traj[0][:2]),
+                                       ego_start=traj[0][:2], signals=signals),
+            signals=signals,
             world_kwargs={"camera_birdview": birdview})
         print(f"collect route {i}: {record.status}, "
               f"score {record.scores['score_composed']:.0f}")
@@ -123,10 +139,12 @@ def evaluate(variables, model, cfg, birdview, label, rmap_path, traffic=0):
     agent = MMFNAgent({"variant": "vec", "model": model, "variables": variables,
                        "config": cfg, "points_per_sweep": 2048})
     runner = ClosedLoopRunner(max_wall_seconds=240)
+    signals = make_signals(rmap_path, EVAL_ROUTE)
     record = runner.run_route(
         agent, RouteConfig("eval", "TownFake", EVAL_ROUTE, 0), XODR,
         background=make_background(rmap_path, traffic, seed=99,
-                                   ego_start=EVAL_ROUTE[0][:2]),
+                                   ego_start=EVAL_ROUTE[0][:2], signals=signals),
+        signals=signals,
         world_kwargs={"camera_birdview": birdview})
     print(f"{label}: {record.status}, driving score "
           f"{record.scores['score_composed']:.1f} "

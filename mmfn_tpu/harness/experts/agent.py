@@ -124,13 +124,34 @@ class ExpertCollectionAgent(AutonomousAgent):
     def _build_lane_lookup(self) -> None:
         """Densify chunk polylines to ~1 m for nearest-lane queries (the
         reference reads lane ids off the CARLA map, mmfn_pilot.py
-        _is_change_lane; here lane identity = vectorized chunk index)."""
+        _is_change_lane). Lane identity = CONNECTED-chunk group: the
+        vectorizer tiles each physical lane into ~45 m chunks that share
+        boundary nodes, so chunks are union-found by endpoint coincidence —
+        otherwise every chunk seam would read as a fake 'lane change'."""
+        lanes = self.rough_map.lanes
+        group = list(range(len(lanes)))
+
+        def find(i):
+            while group[i] != i:
+                group[i] = group[group[i]]
+                i = group[i]
+            return i
+
+        ends = [(np.asarray(l.nodes[0, :2], dtype=np.float64),
+                 np.asarray(l.nodes[-1, :2], dtype=np.float64)) for l in lanes]
+        for i in range(len(lanes)):
+            for j in range(len(lanes)):
+                if i != j and np.linalg.norm(ends[i][1] - ends[j][0]) < 0.3:
+                    gi, gj = find(i), find(j)
+                    if gi != gj:
+                        group[gj] = gi
         xs, idxs = [], []
-        for i, lane in enumerate(self.rough_map.lanes):
+        for i, lane in enumerate(lanes):
             pts = np.asarray(lane.nodes[:, :2], dtype=np.float64)
+            gid = find(i)
             if len(pts) < 2:
                 xs.append(pts)
-                idxs.append(np.full(len(pts), i))
+                idxs.append(np.full(len(pts), gid))
                 continue
             dense = [pts[:1]]
             for a, b in zip(pts[:-1], pts[1:]):
@@ -139,20 +160,37 @@ class ExpertCollectionAgent(AutonomousAgent):
                 dense.append(a * (1 - t) + b * t)
             dense = np.concatenate(dense, axis=0)
             xs.append(dense)
-            idxs.append(np.full(len(dense), i))
+            idxs.append(np.full(len(dense), gid))
         self._lane_xy = (np.concatenate(xs, axis=0)
                          if xs else np.zeros((0, 2)))
         self._lane_idx = (np.concatenate(idxs, axis=0).astype(np.int64)
                           if idxs else np.zeros((0,), np.int64))
+        # coarse bucket index for O(1) corridor queries (the CARLA path has
+        # ~1e5 densified points; 3 full-array scans per 20 Hz tick would cost
+        # host milliseconds)
+        self._bucket_size = 8.0
+        cells = np.floor(self._lane_xy / self._bucket_size).astype(np.int64)
+        self._buckets = {}
+        for n, cell in enumerate(map(tuple, cells)):
+            self._buckets.setdefault(cell, []).append(n)
 
     def _chunks_near(self, xy, radius: Optional[float] = None) -> set:
-        """Chunk indices whose polyline passes within `radius` of xy."""
+        """Lane-group ids whose polyline passes within `radius` of xy
+        (bucket-indexed: only the 3x3 cell neighborhood is scanned)."""
         if self._lane_xy.shape[0] == 0:
             return set()
-        d = np.linalg.norm(self._lane_xy - np.asarray(xy, dtype=np.float64),
-                           axis=1)
+        xy = np.asarray(xy, dtype=np.float64)
         r = self.LANE_CORRIDOR if radius is None else radius
-        return set(self._lane_idx[d < r].tolist())
+        cx, cy = np.floor(xy / self._bucket_size).astype(np.int64)
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(self._buckets.get((cx + dx, cy + dy), ()))
+        if not cand:
+            return set()
+        idx = np.asarray(cand)
+        d = np.linalg.norm(self._lane_xy[idx] - xy, axis=1)
+        return set(self._lane_idx[idx[d < r]].tolist())
 
     def _annotate_lane_change(self, view: WorldView, near_node, far_node) -> None:
         """Mark a route-required lane change and per-actor lane occupancy so

@@ -63,6 +63,7 @@ class ExpertPilot:
     CHANGE_LANE_DIST = 8.0       # base merge-blocking window, meters
     CONSIDER_ANGLE = 120.0       # deg; heading-alignment cone for merges
     CHANGE_LANE_PATIENCE = 20    # decisions before giving up on the merge wait
+    HAZARD_ORDER = ("vehicle", "walker", "change_lane", "red_light", "stop_sign")
 
     def __init__(self):
         self._turn_controller = PIDController(1.25, 0.75, 0.3, n=40)
@@ -154,11 +155,11 @@ class ExpertPilot:
         }
 
     def should_brake(self, world: WorldView) -> Optional[str]:
+        """First active hazard by priority. NOTE: raw rule output — the
+        merge-wait patience that can override a change_lane hazard lives in
+        get_control (it is tick-stateful)."""
         h = self._hazards(world)
-        for key in ("vehicle", "walker", "change_lane", "red_light", "stop_sign"):
-            if h[key]:
-                return h[key]
-        return None
+        return next((h[k] for k in self.HAZARD_ORDER if h[k]), None)
 
     # ---- control -------------------------------------------------------------- #
 
@@ -174,8 +175,7 @@ class ExpertPilot:
         angle_far_unnorm = angle_to_target(pos, ego.yaw, far_target)
         should_slow = abs(angle_far_unnorm) > 45.0 or abs(angle_unnorm) > 5.0
         h = self._hazards(world)
-        hazard = next((h[k] for k in ("vehicle", "walker", "change_lane",
-                                      "red_light", "stop_sign") if h[k]), None)
+        hazard = next((h[k] for k in self.HAZARD_ORDER if h[k]), None)
         brake = hazard is not None
         target_speed = self.TURN_SPEED if should_slow else self.CRUISE_SPEED
         target_speed = 0.0 if brake else target_speed

@@ -481,9 +481,11 @@ def check_collision(ego_xy: np.ndarray, ego_yaw: float,
     physical collision sensor (box colliders); this is the kinematic analog.
     """
     ego_xy = np.asarray(ego_xy, dtype=np.float64)
+    ego_diag = math.hypot(*EGO_HALF)
     for a in actors:
-        # cheap reject: beyond any possible overlap
-        if np.linalg.norm(ego_xy - a.position) > 8.0:
+        # cheap reject: beyond the combined half-diagonals no overlap exists
+        if np.linalg.norm(ego_xy - a.position) > ego_diag \
+                + math.hypot(*actor_half_extents(a)):
             continue
         if _obb_overlap(ego_xy, ego_yaw, EGO_HALF,
                         a.position, a.yaw, actor_half_extents(a)):

@@ -263,13 +263,24 @@ def test_expert_full_circuit_among_traffic(tool, tmp_path):
     (map_dir / "opstr.txt").write_text(xodr)
     assert not build_rmap([str(map_dir)], tool_path=tool)
     rough_map = RoughMap().read(str(map_dir / "a.rmap"))
-    bg = BackgroundTraffic([l.nodes for l in rough_map.lanes], amount=10,
-                           seed=0, ego_start=config.trajectory[0][:2])
 
+    # the map's two signals become live cycled lights on the route; both the
+    # expert and the NPC traffic must honor them
+    from mmfn_tpu.harness.replay import plan_from_trajectory
+    from mmfn_tpu.harness.traffic import signals_from_rough_map
+
+    _, world_plan = plan_from_trajectory(config.trajectory)
+    signals = signals_from_rough_map(rough_map, [p for p, _ in world_plan])
+    assert signals.lights, "loop map should yield traffic lights"
+
+    bg = BackgroundTraffic([l.nodes for l in rough_map.lanes], amount=10,
+                           seed=0, signals=signals,
+                           ego_start=config.trajectory[0][:2])
     agent = ExpertCollectionAgent({"rmap_tool": tool,
                                    "tmp_dir": str(tmp_path / "map"),
                                    "config": GlobalConfig()})
     record = ClosedLoopRunner(max_wall_seconds=120).run_route(
-        agent, config, xodr, background=bg, rough_map=rough_map)
+        agent, config, xodr, background=bg, rough_map=rough_map,
+        signals=signals)
     assert record.status == "Completed", record.to_dict()
     assert record.scores["score_composed"] == 100.0, record.to_dict()
