@@ -1,0 +1,637 @@
+"""OpenSCENARIO (.xosc) subset for the simulator-free harness.
+
+The reference vendors scenario_runner's full OpenSCENARIO engine
+(srunner/tools/openscenario_parser.py, srunner/scenarios/open_scenario.py,
+srunner/scenarioconfigs/openscenario_configuration.py) although no mmfn entry
+point reaches it (routes are XML waypoints + JSON placements). This module
+closes that inventory row natively: it parses the constructs srunner's own
+example scenarios exercise and runs them in the KinematicWorld through
+``OpenScenarioManager``, which is interface-compatible with
+``ScenarioManagerLite`` (``ClosedLoopRunner.run_route(scenario_manager=...)``).
+
+Supported subset (OpenSCENARIO 1.0):
+
+- ``ParameterDeclarations`` with ``$name`` substitution;
+- ``Entities``: ``Vehicle`` (car/bicycle) and ``Pedestrian`` scenario objects,
+  the ego identified by the ``type: ego_vehicle`` property or the name
+  ``hero``/``ego_vehicle`` (openscenario_configuration.py semantics);
+- ``Storyboard/Init``: per-entity ``TeleportAction`` (``WorldPosition`` or
+  ``RelativeWorldPosition``), initial ``SpeedAction``, and the
+  ``EnvironmentAction`` weather (mapped onto the expert's WEATHERS presets);
+- ``Story/Act/ManeuverGroup/Maneuver/Event`` with start triggers
+  ``SimulationTimeCondition``, ``RelativeDistanceCondition``,
+  ``TraveledDistanceCondition``, ``ReachPositionCondition``,
+  ``StandStillCondition`` and actions ``SpeedAction`` (absolute/relative
+  target, step or linear-rate dynamics), ``LaneChangeAction`` (relative
+  target lane, mapped to a 3.5 m/lane lateral shift), ``TeleportAction`` and
+  ``AcquirePositionAction`` (re-aim at a world position);
+- ``Storyboard/StopTrigger``: ``SimulationTimeCondition`` and
+  ``TraveledDistanceCondition`` end the episode; srunner's ``criteria_*``
+  stop-trigger conditions are parsed and reported (the harness scores the
+  same criteria natively through ``harness.criteria``).
+
+Out of scope (documented in docs/PARITY.md): catalogs, controllers,
+trajectory-following actions, OpenSCENARIO expressions beyond ``$param``.
+
+Conventions: positions are CARLA world frame like the rest of the harness
+(x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
+``h`` headings are radians; positive relative lane values shift left
+(+90° from heading), matching OpenDRIVE lane ordering.
+"""
+
+from __future__ import annotations
+
+import math
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmfn_tpu.harness.scenarios import ScenarioActor
+
+LANE_WIDTH = 3.5
+
+
+# --------------------------------------------------------------------------- #
+# parsed representation
+# --------------------------------------------------------------------------- #
+
+@dataclass
+class EntitySpec:
+    name: str
+    kind: str = "vehicle"            # 'vehicle' | 'walker'
+    model: str = ""
+    is_hero: bool = False
+    x: float = 0.0
+    y: float = 0.0
+    yaw: float = 0.0
+    speed: float = 0.0
+    extent: float = 2.2              # walker 0.5, bicycle 1.0, car 2.2
+
+
+@dataclass
+class XoscCondition:
+    kind: str                        # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill'
+    value: float = 0.0
+    rule: str = "greaterThan"
+    entity: str = ""                 # the referenced entity (reldist target)
+    triggering: Tuple[str, ...] = () # TriggeringEntities refs
+    x: float = 0.0
+    y: float = 0.0
+    tolerance: float = 3.0
+    name: str = ""
+
+
+@dataclass
+class XoscAction:
+    kind: str                        # 'speed' | 'lane_change' | 'teleport' | 'acquire'
+    target_speed: Optional[float] = None
+    relative_to: str = ""            # entity name for relative target speed
+    speed_delta: float = 0.0
+    rate: Optional[float] = None     # m/s^2 for linear dynamics; None = step
+    lane_offset: float = 0.0         # meters, +left
+    shift_time: float = 2.0          # seconds to complete a lane change
+    x: float = 0.0
+    y: float = 0.0
+    yaw: Optional[float] = None
+
+
+@dataclass
+class XoscEvent:
+    name: str
+    actors: Tuple[str, ...]
+    conditions: List[XoscCondition]
+    actions: List[XoscAction]
+    fired: bool = False
+
+
+@dataclass
+class OpenScenarioConfig:
+    description: str = ""
+    town: str = ""
+    entities: Dict[str, EntitySpec] = field(default_factory=dict)
+    weather: Optional[str] = None
+    events: List[XoscEvent] = field(default_factory=list)
+    stop_conditions: List[XoscCondition] = field(default_factory=list)
+    criteria: List[str] = field(default_factory=list)
+
+    @property
+    def hero(self) -> Optional[EntitySpec]:
+        for e in self.entities.values():
+            if e.is_hero:
+                return e
+        return None
+
+
+# --------------------------------------------------------------------------- #
+# parser
+# --------------------------------------------------------------------------- #
+
+def _resolve(value: Optional[str], params: Dict[str, str]) -> Optional[str]:
+    if value is not None and value.startswith("$"):
+        return params.get(value[1:], value)
+    return value
+
+
+def _f(node: ET.Element, attr: str, params: Dict[str, str],
+       default: float = 0.0) -> float:
+    raw = _resolve(node.get(attr), params)
+    return float(raw) if raw not in (None, "") else default
+
+
+def _parse_position(pos: ET.Element, params: Dict[str, str],
+                    entities: Dict[str, EntitySpec]) -> Tuple[float, float, Optional[float]]:
+    """WorldPosition / RelativeWorldPosition -> (x, y, yaw-or-None)."""
+    world = pos.find("WorldPosition")
+    if world is not None:
+        yaw = world.get("h")
+        return (_f(world, "x", params), _f(world, "y", params),
+                float(_resolve(yaw, params)) if yaw is not None else None)
+    rel = pos.find("RelativeWorldPosition")
+    if rel is not None:
+        ref = entities.get(rel.get("entityRef", ""), None)
+        bx = ref.x if ref else 0.0
+        by = ref.y if ref else 0.0
+        return (bx + _f(rel, "dx", params), by + _f(rel, "dy", params), None)
+    raise ValueError(
+        f"unsupported Position kind: {[c.tag for c in pos]} "
+        "(subset supports WorldPosition / RelativeWorldPosition)")
+
+
+def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:
+    dyn = act.find(".//SpeedActionDynamics")
+    rate = None
+    if dyn is not None and dyn.get("dynamicsShape") == "linear" \
+            and dyn.get("dynamicsDimension") == "rate":
+        rate = _f(dyn, "value", params)
+    out = XoscAction("speed", rate=rate)
+    absolute = act.find(".//AbsoluteTargetSpeed")
+    relative = act.find(".//RelativeTargetSpeed")
+    if absolute is not None:
+        out.target_speed = _f(absolute, "value", params)
+    elif relative is not None:
+        out.relative_to = relative.get("entityRef", "")
+        out.speed_delta = _f(relative, "value", params)
+    return out
+
+
+def _parse_private_action(act: ET.Element, params: Dict[str, str],
+                          entities: Dict[str, EntitySpec]) -> Optional[XoscAction]:
+    speed = act.find(".//SpeedAction")
+    if speed is not None:
+        return _parse_speed_action(speed, params)
+    lane = act.find(".//LaneChangeAction")
+    if lane is not None:
+        target = lane.find(".//RelativeTargetLane")
+        value = _f(target, "value", params) if target is not None else 0.0
+        dyn = lane.find(".//LaneChangeActionDynamics")
+        t = _f(dyn, "value", params, 2.0) if dyn is not None \
+            and dyn.get("dynamicsDimension") == "time" else 2.0
+        return XoscAction("lane_change", lane_offset=value * LANE_WIDTH,
+                          shift_time=max(t, 0.1))
+    teleport = act.find("TeleportAction")
+    if teleport is not None:
+        x, y, yaw = _parse_position(teleport.find("Position"), params, entities)
+        return XoscAction("teleport", x=x, y=y, yaw=yaw)
+    acquire = act.find(".//AcquirePositionAction")
+    if acquire is not None:
+        x, y, _ = _parse_position(acquire.find("Position"), params, entities)
+        return XoscAction("acquire", x=x, y=y)
+    return None
+
+
+def _parse_condition(cond: ET.Element, params: Dict[str, str]) -> Optional[XoscCondition]:
+    name = cond.get("name", "")
+    byval = cond.find("ByValueCondition")
+    if byval is not None:
+        sim = byval.find("SimulationTimeCondition")
+        if sim is not None:
+            return XoscCondition("time", value=_f(sim, "value", params),
+                                 rule=sim.get("rule", "greaterThan"), name=name)
+        return None
+    byent = cond.find("ByEntityCondition")
+    if byent is None:
+        return None
+    triggering = tuple(
+        ref.get("entityRef", "")
+        for ref in byent.findall(".//TriggeringEntities/EntityRef"))
+    ec = byent.find("EntityCondition")
+    if ec is None:
+        return None
+    rel = ec.find("RelativeDistanceCondition")
+    if rel is not None:
+        return XoscCondition("reldist", value=_f(rel, "value", params),
+                             rule=rel.get("rule", "lessThan"),
+                             entity=rel.get("entityRef", ""),
+                             triggering=triggering, name=name)
+    trav = ec.find("TraveledDistanceCondition")
+    if trav is not None:
+        return XoscCondition("traveled", value=_f(trav, "value", params),
+                             triggering=triggering, name=name)
+    reach = ec.find("ReachPositionCondition")
+    if reach is not None:
+        x, y, _ = _parse_position(reach.find("Position"), params, {})
+        return XoscCondition("reach", x=x, y=y,
+                             tolerance=_f(reach, "tolerance", params, 3.0),
+                             triggering=triggering, name=name)
+    still = ec.find("StandStillCondition")
+    if still is not None:
+        return XoscCondition("standstill", value=_f(still, "duration", params),
+                             triggering=triggering, name=name)
+    return None
+
+
+def _weather_preset(env: ET.Element) -> str:
+    """Map an Environment block onto the expert's WEATHERS preset names
+    (harness/experts/agent.py); coarse on purpose — the fake world only
+    records weather ids, CARLA glue applies the matching preset."""
+    weather = env.find(".//Weather")
+    sun = env.find(".//Sun")
+    precip = env.find(".//Precipitation")
+    raining = precip is not None and precip.get("precipitationType") == "rain"
+    elevation = float(sun.get("elevation", "1.0")) if sun is not None else 1.0
+    cloudy = weather is not None and weather.get("cloudState") in (
+        "cloudy", "overcast", "rainy")
+    if elevation < 0.2:
+        return "HardRainSunset" if raining else \
+            ("CloudySunset" if cloudy else "ClearSunset")
+    if raining:
+        return "HardRainNoon"
+    if cloudy:
+        return "CloudyNoon"
+    return "ClearNoon"
+
+
+def parse_xosc(path: str) -> OpenScenarioConfig:
+    root = ET.parse(path).getroot()
+    if root.tag != "OpenSCENARIO":
+        raise ValueError(f"{path}: not an OpenSCENARIO file (root {root.tag})")
+    cfg = OpenScenarioConfig()
+    header = root.find("FileHeader")
+    if header is not None:
+        cfg.description = header.get("description", "")
+
+    params: Dict[str, str] = {}
+    decls = root.find("ParameterDeclarations")
+    if decls is not None:
+        for p in decls.findall("ParameterDeclaration"):
+            params[p.get("name", "")] = p.get("value", "")
+
+    logic = root.find(".//RoadNetwork/LogicFile")
+    if logic is not None:
+        cfg.town = logic.get("filepath", "")
+
+    # ---- entities ---- #
+    for obj in root.findall(".//Entities/ScenarioObject"):
+        name = obj.get("name", "")
+        spec = EntitySpec(name=name)
+        veh = obj.find("Vehicle")
+        ped = obj.find("Pedestrian")
+        if ped is not None:
+            spec.kind = "walker"
+            spec.extent = 0.5
+            spec.model = ped.get("name", "")
+        elif veh is not None:
+            spec.model = veh.get("name", "")
+            if veh.get("vehicleCategory") == "bicycle":
+                spec.extent = 1.0
+        for prop in obj.findall(".//Properties/Property"):
+            if prop.get("name") == "type" and prop.get("value") == "ego_vehicle":
+                spec.is_hero = True
+        if name in ("hero", "ego_vehicle"):
+            spec.is_hero = True
+        cfg.entities[name] = spec
+
+    # ---- init ---- #
+    init = root.find(".//Storyboard/Init")
+    if init is not None:
+        env = init.find(".//EnvironmentAction/Environment")
+        if env is not None:
+            cfg.weather = _weather_preset(env)
+        for private in init.findall(".//Private"):
+            spec = cfg.entities.get(private.get("entityRef", ""))
+            if spec is None:
+                continue
+            for act in private.findall("PrivateAction"):
+                teleport = act.find("TeleportAction")
+                if teleport is not None:
+                    spec.x, spec.y, yaw = _parse_position(
+                        teleport.find("Position"), params, cfg.entities)
+                    if yaw is not None:
+                        spec.yaw = yaw
+                speed = act.find(".//SpeedAction")
+                if speed is not None:
+                    parsed = _parse_speed_action(speed, params)
+                    if parsed.target_speed is not None:
+                        spec.speed = parsed.target_speed
+
+    # ---- story events ---- #
+    for act_el in root.findall(".//Storyboard/Story/Act"):
+        act_conditions: List[XoscCondition] = []
+        start = act_el.find("StartTrigger")
+        if start is not None:
+            for cond in start.findall(".//Condition"):
+                parsed = _parse_condition(cond, params)
+                if parsed is not None and not (
+                        parsed.kind == "time" and parsed.value == 0.0):
+                    act_conditions.append(parsed)
+        for group in act_el.findall("ManeuverGroup"):
+            actors = tuple(
+                ref.get("entityRef", "")
+                for ref in group.findall("Actors/EntityRef"))
+            for event_el in group.findall(".//Event"):
+                conditions = list(act_conditions)
+                for cond in event_el.findall(".//StartTrigger//Condition"):
+                    parsed = _parse_condition(cond, params)
+                    if parsed is not None:
+                        conditions.append(parsed)
+                actions: List[XoscAction] = []
+                for action_el in event_el.findall("Action"):
+                    private = action_el.find("PrivateAction")
+                    if private is not None:
+                        parsed_a = _parse_private_action(
+                            private, params, cfg.entities)
+                        if parsed_a is not None:
+                            actions.append(parsed_a)
+                if actions:
+                    cfg.events.append(XoscEvent(
+                        name=event_el.get("name", ""), actors=actors,
+                        conditions=conditions, actions=actions))
+
+    # ---- storyboard stop trigger (+ srunner criteria_* convention) ---- #
+    stop = root.find(".//Storyboard/StopTrigger")
+    if stop is not None:
+        for cond in stop.findall(".//Condition"):
+            name = cond.get("name", "")
+            if name.startswith("criteria_"):
+                cfg.criteria.append(name[len("criteria_"):])
+                continue
+            parsed = _parse_condition(cond, params)
+            if parsed is not None:
+                cfg.stop_conditions.append(parsed)
+    return cfg
+
+
+# --------------------------------------------------------------------------- #
+# runtime
+# --------------------------------------------------------------------------- #
+
+class _ScriptedActor:
+    """A story-driven entity: drives along its heading at a controlled speed,
+    optionally executing a lateral lane shift or re-aiming at a position."""
+
+    def __init__(self, spec: EntitySpec, actor_id: int):
+        self.name = spec.name
+        self.actor = ScenarioActor(
+            spec.kind, np.array([spec.x, spec.y], dtype=np.float64),
+            np.zeros(2), yaw=spec.yaw, extent=spec.extent, actor_id=actor_id)
+        self.speed = float(spec.speed)
+        self.target_speed = float(spec.speed)
+        self.rate: Optional[float] = None
+        self._shift_left = 0.0        # remaining lateral shift, +left
+        self._shift_rate = 0.0
+
+    def apply(self, action: XoscAction, lookup) -> None:
+        if action.kind == "speed":
+            if action.relative_to:
+                other = lookup(action.relative_to)
+                base = other if other is not None else 0.0
+                self.target_speed = max(0.0, base + action.speed_delta)
+            elif action.target_speed is not None:
+                self.target_speed = action.target_speed
+            self.rate = action.rate
+        elif action.kind == "lane_change":
+            self._shift_left = action.lane_offset
+            self._shift_rate = action.lane_offset / action.shift_time
+        elif action.kind == "teleport":
+            self.actor.position = np.array([action.x, action.y], dtype=np.float64)
+            if action.yaw is not None:
+                self.actor.yaw = action.yaw
+        elif action.kind == "acquire":
+            d = np.array([action.x, action.y]) - self.actor.position
+            if np.linalg.norm(d) > 1e-6:
+                self.actor.yaw = math.atan2(d[1], d[0])
+
+    def step(self, dt: float) -> None:
+        if self.rate is not None and self.speed != self.target_speed:
+            delta = self.rate * dt
+            if self.speed < self.target_speed:
+                self.speed = min(self.target_speed, self.speed + delta)
+            else:
+                self.speed = max(self.target_speed, self.speed - delta)
+        else:
+            self.speed = self.target_speed
+        heading = np.array([math.cos(self.actor.yaw), math.sin(self.actor.yaw)])
+        left = np.array([-heading[1], heading[0]])
+        vel = heading * self.speed
+        if self._shift_left:
+            shift = self._shift_rate * dt
+            if abs(shift) >= abs(self._shift_left):
+                shift = self._shift_left
+            self._shift_left -= shift
+            vel = vel + left * (shift / dt if dt > 0 else 0.0)
+        self.actor.velocity = vel
+        self.actor.position = self.actor.position + vel * dt
+
+
+class OpenScenarioManager:
+    """Steps a parsed OpenSCENARIO story in the fake world.
+
+    Interface-compatible with ``ScenarioManagerLite`` (tick / steer_noise /
+    remove_actors_near) plus ``stop_triggered`` consumed by
+    ``ClosedLoopRunner.run_route``. The hero entity is NOT spawned — the
+    KinematicWorld's ego plays that role; hero-referenced conditions evaluate
+    against the live ego state.
+    """
+
+    def __init__(self, config: OpenScenarioConfig, actor_id_base: int = 2000):
+        self.config = config
+        hero = config.hero
+        self.hero_name = hero.name if hero else "hero"
+        self.scripted: Dict[str, _ScriptedActor] = {}
+        for i, (name, spec) in enumerate(config.entities.items()):
+            if not spec.is_hero:
+                self.scripted[name] = _ScriptedActor(spec, actor_id_base + i)
+        self.time = 0.0
+        self.ego_traveled = 0.0
+        self._last_ego: Optional[np.ndarray] = None
+        self._ego_speed = 0.0
+        self._standstill_since: Dict[str, float] = {}
+        self._stop = False
+
+    # ---- condition evaluation ---- #
+
+    def _entity_pos(self, name: str, ego_xy: np.ndarray) -> Optional[np.ndarray]:
+        if name == self.hero_name:
+            return ego_xy
+        sa = self.scripted.get(name)
+        return sa.actor.position if sa is not None else None
+
+    def _entity_speed(self, name: str) -> Optional[float]:
+        if name == self.hero_name:
+            return self._ego_speed
+        sa = self.scripted.get(name)
+        return sa.speed if sa is not None else None
+
+    @staticmethod
+    def _cmp(value: float, rule: str, threshold: float) -> bool:
+        if rule == "lessThan":
+            return value < threshold
+        if rule == "equalTo":
+            return abs(value - threshold) < 1e-6
+        return value > threshold
+
+    def _holds(self, cond: XoscCondition, ego_xy: np.ndarray) -> bool:
+        if cond.kind == "time":
+            return self._cmp(self.time, cond.rule, cond.value)
+        if cond.kind == "traveled":
+            # subset: traveled distance is tracked for the ego; scripted
+            # actors' odometers would need per-actor tracking nobody uses
+            return self.ego_traveled > cond.value
+        refs = cond.triggering or (self.hero_name,)
+        if cond.kind == "reldist":
+            target = self._entity_pos(cond.entity, ego_xy)
+            if target is None:
+                return False
+            for ref in refs:
+                pos = self._entity_pos(ref, ego_xy)
+                if pos is not None and self._cmp(
+                        float(np.linalg.norm(pos - target)), cond.rule, cond.value):
+                    return True
+            return False
+        if cond.kind == "reach":
+            goal = np.array([cond.x, cond.y])
+            return any(
+                pos is not None
+                and float(np.linalg.norm(pos - goal)) < cond.tolerance
+                for pos in (self._entity_pos(r, ego_xy) for r in refs))
+        if cond.kind == "standstill":
+            for ref in refs:
+                speed = self._entity_speed(ref)
+                if speed is None or speed > 0.05:
+                    self._standstill_since.pop(ref, None)
+                    continue
+                since = self._standstill_since.setdefault(ref, self.time)
+                if self.time - since >= cond.value:
+                    return True
+            return False
+        return False
+
+    # ---- ScenarioManagerLite-compatible interface ---- #
+
+    def tick(self, ego_xy: np.ndarray, dt: float) -> List[ScenarioActor]:
+        ego_xy = np.asarray(ego_xy, dtype=np.float64)
+        if self._last_ego is not None:
+            step = float(np.linalg.norm(ego_xy - self._last_ego))
+            self.ego_traveled += step
+            self._ego_speed = step / dt if dt > 0 else 0.0
+        self._last_ego = ego_xy.copy()
+        self.time += dt
+
+        def speed_lookup(name):
+            return self._entity_speed(name)
+
+        for event in self.config.events:
+            if event.fired:
+                continue
+            if all(self._holds(c, ego_xy) for c in event.conditions):
+                event.fired = True
+                for actor_name in (event.actors or tuple(self.scripted)):
+                    scripted = self.scripted.get(actor_name)
+                    if scripted is None:
+                        continue
+                    for action in event.actions:
+                        scripted.apply(action, speed_lookup)
+        for scripted in self.scripted.values():
+            scripted.step(dt)
+        if any(self._holds(c, ego_xy) for c in self.config.stop_conditions):
+            self._stop = True
+        return [s.actor for s in self.scripted.values()]
+
+    def steer_noise(self) -> float:
+        return 0.0
+
+    def remove_actors_near(self, xy: np.ndarray, radius: float = 15.0) -> int:
+        xy = np.asarray(xy, dtype=np.float64)
+        doomed = [n for n, s in self.scripted.items()
+                  if np.linalg.norm(s.actor.position - xy) <= radius]
+        for name in doomed:
+            del self.scripted[name]
+        return len(doomed)
+
+    def stop_triggered(self) -> bool:
+        return self._stop
+
+
+# --------------------------------------------------------------------------- #
+# hero route derivation
+# --------------------------------------------------------------------------- #
+
+def hero_trajectory(config: OpenScenarioConfig, rough_map=None,
+                    distance: float = 200.0) -> List[Tuple[float, float]]:
+    """Trajectory keypoints for the hero: OpenSCENARIO defines no route, so
+    (like srunner's OpenScenario, which drives until the stop trigger) the
+    hero just proceeds along its road. With a RoughMap we chain lane
+    polylines from the init position; otherwise a straight segment.
+
+    A TraveledDistanceCondition in the stop trigger bounds the distance: the
+    route ends comfortably BEFORE the trigger would, so a successful episode
+    finishes as a completed route rather than a stop-truncated one (the
+    ego's odometer also counts lateral maneuvers, hence the wide margin).
+    """
+    hero = config.hero
+    if hero is None:
+        raise ValueError("scenario declares no ego_vehicle entity")
+    for cond in config.stop_conditions:
+        if cond.kind == "traveled":
+            distance = min(distance, max(cond.value - 20.0, 20.0))
+    start = np.array([hero.x, hero.y])
+    heading = np.array([math.cos(hero.yaw), math.sin(hero.yaw)])
+    if rough_map is None or not getattr(rough_map, "lanes", None):
+        mid = start + heading * (distance / 2)
+        return [tuple(start), tuple(mid), tuple(start + heading * distance)]
+
+    # greedy lane-polyline walk: start from the lane node nearest the hero
+    # that points the hero's way, then keep appending the nearest onward lane
+    points: List[np.ndarray] = [start]
+    pos = start
+    direction = heading
+    remaining = distance
+    used = set()
+    while remaining > 0:
+        best = None
+        for li, lane in enumerate(rough_map.lanes):
+            if li in used or len(lane.nodes) < 2:
+                continue
+            head = lane.nodes[0, :2]
+            seg = lane.nodes[1, :2] - head
+            norm = np.linalg.norm(seg)
+            if norm < 1e-6:
+                continue
+            if float(np.linalg.norm(head - pos)) > 8.0:
+                continue
+            if float(seg @ direction) / norm < 0.3:
+                continue
+            d = float(np.linalg.norm(head - pos))
+            if best is None or d < best[0]:
+                best = (d, li)
+        if best is None:
+            break
+        used.add(best[1])
+        lane = rough_map.lanes[best[1]]
+        for node in lane.nodes:
+            nxt = np.asarray(node[:2], dtype=np.float64)
+            step = float(np.linalg.norm(nxt - pos))
+            if step < 0.5:
+                continue
+            points.append(nxt)
+            remaining -= step
+            if step > 1e-6:
+                direction = (nxt - pos) / step
+            pos = nxt
+            if remaining <= 0:
+                break
+    if len(points) < 2:
+        points.append(start + heading * distance)
+    return [tuple(p) for p in points]

@@ -215,7 +215,8 @@ class ClosedLoopRunner:
                   rough_map=None,
                   signals=None,
                   background=None,
-                  world_kwargs: Optional[dict] = None) -> RouteRecord:
+                  world_kwargs: Optional[dict] = None,
+                  scenario_manager=None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
         rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
@@ -226,7 +227,11 @@ class ClosedLoopRunner:
         background: optional harness.npc_traffic.BackgroundTraffic -> ambient
         lane-following vehicles (the reference's 120-300 background actors,
         route_scenario.py:444-475) are stepped each tick, shown to the expert,
-        and scored on collision."""
+        and scored on collision.
+        scenario_manager: optional pre-built manager (e.g.
+        harness.openscenario.OpenScenarioManager) used instead of the
+        trigger-list ScenarioManagerLite; if it exposes ``stop_triggered()``
+        (OpenSCENARIO storyboard stop trigger) the episode ends there."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -259,7 +264,7 @@ class ClosedLoopRunner:
         timeout = route_timeout_seconds(length)
         max_ticks = max_ticks or int(timeout / DT)
 
-        scenario_mgr = ScenarioManagerLite(triggers or [])
+        scenario_mgr = scenario_manager or ScenarioManagerLite(triggers or [])
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
 
@@ -330,6 +335,9 @@ class ClosedLoopRunner:
             for c in criteria:
                 c.update(position, abs(world.v), game_time)
             if criteria[0].completed:
+                break
+            if getattr(scenario_mgr, "stop_triggered", None) is not None \
+                    and scenario_mgr.stop_triggered():
                 break
             if any(getattr(c, "triggered", False) for c in criteria[1:]):
                 break

@@ -121,6 +121,23 @@ class RouteIndexer:
             c.index = i
         self._index = 0
 
+    @classmethod
+    def from_configs(cls, configs: Sequence["RouteConfig"],
+                     repetitions: int = 1) -> "RouteIndexer":
+        """Build an indexer from in-memory configs (e.g. a route derived from
+        an OpenSCENARIO file) instead of a routes XML."""
+        out = cls.__new__(cls)
+        out._configs = []
+        for _ in range(repetitions):
+            for c in configs:
+                out._configs.append(RouteConfig(
+                    route_id=c.route_id, town=c.town,
+                    trajectory=list(c.trajectory)))
+        for i, c in enumerate(out._configs):
+            c.index = i
+        out._index = 0
+        return out
+
     def __len__(self) -> int:
         return len(self._configs)
 

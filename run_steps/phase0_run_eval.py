@@ -130,13 +130,24 @@ def main():
     cfg = load_config(args.config, args.overrides)
 
     endpoint = cfg.get("checkpoint", "results/eval.json")
-    indexer = RouteIndexer(cfg["routes"], repetitions=int(cfg.get("repetitions", 1)))
+    # OpenSCENARIO episodes (.xosc) derive their route from the hero's init
+    # position and run their storyboard through OpenScenarioManager below
+    is_xosc = str(cfg.get("routes", "")).endswith(".xosc")
+    indexer = None
     statistics = StatisticsManager()
+    if not is_xosc:
+        indexer = RouteIndexer(cfg["routes"],
+                               repetitions=int(cfg.get("repetitions", 1)))
+        if cfg.get("resume"):
+            indexer.resume(endpoint)
     if cfg.get("resume"):
-        indexer.resume(endpoint)
         statistics.resume(endpoint)
 
     if cfg.get("simulator", "fake") == "carla":
+        if is_xosc:
+            raise SystemExit("OpenSCENARIO routes are supported by the fake "
+                             "world; the CARLA path runs XML routes "
+                             "(srunner owns .xosc there)")
         from mmfn_tpu.harness.carla_glue import run_carla_evaluation
 
         run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint)
@@ -170,14 +181,35 @@ def main():
     except Exception:
         rough_map = None
 
+    if is_xosc:
+        from mmfn_tpu.harness.openscenario import hero_trajectory, parse_xosc
+        from mmfn_tpu.harness.route import RouteConfig
+
+        xcfg = parse_xosc(cfg["routes"])
+        trajectory = [(x, y, 0.0) for x, y in hero_trajectory(xcfg, rough_map)]
+        route_id = os.path.splitext(os.path.basename(cfg["routes"]))[0]
+        indexer = RouteIndexer.from_configs(
+            [RouteConfig(route_id=route_id, town=xcfg.town or "XoscWorld",
+                         trajectory=trajectory)],
+            repetitions=int(cfg.get("repetitions", 1)))
+        if cfg.get("resume"):
+            indexer.resume(endpoint)
+
     shared = {}
     runner = ClosedLoopRunner(statistics)
     t0 = time.time()
     while indexer.peek():
         agent = build_agent(cfg, shared)
         config = indexer.next()
+        scenario_manager = None
+        if is_xosc:
+            from mmfn_tpu.harness.openscenario import (
+                OpenScenarioManager, parse_xosc)
+
+            # fresh parse per repetition: events carry fired-state
+            scenario_manager = OpenScenarioManager(parse_xosc(cfg["routes"]))
         triggers = None
-        if cfg.get("scenarios"):
+        if not is_xosc and cfg.get("scenarios"):
             from mmfn_tpu.harness.scenarios import parse_scenario_file
 
             triggers = parse_scenario_file(cfg["scenarios"], config.town)
@@ -201,7 +233,8 @@ def main():
         record = runner.run_route(agent, config, map_xodr, triggers=triggers,
                                   rough_map=rough_map, signals=signals,
                                   background=background,
-                                  world_kwargs={"camera_birdview": birdview})
+                                  world_kwargs={"camera_birdview": birdview},
+                                  scenario_manager=scenario_manager)
         statistics.save_record(record, config.index, endpoint)
         indexer.save_state(endpoint)
         print(format_route_record(record, title=f"route {config.route_id}"))

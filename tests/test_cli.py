@@ -136,3 +136,28 @@ def test_phase2_train_cli(tmp_path):
     import json as _json
     table = _json.load(open(tmp_path / "log" / "recent.log"))
     assert table["epoch"] == 1 and len(table["train_loss"]) == 1
+
+
+def test_phase0_openscenario_cli(tmp_path):
+    """phase0 runs a .xosc routes file: the story drives the lead vehicle and
+    the episode is scored like any route (expert follows without collision)."""
+    cfg = {
+        "routes": os.path.join(ROOT, "data", "scenarios",
+                               "follow_leading_vehicle.xosc"),
+        "repetitions": 1, "resume": False,
+        "checkpoint": str(tmp_path / "results" / "xosc.json"),
+        "agent": {"type": "expert", "seed": 0},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / "xosc.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "driving score" in proc.stdout
+    record = json.load(open(tmp_path / "results" / "xosc.json"))[
+        "_checkpoint"]["records"][0]
+    assert record["infractions"]["collisions_vehicle"] == []
+    assert record["scores"]["score_route"] > 50, record

@@ -1,0 +1,281 @@
+"""OpenSCENARIO subset: parser, story runtime, and closed-loop integration."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.harness.openscenario import (
+    OpenScenarioManager, hero_trajectory, parse_xosc)
+from mmfn_tpu.harness.replay import ClosedLoopRunner
+from mmfn_tpu.harness.route import RouteConfig
+from tests.test_harness import STRAIGHT_XODR
+
+XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="subset-test:FollowAndCutIn" author=""/>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="leadSpeed" parameterType="double" value="5.5"/>
+  </ParameterDeclarations>
+  <CatalogLocations/>
+  <RoadNetwork>
+    <LogicFile filepath="TownTest"/>
+    <SceneGraphFile filepath=""/>
+  </RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car">
+        <Properties><Property name="type" value="simulation"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="crosser">
+      <Pedestrian name="walker.pedestrian.0001" model="walker"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <GlobalAction>
+          <EnvironmentAction>
+            <Environment name="Env">
+              <TimeOfDay animation="false" dateTime="2026-01-01T12:00:00"/>
+              <Weather cloudState="free">
+                <Sun intensity="0.85" azimuth="0" elevation="1.31"/>
+                <Fog visualRange="100000.0"/>
+                <Precipitation precipitationType="dry" intensity="0.0"/>
+              </Weather>
+            </Environment>
+          </EnvironmentAction>
+        </GlobalAction>
+        <Private entityRef="hero">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="0" y="1.75" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+        <Private entityRef="lead">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="40" y="1.75" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+        <Private entityRef="crosser">
+          <PrivateAction>
+            <TeleportAction>
+              <Position>
+                <RelativeWorldPosition entityRef="lead" dx="20" dy="6"/>
+              </Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="Story">
+      <Act name="Act">
+        <ManeuverGroup name="Lead" maximumExecutionCount="1">
+          <Actors selectTriggeringEntities="false">
+            <EntityRef entityRef="lead"/>
+          </Actors>
+          <Maneuver name="LeadDrives">
+            <Event name="LeadKeepsVelocity" priority="overwrite">
+              <Action name="LeadKeepsVelocity">
+                <PrivateAction>
+                  <LongitudinalAction>
+                    <SpeedAction>
+                      <SpeedActionDynamics dynamicsShape="step" value="20"
+                                           dynamicsDimension="distance"/>
+                      <SpeedActionTarget>
+                        <AbsoluteTargetSpeed value="$leadSpeed"/>
+                      </SpeedActionTarget>
+                    </SpeedAction>
+                  </LongitudinalAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="NearLead" delay="0" conditionEdge="rising">
+                    <ByEntityCondition>
+                      <TriggeringEntities triggeringEntitiesRule="any">
+                        <EntityRef entityRef="hero"/>
+                      </TriggeringEntities>
+                      <EntityCondition>
+                        <RelativeDistanceCondition entityRef="lead" freespace="false"
+                            relativeDistanceType="cartesianDistance"
+                            value="25" rule="lessThan"/>
+                      </EntityCondition>
+                    </ByEntityCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+            <Event name="LeadChangesLane" priority="parallel">
+              <Action name="LeadChangesLane">
+                <PrivateAction>
+                  <LateralAction>
+                    <LaneChangeAction>
+                      <LaneChangeActionDynamics dynamicsShape="sinusoidal"
+                          value="2" dynamicsDimension="time"/>
+                      <LaneChangeTarget>
+                        <RelativeTargetLane entityRef="lead" value="1"/>
+                      </LaneChangeTarget>
+                    </LaneChangeAction>
+                  </LateralAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="Later" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="8" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+          </Maneuver>
+        </ManeuverGroup>
+      </Act>
+    </Story>
+    <StopTrigger>
+      <ConditionGroup>
+        <Condition name="EndTime" delay="0" conditionEdge="rising">
+          <ByValueCondition>
+            <SimulationTimeCondition value="60" rule="greaterThan"/>
+          </ByValueCondition>
+        </Condition>
+        <Condition name="criteria_CollisionTest" delay="0" conditionEdge="rising">
+          <ByValueCondition>
+            <SimulationTimeCondition value="0" rule="greaterThan"/>
+          </ByValueCondition>
+        </Condition>
+      </ConditionGroup>
+    </StopTrigger>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+@pytest.fixture()
+def xosc_path(tmp_path):
+    p = tmp_path / "follow.xosc"
+    p.write_text(XOSC)
+    return str(p)
+
+
+def test_parse_xosc(xosc_path):
+    cfg = parse_xosc(xosc_path)
+    assert cfg.town == "TownTest"
+    assert cfg.description.endswith("FollowAndCutIn")
+    assert set(cfg.entities) == {"hero", "lead", "crosser"}
+    hero = cfg.hero
+    assert hero is not None and hero.name == "hero"
+    assert (hero.x, hero.y, hero.yaw) == (0.0, 1.75, 0.0)
+    lead = cfg.entities["lead"]
+    assert (lead.x, lead.y) == (40.0, 1.75)
+    crosser = cfg.entities["crosser"]
+    assert crosser.kind == "walker"
+    # relative position resolved against lead's init
+    assert (crosser.x, crosser.y) == (60.0, 7.75)
+    assert cfg.weather == "ClearNoon"
+
+    assert len(cfg.events) == 2
+    keep = cfg.events[0]
+    assert keep.actors == ("lead",)
+    assert keep.conditions[0].kind == "reldist"
+    assert keep.conditions[0].value == 25.0
+    assert keep.actions[0].kind == "speed"
+    assert keep.actions[0].target_speed == 5.5  # $leadSpeed substituted
+    change = cfg.events[1]
+    assert change.conditions[0].kind == "time" and change.conditions[0].value == 8.0
+    assert change.actions[0].kind == "lane_change"
+    assert change.actions[0].lane_offset == pytest.approx(3.5)
+    assert change.actions[0].shift_time == pytest.approx(2.0)
+
+    assert [c.kind for c in cfg.stop_conditions] == ["time"]
+    assert cfg.stop_conditions[0].value == 60.0
+    assert cfg.criteria == ["CollisionTest"]
+
+
+def test_manager_story_runtime(xosc_path):
+    cfg = parse_xosc(xosc_path)
+    mgr = OpenScenarioManager(cfg)
+    # far away: lead stays parked
+    actors = mgr.tick(np.array([0.0, 1.75]), 0.05)
+    assert len(actors) == 2  # lead + crosser; hero is the ego, not spawned
+    lead = next(a for a in actors if a.kind == "vehicle")
+    assert np.linalg.norm(lead.velocity) == 0.0
+    # within 25 m: the speed event fires
+    mgr.tick(np.array([20.0, 1.75]), 0.05)
+    assert cfg.events[0].fired
+    for _ in range(20):
+        actors = mgr.tick(np.array([20.0, 1.75]), 0.05)
+    lead = next(a for a in actors if a.kind == "vehicle")
+    assert np.linalg.norm(lead.velocity) == pytest.approx(5.5)
+    assert lead.position[0] > 40.0
+    # simulated time passes 8 s: the lane change fires and shifts left (+y)
+    for _ in range(200):
+        actors = mgr.tick(np.array([20.0, 1.75]), 0.05)
+    assert cfg.events[1].fired
+    lead = next(a for a in actors if a.kind == "vehicle")
+    assert lead.position[1] == pytest.approx(1.75 + 3.5, abs=0.2)
+    # storyboard stop trigger at 60 s
+    assert not mgr.stop_triggered()
+    for _ in range(1000):
+        mgr.tick(np.array([20.0, 1.75]), 0.05)
+    assert mgr.stop_triggered()
+
+
+def test_remove_actors_near(xosc_path):
+    cfg = parse_xosc(xosc_path)
+    mgr = OpenScenarioManager(cfg)
+    mgr.tick(np.array([0.0, 1.75]), 0.05)
+    assert mgr.remove_actors_near(np.array([40.0, 1.75]), radius=5.0) == 1
+    assert len(mgr.tick(np.array([0.0, 1.75]), 0.05)) == 1
+
+
+def test_hero_trajectory_without_map(xosc_path):
+    cfg = parse_xosc(xosc_path)
+    traj = hero_trajectory(cfg, distance=120.0)
+    assert traj[0] == (0.0, 1.75)
+    assert traj[-1][0] == pytest.approx(120.0)
+    assert traj[-1][1] == pytest.approx(1.75)
+
+
+def test_hero_trajectory_stop_bounded(xosc_path, tmp_path):
+    cfg = parse_xosc(xosc_path)
+    cfg.stop_conditions[0] = cfg.stop_conditions[0].__class__(
+        kind="traveled", value=50.0)
+    traj = hero_trajectory(cfg, distance=500.0)
+    # the route ends before the traveled-distance stop trigger would fire
+    assert traj[-1][0] == pytest.approx(30.0)  # 50 - 20 margin
+
+
+def test_closed_loop_openscenario(tool, tmp_path, xosc_path):
+    """The expert drives the parsed scenario end-to-end on the straight road:
+    the parked lead starts driving when approached, the episode is scored by
+    the ordinary criteria, and no collision occurs."""
+    from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
+
+    cfg = parse_xosc(xosc_path)
+    traj = [(x, y, 0.0) for x, y in hero_trajectory(cfg, distance=120.0)]
+    config = RouteConfig(route_id="xosc-0", town=cfg.town,
+                         trajectory=[traj[0], traj[-1]], index=0)
+    agent = ExpertCollectionAgent({"rmap_tool": tool,
+                                   "tmp_dir": str(tmp_path / "map"),
+                                   "config": GlobalConfig()})
+    record = ClosedLoopRunner(max_wall_seconds=60).run_route(
+        agent, config, STRAIGHT_XODR,
+        scenario_manager=OpenScenarioManager(cfg))
+    assert record.status == "Completed", record.to_dict()
+    assert not record.infractions["collisions_vehicle"], record.to_dict()
+    assert not record.infractions["collisions_pedestrian"], record.to_dict()
