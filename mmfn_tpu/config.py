@@ -72,7 +72,11 @@ class GlobalConfig:
 
     # ---- TPU-specific ----
     max_lanes: int = 64          # static padding for the ragged lane dimension
-    compute_dtype: str = "float32"   # "float32" | "bfloat16" for the conv/fusion path
+    # "float32" | "bfloat16" — train-step activation dtype (opt-in mixed
+    # precision: f32 master params/optimizer, bf16 fwd/bwd; measured 1.16x
+    # per step on v5e. Inference stays f32: measured flat there, the MXU
+    # already rides bf16 passes under DEFAULT precision.)
+    compute_dtype: str = "float32"
     matmul_precision: str = "default"  # "default" (bf16 MXU passes) | "highest" (parity tests)
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -66,19 +66,42 @@ def waypoint_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(pred - target).mean()
 
 
-def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, loss), buffers donated."""
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    compute_dtype=jnp.float32) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, loss), buffers donated.
+
+    compute_dtype=bfloat16 runs the forward/backward in bf16 activations
+    with f32 master params and an f32 optimizer (measured 1.16x per step on
+    one v5e chip, 64.2 -> 55.5 ms at batch 24 full MMFN-rad; the loss is
+    always reduced in f32). Opt-in via GlobalConfig.compute_dtype — the
+    reference trains pure f32, so parity checkpoints keep the default.
+    """
+    half = jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
 
     def train_step(state: TrainState, batch: Batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            p = _cast_floats(params, compute_dtype) if half else params
+            b = _cast_floats(batch, compute_dtype) if half else batch
+            bs = _cast_floats(state.batch_stats, compute_dtype) if half \
+                else state.batch_stats
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True, rngs={"dropout": rng}, mutable=["batch_stats"])
-            return waypoint_l1_loss(out, batch.waypoints), mutated["batch_stats"]
+                {"params": p, "batch_stats": bs},
+                b, True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = waypoint_l1_loss(out.astype(jnp.float32), batch.waypoints)
+            return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if half:
+            grads = _cast_floats(grads, jnp.float32)
+            new_stats = _cast_floats(new_stats, jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, batch_stats=new_stats,
@@ -113,7 +136,9 @@ class Engine:
         self.config = config
         self.logdir = logdir
         self.tx = tx or create_optimizer(config)
-        self.train_step = make_train_step(model, self.tx)
+        self.train_step = make_train_step(
+            model, self.tx,
+            compute_dtype=jnp.dtype(getattr(config, "compute_dtype", "float32")))
         self.eval_step = make_eval_step(model)
         self.cur_epoch = 0
         self.cur_iter = 0

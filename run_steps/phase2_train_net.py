@@ -51,8 +51,13 @@ def main():
             process_id=cfg.get("process_id"))
 
     model_overrides = dict(cfg.get("model", {}))
-    gconf = GlobalConfig(lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64),
-                         **model_overrides)
+    # opt-in mixed precision (compute_dtype=bfloat16): bf16 fwd/bwd with f32
+    # master params — 1.16x/step measured on v5e (train/engine.py)
+    gconf = GlobalConfig(
+        lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64),
+        compute_dtype=cfg.get("compute_dtype",
+                              model_overrides.pop("compute_dtype", "float32")),
+        **model_overrides)
     root = cfg["data_folder"]
     name = os.path.basename(os.path.normpath(root))
     train_set = PreprocessedDataset(os.path.join(os.path.dirname(root), f"pro_train_f{name}"))

@@ -112,3 +112,37 @@ def test_data_parallel_mesh_matches_single_device(tiny_setup):
     a = np.asarray(jax.tree.leaves(state_single.params)[0])
     b = np.asarray(jax.tree.leaves(state_mesh.params)[0])
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_bf16_train_step_descends_params_stay_f32(tiny_setup):
+    """Opt-in mixed precision (compute_dtype=bfloat16): the step still
+    descends, master params and batch stats remain float32, and the first
+    update direction agrees with the f32 step."""
+    import optax
+
+    model, batch, state_host = tiny_setup
+    tx = optax.adamw(CFG.lr)
+    step16 = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
+    step32 = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(42)
+
+    s16, loss0 = step16(_device_state(state_host), batch, rng)
+    s32, loss0_32 = step32(_device_state(state_host), batch, rng)
+    assert float(loss0) == pytest.approx(float(loss0_32), rel=2e-2)
+    for leaf in jax.tree.leaves(s16.params) + jax.tree.leaves(s16.batch_stats):
+        assert leaf.dtype == jnp.float32
+    d16 = jax.tree.leaves(s16.params)[0] - jax.tree.leaves(
+        _device_state(state_host).params)[0]
+    d32 = jax.tree.leaves(s32.params)[0] - jax.tree.leaves(
+        _device_state(state_host).params)[0]
+    cos = float((d16.ravel() @ d32.ravel())
+                / (jnp.linalg.norm(d16) * jnp.linalg.norm(d32) + 1e-12))
+    assert cos > 0.9, cos
+
+    losses = [float(loss0)]
+    state = s16
+    for _ in range(3):
+        state, loss = step16(state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
