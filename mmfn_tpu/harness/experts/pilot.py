@@ -91,9 +91,14 @@ class ExpertPilot:
             rel = v.position - ego.position
             fwd = float(rel @ np.array([math.cos(ego.yaw), math.sin(ego.yaw)]))
             lat = float(rel @ np.array([-math.sin(ego.yaw), math.cos(ego.yaw)]))
+            # ANY leader slower than me inside the corridor closes the gap
+            # (a 1.5 m/s crawler tailgated at matched TTC still ends in the
+            # bumper — the stationary-only gate was too narrow)
             if (0.0 < fwd < self.STOP_THRESHOLD
                     and abs(lat) < self.VEHICLE_LATERAL_GATE
-                    and np.linalg.norm(v.velocity) < self.CLOSE_OBS_SPEED):
+                    and np.linalg.norm(v.velocity) < max(
+                        self.CLOSE_OBS_SPEED,
+                        float(np.linalg.norm(ego.velocity)))):
                 return f"vehicle:{v.actor_id}"
         return None
 

@@ -381,6 +381,108 @@ class OtherLeadingVehicle(ScenarioBehavior):
             self.done = True
 
 
+class ChangeLane(ScenarioBehavior):
+    """Srunner change_lane.py: the ego follows a fast car; a slow car drives
+    far ahead in the same lane; the fast car swerves into the adjacent lane
+    at the last moment, revealing the slow car — the ego must brake (or
+    change lanes) quickly."""
+
+    FAST_SPEED = 8.0
+    SLOW_SPEED = 1.5
+    SWERVE_GAP = 14.0       # fast car starts its lane change this far out
+    SWERVE_SECONDS = 1.5
+    RETIRE_DIST = 200.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        self._ahead = ahead
+        self._lateral = np.array([-ahead[1], ahead[0]])
+        base = np.array([t.x, t.y])
+        self.actors = [
+            ScenarioActor("vehicle", base + ahead * 20.0, ahead * self.FAST_SPEED,
+                          yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
+            ScenarioActor("vehicle", base + ahead * 60.0, ahead * self.SLOW_SPEED,
+                          yaw=t.yaw, extent=2.2, actor_id=self.actor_id + 500),
+        ]
+        self._swerving = 0.0
+
+    def step(self, dt: float) -> None:
+        if len(self.actors) == 2:
+            fast, slow = self.actors
+            gap = float((slow.position - fast.position) @ self._ahead)
+            if 0.0 < self._swerving < self.SWERVE_SECONDS:
+                self._swerving += dt
+                fast.velocity = self._ahead * self.FAST_SPEED \
+                    + self._lateral * (3.5 / self.SWERVE_SECONDS)
+            elif self._swerving >= self.SWERVE_SECONDS:
+                fast.velocity = self._ahead * self.FAST_SPEED
+            elif gap < self.SWERVE_GAP:
+                self._swerving = dt
+        super().step(dt)
+        if self.actors and all(
+                np.linalg.norm(a.position - np.array([self.trigger.x, self.trigger.y]))
+                > self.RETIRE_DIST for a in self.actors):
+            self.actors = []
+            self.done = True
+
+
+class LeadVehicleWithObstacle(ScenarioBehavior):
+    """Srunner follow_leading_vehicle.py FollowLeadingVehicleWithObstacle:
+    the lead vehicle brakes for a cyclist crossing ITS path and resumes once
+    the cyclist has cleared — the ego must keep a safe following distance
+    through the lead's unexplained stop."""
+
+    CRUISE = 6.0
+    DECEL = 4.0
+    BIKE_SPEED = 1.5
+    RETIRE_DIST = 150.0
+
+    def on_activate(self) -> None:
+        t = self.trigger
+        ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
+        lateral = np.array([-ahead[1], ahead[0]])
+        base = np.array([t.x, t.y])
+        self._ahead = ahead
+        self.actors = [
+            ScenarioActor("vehicle", base + ahead * 25.0, ahead * self.CRUISE,
+                          yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
+            # cyclist crossing the lead's path ~35 m out
+            ScenarioActor("vehicle", base + ahead * 60.0 + lateral * 7.0,
+                          -lateral * self.BIKE_SPEED,
+                          yaw=math.atan2(-lateral[1], -lateral[0]),
+                          extent=0.8, actor_id=self.actor_id + 500),
+        ]
+
+    def step(self, dt: float) -> None:
+        if len(self.actors) == 2:
+            lead, bike = self.actors
+            gap = float((bike.position - lead.position) @ self._ahead)
+            lateral_off = abs(float((bike.position - lead.position)
+                                    @ np.array([-self._ahead[1], self._ahead[0]])))
+            speed = float(np.linalg.norm(lead.velocity))
+            blocking = 0.0 < gap < 18.0 and lateral_off < 4.0
+            if blocking and speed > 0.0:
+                new_speed = max(0.0, speed - self.DECEL * dt)
+                lead.velocity = self._ahead * new_speed
+            elif not blocking and speed < self.CRUISE:
+                lead.velocity = self._ahead * min(self.CRUISE, speed + 2.0 * dt)
+        super().step(dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position
+                - np.array([self.trigger.x, self.trigger.y])) > self.RETIRE_DIST:
+            self.actors = []
+            self.done = True
+
+
+class FreeRide(ScenarioBehavior):
+    """Srunner freeride.py: no adversarial actors — ordinary driving with
+    only the criteria watching."""
+
+    def on_activate(self) -> None:
+        self.done = True
+
+
 # srunner's NUMBER_CLASS_TRANSLATION analog (route_scenario.py:377)
 SCENARIO_CLASSES = {
     "Scenario1": ControlLoss,          # ego steering perturbation (control_loss.py)
@@ -394,9 +496,12 @@ SCENARIO_CLASSES = {
     "Scenario9": JunctionRightTurn,    # signalized junction right turn
     "Scenario10": JunctionCrossing,    # no-signal junction
     # srunner classes outside NUMBER_CLASS_TRANSLATION, reachable by name in
-    # placement JSONs (srunner/scenarios/cut_in.py, change_lane.py analogs)
-    "CutIn": CutInVehicle,
-    "StoppedVehicle": StoppedVehicle,
+    # placement JSONs (srunner/scenarios/*.py analogs)
+    "CutIn": CutInVehicle,                              # cut_in.py
+    "StoppedVehicle": StoppedVehicle,                   # object_crash StationaryObject
+    "ChangeLane": ChangeLane,                           # change_lane.py
+    "FollowLeadingVehicleWithObstacle": LeadVehicleWithObstacle,  # follow_leading_vehicle.py
+    "FreeRide": FreeRide,                               # freeride.py
 }
 
 

@@ -89,8 +89,10 @@ def test_scenario_catalog_behaviors():
         mgr = ScenarioManagerLite([ScenarioTrigger(x=10.0, y=0.0, yaw=0.0,
                                                    scenario_type=stype)])
         actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
-        # every behavior acts: spawns actors or perturbs the ego's steering
-        assert len(actors) >= 1 or mgr.steer_noise() != 0.0, stype
+        # every behavior acts: spawns actors, perturbs the ego's steering, or
+        # deliberately does nothing and retires (FreeRide)
+        assert len(actors) >= 1 or mgr.steer_noise() != 0.0 \
+            or mgr.behaviors[0].done, stype
         # run a while; behaviors must keep actors finite and eventually retire
         for _ in range(2000):
             actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
@@ -284,3 +286,54 @@ def test_expert_full_circuit_among_traffic(tool, tmp_path):
         signals=signals)
     assert record.status == "Completed", record.to_dict()
     assert record.scores["score_composed"] == 100.0, record.to_dict()
+
+
+def test_expert_handles_change_lane_reveal(tool, tmp_path):
+    """ChangeLane (srunner change_lane.py): the fast car ahead swerves out at
+    the last moment revealing a crawling car — the expert must brake, not
+    rear-end it."""
+    triggers = [ScenarioTrigger(x=40.0, y=1.75, yaw=0.0,
+                                scenario_type="ChangeLane")]
+    agent, record = _run(tool, tmp_path, triggers=triggers, length=250.0)
+    assert len(record.infractions["collisions_vehicle"]) == 0, record.to_dict()
+
+
+def test_change_lane_fast_car_moves_over():
+    """The fast car actually swerves one lane left before reaching the slow
+    car (change_lane.py semantics: the reveal, not a rear-end)."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(x=0.0, y=0.0, yaw=0.0,
+                                               scenario_type="ChangeLane")])
+    fast_id = mgr.behaviors[0].actor_id
+    for _ in range(300):
+        actors = mgr.tick(np.array([0.0, 0.0]), 0.05)
+        if not actors:
+            break
+    fast = next(a for a in actors if a.actor_id == fast_id)
+    slow = next(a for a in actors if a.actor_id != fast_id)
+    assert fast.position[1] == pytest.approx(3.5, abs=0.3)   # moved a lane left
+    assert slow.position[1] == pytest.approx(0.0, abs=0.1)   # stayed in lane
+    assert fast.position[0] > slow.position[0]               # passed it
+
+
+def test_lead_with_obstacle_stops_and_resumes():
+    """FollowLeadingVehicleWithObstacle: the lead brakes while the cyclist
+    blocks its path, then accelerates back to cruise once clear."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=0.0, y=0.0, yaw=0.0,
+        scenario_type="FollowLeadingVehicleWithObstacle")])
+    lead_id = mgr.behaviors[0].actor_id
+    stopped = False
+    for _ in range(1200):
+        actors = mgr.tick(np.array([0.0, 0.0]), 0.05)
+        if not actors:
+            break
+        lead = next((a for a in actors if a.actor_id == lead_id), None)
+        if lead is None:
+            break
+        if np.linalg.norm(lead.velocity) < 0.1:
+            stopped = True
+        if stopped and np.linalg.norm(lead.velocity) > 5.0:
+            break
+    assert stopped, "lead never braked for the cyclist"
+    assert lead is None or np.linalg.norm(lead.velocity) > 5.0, \
+        "lead never resumed cruise"
