@@ -115,23 +115,46 @@ def make_map(out_dir):
     return rmap_path, BirdViewProducer.from_opendrive(rmap_path)
 
 
-def collect(out_dir, birdview, cfg, rmap_path, traffic=0):
+def _offset_start(traj, lateral):
+    """Shift the first keypoint laterally: the expert starts off-lane and
+    its PID corrects back, recording recovery demonstrations (the classic
+    behavior-cloning covariate-shift fix; the reference gets the same effect
+    from its steering dither + weather/traffic variation over long runs)."""
+    if not lateral:
+        return traj
+    (x0, y0, z0), (x1, y1, _) = traj[0], traj[1]
+    import math
+    yaw = math.atan2(y1 - y0, x1 - x0)
+    return [(x0 - math.sin(yaw) * lateral, y0 + math.cos(yaw) * lateral, z0)] \
+        + list(traj[1:])
+
+
+def collect(out_dir, birdview, cfg, rmap_path, traffic=0, repetitions=1):
     town_dir = os.path.join(out_dir, "TownFake_short")
     runner = ClosedLoopRunner(max_wall_seconds=120)
-    for i, traj in enumerate(COLLECT_ROUTES):
-        agent = ExpertCollectionAgent({
-            "config": cfg, "save_path": os.path.join(town_dir, f"route_{i:02d}"),
-            "image_ext": "npy", "seed": i,
-            "tmp_dir": os.path.join(out_dir, f"expert_map_{i}")})
-        signals = make_signals(rmap_path, traj)
-        record = runner.run_route(
-            agent, RouteConfig(str(i), "TownFake", traj, 0), XODR,
-            background=make_background(rmap_path, traffic, seed=i,
-                                       ego_start=traj[0][:2], signals=signals),
-            signals=signals,
-            world_kwargs={"camera_birdview": birdview})
-        print(f"collect route {i}: {record.status}, "
-              f"score {record.scores['score_composed']:.0f}")
+    n = 0
+    for rep in range(repetitions):
+        # rep 0 drives on-lane; later reps start offset by alternating ±0.9 m
+        lateral = 0.0 if rep == 0 else (0.9 if rep % 2 else -0.9) * \
+            (1.0 + 0.5 * ((rep - 1) // 2))
+        for i, traj in enumerate(COLLECT_ROUTES):
+            agent = ExpertCollectionAgent({
+                "config": cfg,
+                "save_path": os.path.join(town_dir, f"route_{n:02d}"),
+                "image_ext": "npy", "seed": i + 31 * rep,
+                "tmp_dir": os.path.join(out_dir, f"expert_map_{n}")})
+            run_traj = _offset_start(traj, lateral)
+            signals = make_signals(rmap_path, run_traj)
+            record = runner.run_route(
+                agent, RouteConfig(str(n), "TownFake", run_traj, 0), XODR,
+                background=make_background(rmap_path, traffic, seed=i + 31 * rep,
+                                           ego_start=run_traj[0][:2],
+                                           signals=signals),
+                signals=signals,
+                world_kwargs={"camera_birdview": birdview})
+            print(f"collect route {n} (rep {rep}, offset {lateral:+.1f}): "
+                  f"{record.status}, score {record.scores['score_composed']:.0f}")
+            n += 1
     return town_dir
 
 
@@ -160,6 +183,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--traffic", type=int, default=0,
                     help="ambient NPC vehicles during collect AND eval")
+    ap.add_argument("--repetitions", type=int, default=1,
+                    help="collection passes over the routes; passes beyond "
+                         "the first start laterally offset to record "
+                         "recovery demonstrations")
     ap.add_argument("--map", choices=["straight", "loop"], default="straight",
                     help="fake-world map: straight road or the signalized loop")
     args = ap.parse_args()
@@ -173,7 +200,8 @@ def main():
     t0 = time.time()
     rmap_path, birdview = make_map(args.out)
 
-    town_dir = collect(args.out, birdview, cfg, rmap_path, traffic=args.traffic)
+    town_dir = collect(args.out, birdview, cfg, rmap_path,
+                       traffic=args.traffic, repetitions=args.repetitions)
     ds = CarlaDataset([town_dir], cfg, image_ext="npy")
     print(f"collected {len(ds)} samples in {time.time() - t0:.0f}s")
     pro = os.path.join(args.out, "pro_train")
