@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# persistent compile cache: the full train-step + inference-pipeline compiles
+# dominate demo wall-clock on a cold start (TPU backend only: reloading cached
+# XLA:CPU executables can abort on machine-feature mismatch, see CLAUDE.md)
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/mmfn_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.collate import data_loader
 from mmfn_tpu.data.dataset import CarlaDataset, PreprocessedDataset, preprocess_to_pickles
