@@ -79,8 +79,12 @@ def main():
         batch_size = (batch_size // n_dev + 1) * n_dev
         print(f"{bc.WARNING}batch_size rounded to {batch_size} for {n_dev} devices{bc.ENDC}")
 
+    # init_torch analog (run_steps/utils.py:77-84): seed ambient RNGs too
+    from mmfn_tpu.utils.seeding import seed_everything
+
+    root_key = seed_everything(int(cfg.get("seed", 42)))
     sample = next(data_loader(train_set, batch_size, gconf.max_lanes, num_threads=1))
-    state = create_train_state(model, gconf, jax.random.PRNGKey(cfg.get("seed", 42)), sample)
+    state = create_train_state(model, gconf, root_key, sample)
     restored = engine.resume(state)
     if restored is not None:
         state = restored

@@ -77,3 +77,16 @@ def test_carla_glue_imports_without_carla():
     assert glue.HAS_CARLA is False
     with pytest.raises(RuntimeError):
         glue.run_carla_evaluation({}, None, None, None, None)
+
+
+def test_seed_everything_deterministic():
+    import random
+    import numpy as np
+    from mmfn_tpu.utils.seeding import seed_everything
+
+    key1 = seed_everything(42)
+    a = (random.random(), np.random.rand())
+    key2 = seed_everything(42)
+    b = (random.random(), np.random.rand())
+    assert a == b
+    assert (key1 == key2).all()
