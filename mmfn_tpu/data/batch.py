@@ -26,3 +26,5 @@ class Batch(NamedTuple):
     radar: Optional[jnp.ndarray] = None        # (B, 81, 5)
     radar_adj: Optional[jnp.ndarray] = None    # (B, 81, 81)
     waypoints: Optional[jnp.ndarray] = None    # (B, 4, 2) ground-truth labels
+    command: Optional[jnp.ndarray] = None      # (B,) navigational command (1-based)
+    action: Optional[jnp.ndarray] = None       # (B, 3) expert steer/throttle/brake

@@ -44,6 +44,13 @@ def collate_samples(samples: Sequence[Dict[str, np.ndarray]], max_lanes: int) ->
         target_point=np.stack([s["target_point"] for s in samples]).astype(np.float32),
         velocity=np.asarray([s["velocity"] for s in samples], dtype=np.float32),
         waypoints=np.stack([s["waypoints"] for s in samples]).astype(np.float32),
+        # action/command labels for the CILRS-style baselines (the reference
+        # reads them from the same measurement dicts, cilrs/train.py:81-96)
+        command=(np.asarray([s["command"] for s in samples], dtype=np.int32)
+                 if "command" in first else None),
+        action=(np.stack([[s["steer"], s["throttle"], s["brake"]]
+                          for s in samples]).astype(np.float32)
+                if "steer" in first else None),
     )
 
 

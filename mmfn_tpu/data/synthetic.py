@@ -28,4 +28,7 @@ def synthetic_batch(batch_size: int = 2, max_lanes: int = 64, seed: int = 0,
         target_point=jnp.asarray(rng.normal(size=(batch_size, 2)).astype(np.float32) * 5),
         velocity=jnp.asarray(np.abs(rng.normal(size=(batch_size,))).astype(np.float32) * 5),
         waypoints=jnp.asarray(rng.normal(size=(batch_size, 4, 2)).astype(np.float32)),
+        command=jnp.asarray(rng.integers(1, 7, size=(batch_size,)), dtype=jnp.int32),
+        action=jnp.asarray(
+            rng.uniform(0, 1, size=(batch_size, 3)).astype(np.float32)),
     )

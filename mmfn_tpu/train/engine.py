@@ -52,8 +52,9 @@ def create_train_state(model, config: GlobalConfig, rng, sample_batch: Batch,
     # jit the init: flax's Module.init runs the forward eagerly op-by-op,
     # which costs minutes of per-primitive dispatch on CPU for the full
     # graph; one traced compile is ~10x faster and persistently cacheable
-    variables = jax.jit(model.init, static_argnums=(2,))(
-        {"params": rng, "dropout": jax.random.PRNGKey(0)}, sample_batch, True)
+    args = _model_args(model, sample_batch, True)
+    variables = jax.jit(model.init, static_argnums=(len(args),))(
+        {"params": rng, "dropout": jax.random.PRNGKey(0)}, *args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = tx or create_optimizer(config)
@@ -64,6 +65,30 @@ def create_train_state(model, config: GlobalConfig, rng, sample_batch: Batch,
 def waypoint_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean L1 over all waypoint coordinates (phase2_train_net.py:104)."""
     return jnp.abs(pred - target).mean()
+
+
+def cilrs_loss(out, batch: Batch) -> jnp.ndarray:
+    """CILRS composite loss (benchmarks/cilrs/train.py:93-96):
+    0.05·L1(velocity) + L1(steer) + L1(throttle) + L1(brake)."""
+    steer, throttle, brake, velocity_pred = out
+    action = batch.action.astype(jnp.float32)
+    return (0.05 * jnp.abs(velocity_pred.squeeze(-1).astype(jnp.float32)
+                           - batch.velocity).mean()
+            + jnp.abs(steer.astype(jnp.float32) - action[:, 0]).mean()
+            + jnp.abs(throttle.astype(jnp.float32) - action[:, 1]).mean()
+            + jnp.abs(brake.astype(jnp.float32) - action[:, 2]).mean())
+
+
+def _is_cilrs(model) -> bool:
+    return getattr(model, "variant", "") == "cilrs"
+
+
+def _model_args(model, batch: Batch, train: bool):
+    """CILRS takes the navigational command as an explicit argument
+    (benchmarks/cilrs/model.py forward); every other model is (batch, train)."""
+    if _is_cilrs(model):
+        return (batch, jnp.asarray(batch.command, jnp.int32), train)
+    return (batch, train)
 
 
 def _cast_floats(tree, dtype):
@@ -94,8 +119,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 else state.batch_stats
             out, mutated = model.apply(
                 {"params": p, "batch_stats": bs},
-                b, True, rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss = waypoint_l1_loss(out.astype(jnp.float32), batch.waypoints)
+                *_model_args(model, b, True),
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            if _is_cilrs(model):
+                loss = cilrs_loss(out, batch)
+            else:
+                loss = waypoint_l1_loss(out.astype(jnp.float32), batch.waypoints)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -114,7 +143,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
 def make_eval_step(model) -> Callable:
     def eval_step(state: TrainState, batch: Batch):
         out = model.apply({"params": state.params, "batch_stats": state.batch_stats},
-                          batch, False)
+                          *_model_args(model, batch, False))
+        if _is_cilrs(model):
+            return cilrs_loss(out, batch)
         return waypoint_l1_loss(out, batch.waypoints)
 
     return jax.jit(eval_step)

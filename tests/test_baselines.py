@@ -75,3 +75,24 @@ def test_baseline_agent_closed_loop_smoke():
         agent, config, STRAIGHT_XODR, max_ticks=5)
     assert agent.step >= 4
     assert np.isfinite(record.scores["score_composed"])
+
+
+def test_engine_trains_baselines():
+    """The shared Engine trains the baseline zoo: AIM/TransFuser via waypoint
+    L1, CILRS via its command-branched composite loss (cilrs/train.py:93-96).
+    The reference ships per-baseline train loops; one engine covers all."""
+    import optax
+    from mmfn_tpu.train import create_train_state, make_train_step
+
+    batch = synthetic_batch(4, max_lanes=8, resolution=RES)
+    for name in ("aim", "cilrs"):
+        model = get_entry_point(name)(CFG)
+        state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch,
+                                   tx=optax.adamw(1e-3))
+        step = make_train_step(model, optax.adamw(1e-3))
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, batch, jax.random.PRNGKey(2))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all(), (name, losses)
+        assert losses[-1] < losses[0], (name, losses)
