@@ -72,7 +72,10 @@ class EntitySpec:
 
 @dataclass
 class XoscCondition:
-    kind: str                        # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill'
+    # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill' | 'unsupported'
+    # ('unsupported' records a construct outside the subset; it never holds,
+    # so a gated event stays gated instead of firing on the first tick)
+    kind: str
     value: float = 0.0
     rule: str = "greaterThan"
     entity: str = ""                 # the referenced entity (reldist target)
@@ -97,13 +100,17 @@ class XoscAction:
     yaw: Optional[float] = None
 
 
+# OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
+Trigger = List[List[XoscCondition]]
+
+
 @dataclass
 class XoscEvent:
     name: str
     actors: Tuple[str, ...]
-    conditions: List[XoscCondition]
+    trigger: Trigger                 # event StartTrigger; empty = fires at once
     actions: List[XoscAction]
-    fired: bool = False
+    act_trigger: Trigger = field(default_factory=list)  # enclosing Act's gate
 
 
 @dataclass
@@ -113,7 +120,7 @@ class OpenScenarioConfig:
     entities: Dict[str, EntitySpec] = field(default_factory=dict)
     weather: Optional[str] = None
     events: List[XoscEvent] = field(default_factory=list)
-    stop_conditions: List[XoscCondition] = field(default_factory=list)
+    stop_trigger: Trigger = field(default_factory=list)  # empty = never stops
     criteria: List[str] = field(default_factory=list)
 
     @property
@@ -201,24 +208,29 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
     return None
 
 
-def _parse_condition(cond: ET.Element, params: Dict[str, str]) -> Optional[XoscCondition]:
+def _parse_condition(cond: ET.Element, params: Dict[str, str],
+                     entities: Dict[str, EntitySpec]) -> XoscCondition:
+    """Parse one <Condition>. Constructs outside the subset yield an
+    'unsupported' condition that never holds — the gated event then stays
+    gated (firing it immediately would silently corrupt the story)."""
     name = cond.get("name", "")
+    unsupported = XoscCondition("unsupported", name=name)
     byval = cond.find("ByValueCondition")
     if byval is not None:
         sim = byval.find("SimulationTimeCondition")
         if sim is not None:
             return XoscCondition("time", value=_f(sim, "value", params),
                                  rule=sim.get("rule", "greaterThan"), name=name)
-        return None
+        return unsupported
     byent = cond.find("ByEntityCondition")
     if byent is None:
-        return None
+        return unsupported
     triggering = tuple(
         ref.get("entityRef", "")
         for ref in byent.findall(".//TriggeringEntities/EntityRef"))
     ec = byent.find("EntityCondition")
     if ec is None:
-        return None
+        return unsupported
     rel = ec.find("RelativeDistanceCondition")
     if rel is not None:
         return XoscCondition("reldist", value=_f(rel, "value", params),
@@ -231,7 +243,7 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str]) -> Optional[XoscC
                              triggering=triggering, name=name)
     reach = ec.find("ReachPositionCondition")
     if reach is not None:
-        x, y, _ = _parse_position(reach.find("Position"), params, {})
+        x, y, _ = _parse_position(reach.find("Position"), params, entities)
         return XoscCondition("reach", x=x, y=y,
                              tolerance=_f(reach, "tolerance", params, 3.0),
                              triggering=triggering, name=name)
@@ -239,7 +251,32 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str]) -> Optional[XoscC
     if still is not None:
         return XoscCondition("standstill", value=_f(still, "duration", params),
                              triggering=triggering, name=name)
-    return None
+    return unsupported
+
+
+def _parse_trigger(trigger_el: Optional[ET.Element], params: Dict[str, str],
+                   entities: Dict[str, EntitySpec],
+                   criteria_out: Optional[List[str]] = None) -> Trigger:
+    """<StartTrigger>/<StopTrigger> -> OR-of-AND condition groups.
+
+    srunner's ``criteria_*`` stop-trigger convention (openscenario_parser):
+    those conditions are criteria declarations, not stop conditions — they are
+    collected into ``criteria_out`` and removed; a group left empty by that
+    removal is dropped (an empty group would otherwise hold vacuously)."""
+    groups: Trigger = []
+    if trigger_el is None:
+        return groups
+    for group_el in trigger_el.findall("ConditionGroup"):
+        group: List[XoscCondition] = []
+        for cond in group_el.findall("Condition"):
+            cname = cond.get("name", "")
+            if criteria_out is not None and cname.startswith("criteria_"):
+                criteria_out.append(cname[len("criteria_"):])
+                continue
+            group.append(_parse_condition(cond, params, entities))
+        if group:
+            groups.append(group)
+    return groups
 
 
 def _weather_preset(env: ET.Element) -> str:
@@ -328,24 +365,15 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
 
     # ---- story events ---- #
     for act_el in root.findall(".//Storyboard/Story/Act"):
-        act_conditions: List[XoscCondition] = []
-        start = act_el.find("StartTrigger")
-        if start is not None:
-            for cond in start.findall(".//Condition"):
-                parsed = _parse_condition(cond, params)
-                if parsed is not None and not (
-                        parsed.kind == "time" and parsed.value == 0.0):
-                    act_conditions.append(parsed)
+        act_trigger = _parse_trigger(act_el.find("StartTrigger"), params,
+                                     cfg.entities)
         for group in act_el.findall("ManeuverGroup"):
             actors = tuple(
                 ref.get("entityRef", "")
                 for ref in group.findall("Actors/EntityRef"))
             for event_el in group.findall(".//Event"):
-                conditions = list(act_conditions)
-                for cond in event_el.findall(".//StartTrigger//Condition"):
-                    parsed = _parse_condition(cond, params)
-                    if parsed is not None:
-                        conditions.append(parsed)
+                trigger = _parse_trigger(event_el.find("StartTrigger"),
+                                         params, cfg.entities)
                 actions: List[XoscAction] = []
                 for action_el in event_el.findall("Action"):
                     private = action_el.find("PrivateAction")
@@ -357,19 +385,13 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
                 if actions:
                     cfg.events.append(XoscEvent(
                         name=event_el.get("name", ""), actors=actors,
-                        conditions=conditions, actions=actions))
+                        trigger=trigger, actions=actions,
+                        act_trigger=act_trigger))
 
     # ---- storyboard stop trigger (+ srunner criteria_* convention) ---- #
-    stop = root.find(".//Storyboard/StopTrigger")
-    if stop is not None:
-        for cond in stop.findall(".//Condition"):
-            name = cond.get("name", "")
-            if name.startswith("criteria_"):
-                cfg.criteria.append(name[len("criteria_"):])
-                continue
-            parsed = _parse_condition(cond, params)
-            if parsed is not None:
-                cfg.stop_conditions.append(parsed)
+    cfg.stop_trigger = _parse_trigger(root.find(".//Storyboard/StopTrigger"),
+                                      params, cfg.entities,
+                                      criteria_out=cfg.criteria)
     return cfg
 
 
@@ -459,6 +481,13 @@ class OpenScenarioManager:
         self._ego_speed = 0.0
         self._standstill_since: Dict[str, float] = {}
         self._stop = False
+        # fired-state lives here, NOT on the (shareable) parsed config:
+        # several managers can run the same OpenScenarioConfig independently
+        self._fired: set = set()
+
+    @property
+    def fired_events(self) -> Tuple[str, ...]:
+        return tuple(self.config.events[i].name for i in sorted(self._fired))
 
     # ---- condition evaluation ---- #
 
@@ -516,7 +545,15 @@ class OpenScenarioManager:
                 if self.time - since >= cond.value:
                     return True
             return False
-        return False
+        return False   # 'unsupported' (and anything unknown) never holds
+
+    def _trigger_holds(self, trigger: Trigger, ego_xy: np.ndarray) -> bool:
+        """OR over condition groups, AND within a group; an empty trigger
+        holds (OpenSCENARIO: no StartTrigger = start immediately)."""
+        if not trigger:
+            return True
+        return any(all(self._holds(c, ego_xy) for c in group)
+                   for group in trigger)
 
     # ---- ScenarioManagerLite-compatible interface ---- #
 
@@ -532,11 +569,12 @@ class OpenScenarioManager:
         def speed_lookup(name):
             return self._entity_speed(name)
 
-        for event in self.config.events:
-            if event.fired:
+        for idx, event in enumerate(self.config.events):
+            if idx in self._fired:
                 continue
-            if all(self._holds(c, ego_xy) for c in event.conditions):
-                event.fired = True
+            if self._trigger_holds(event.act_trigger, ego_xy) \
+                    and self._trigger_holds(event.trigger, ego_xy):
+                self._fired.add(idx)
                 for actor_name in (event.actors or tuple(self.scripted)):
                     scripted = self.scripted.get(actor_name)
                     if scripted is None:
@@ -545,7 +583,8 @@ class OpenScenarioManager:
                         scripted.apply(action, speed_lookup)
         for scripted in self.scripted.values():
             scripted.step(dt)
-        if any(self._holds(c, ego_xy) for c in self.config.stop_conditions):
+        if self.config.stop_trigger \
+                and self._trigger_holds(self.config.stop_trigger, ego_xy):
             self._stop = True
         return [s.actor for s in self.scripted.values()]
 
@@ -583,44 +622,45 @@ def hero_trajectory(config: OpenScenarioConfig, rough_map=None,
     hero = config.hero
     if hero is None:
         raise ValueError("scenario declares no ego_vehicle entity")
-    for cond in config.stop_conditions:
-        if cond.kind == "traveled":
-            distance = min(distance, max(cond.value - 20.0, 20.0))
+    for group in config.stop_trigger:
+        for cond in group:
+            if cond.kind == "traveled":
+                distance = min(distance, max(cond.value - 20.0, 20.0))
     start = np.array([hero.x, hero.y])
     heading = np.array([math.cos(hero.yaw), math.sin(hero.yaw)])
     if rough_map is None or not getattr(rough_map, "lanes", None):
         mid = start + heading * (distance / 2)
         return [tuple(start), tuple(mid), tuple(start + heading * distance)]
 
-    # greedy lane-polyline walk: start from the lane node nearest the hero
-    # that points the hero's way, then keep appending the nearest onward lane
+    # greedy lane-polyline walk: attach at the nearest NODE of any lane that
+    # points the hero's way (inits commonly land mid-polyline, not at a
+    # chunk head), then keep appending the nearest onward lane
     points: List[np.ndarray] = [start]
     pos = start
     direction = heading
     remaining = distance
     used = set()
     while remaining > 0:
-        best = None
+        best = None   # (distance, lane index, node index)
         for li, lane in enumerate(rough_map.lanes):
             if li in used or len(lane.nodes) < 2:
                 continue
-            head = lane.nodes[0, :2]
-            seg = lane.nodes[1, :2] - head
-            norm = np.linalg.norm(seg)
-            if norm < 1e-6:
-                continue
-            if float(np.linalg.norm(head - pos)) > 8.0:
-                continue
-            if float(seg @ direction) / norm < 0.3:
-                continue
-            d = float(np.linalg.norm(head - pos))
-            if best is None or d < best[0]:
-                best = (d, li)
+            for ni in range(len(lane.nodes) - 1):
+                node = lane.nodes[ni, :2]
+                seg = lane.nodes[ni + 1, :2] - node
+                norm = float(np.linalg.norm(seg))
+                if norm < 1e-6:
+                    continue
+                d = float(np.linalg.norm(node - pos))
+                if d > 8.0 or float(seg @ direction) / norm < 0.3:
+                    continue
+                if best is None or d < best[0]:
+                    best = (d, li, ni)
         if best is None:
             break
         used.add(best[1])
         lane = rough_map.lanes[best[1]]
-        for node in lane.nodes:
+        for node in lane.nodes[best[2]:]:
             nxt = np.asarray(node[:2], dtype=np.float64)
             step = float(np.linalg.norm(nxt - pos))
             if step < 0.5:

@@ -264,6 +264,9 @@ class ClosedLoopRunner:
         timeout = route_timeout_seconds(length)
         max_ticks = max_ticks or int(timeout / DT)
 
+        if scenario_manager is not None and triggers:
+            raise ValueError("pass either scenario_manager or triggers, not "
+                             "both — the manager replaces the trigger list")
         scenario_mgr = scenario_manager or ScenarioManagerLite(triggers or [])
         collision_events: List[TrafficEvent] = []
         collided_ids = set()

@@ -110,15 +110,7 @@ class RouteIndexer:
     """Iterates route configs with checkpoint resume (route_indexer.py:13-71)."""
 
     def __init__(self, routes_file: str, repetitions: int = 1):
-        base = parse_routes_file(routes_file)
-        self._configs: List[RouteConfig] = []
-        for rep in range(repetitions):
-            for c in base:
-                cfg = RouteConfig(route_id=c.route_id, town=c.town,
-                                  trajectory=list(c.trajectory))
-                self._configs.append(cfg)
-        for i, c in enumerate(self._configs):
-            c.index = i
+        self._configs = self._expand(parse_routes_file(routes_file), repetitions)
         self._index = 0
 
     @classmethod
@@ -127,16 +119,21 @@ class RouteIndexer:
         """Build an indexer from in-memory configs (e.g. a route derived from
         an OpenSCENARIO file) instead of a routes XML."""
         out = cls.__new__(cls)
-        out._configs = []
-        for _ in range(repetitions):
-            for c in configs:
-                out._configs.append(RouteConfig(
-                    route_id=c.route_id, town=c.town,
-                    trajectory=list(c.trajectory)))
-        for i, c in enumerate(out._configs):
-            c.index = i
+        out._configs = cls._expand(configs, repetitions)
         out._index = 0
         return out
+
+    @staticmethod
+    def _expand(base: Sequence["RouteConfig"],
+                repetitions: int) -> List["RouteConfig"]:
+        configs = [
+            RouteConfig(route_id=c.route_id, town=c.town,
+                        trajectory=list(c.trajectory),
+                        scenarios=list(c.scenarios))
+            for _ in range(repetitions) for c in base]
+        for i, c in enumerate(configs):
+            c.index = i
+        return configs
 
     def __len__(self) -> int:
         return len(self._configs)

@@ -115,10 +115,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
         def loss_fn(params):
             p = _cast_floats(params, compute_dtype) if half else params
             b = _cast_floats(batch, compute_dtype) if half else batch
-            bs = _cast_floats(state.batch_stats, compute_dtype) if half \
-                else state.batch_stats
+            # batch_stats deliberately stay f32: the BN running-average EMA
+            # accumulates into them every step, and bf16's ~8-bit mantissa
+            # would quantize the stats eval depends on (batch statistics used
+            # in the forward still come from the bf16 activations)
             out, mutated = model.apply(
-                {"params": p, "batch_stats": bs},
+                {"params": p, "batch_stats": state.batch_stats},
                 *_model_args(model, b, True),
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             if _is_cilrs(model):

@@ -181,6 +181,7 @@ def main():
     except Exception:
         rough_map = None
 
+    xcfg = None
     if is_xosc:
         from mmfn_tpu.harness.openscenario import hero_trajectory, parse_xosc
         from mmfn_tpu.harness.route import RouteConfig
@@ -203,11 +204,11 @@ def main():
         config = indexer.next()
         scenario_manager = None
         if is_xosc:
-            from mmfn_tpu.harness.openscenario import (
-                OpenScenarioManager, parse_xosc)
+            from mmfn_tpu.harness.openscenario import OpenScenarioManager
 
-            # fresh parse per repetition: events carry fired-state
-            scenario_manager = OpenScenarioManager(parse_xosc(cfg["routes"]))
+            # fresh manager per repetition over the shared parsed config
+            # (fired-state and actor state live on the manager)
+            scenario_manager = OpenScenarioManager(xcfg)
         triggers = None
         if not is_xosc and cfg.get("scenarios"):
             from mmfn_tpu.harness.scenarios import parse_scenario_file

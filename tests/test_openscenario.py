@@ -191,18 +191,21 @@ def test_parse_xosc(xosc_path):
     assert len(cfg.events) == 2
     keep = cfg.events[0]
     assert keep.actors == ("lead",)
-    assert keep.conditions[0].kind == "reldist"
-    assert keep.conditions[0].value == 25.0
+    assert keep.trigger[0][0].kind == "reldist"
+    assert keep.trigger[0][0].value == 25.0
+    assert keep.act_trigger == []      # the Act has no StartTrigger
     assert keep.actions[0].kind == "speed"
     assert keep.actions[0].target_speed == 5.5  # $leadSpeed substituted
     change = cfg.events[1]
-    assert change.conditions[0].kind == "time" and change.conditions[0].value == 8.0
+    assert change.trigger[0][0].kind == "time"
+    assert change.trigger[0][0].value == 8.0
     assert change.actions[0].kind == "lane_change"
     assert change.actions[0].lane_offset == pytest.approx(3.5)
     assert change.actions[0].shift_time == pytest.approx(2.0)
 
-    assert [c.kind for c in cfg.stop_conditions] == ["time"]
-    assert cfg.stop_conditions[0].value == 60.0
+    # criteria conditions are extracted; the remaining group holds EndTime
+    assert [[c.kind for c in g] for g in cfg.stop_trigger] == [["time"]]
+    assert cfg.stop_trigger[0][0].value == 60.0
     assert cfg.criteria == ["CollisionTest"]
 
 
@@ -216,7 +219,7 @@ def test_manager_story_runtime(xosc_path):
     assert np.linalg.norm(lead.velocity) == 0.0
     # within 25 m: the speed event fires
     mgr.tick(np.array([20.0, 1.75]), 0.05)
-    assert cfg.events[0].fired
+    assert "LeadKeepsVelocity" in mgr.fired_events
     for _ in range(20):
         actors = mgr.tick(np.array([20.0, 1.75]), 0.05)
     lead = next(a for a in actors if a.kind == "vehicle")
@@ -225,7 +228,7 @@ def test_manager_story_runtime(xosc_path):
     # simulated time passes 8 s: the lane change fires and shifts left (+y)
     for _ in range(200):
         actors = mgr.tick(np.array([20.0, 1.75]), 0.05)
-    assert cfg.events[1].fired
+    assert "LeadChangesLane" in mgr.fired_events
     lead = next(a for a in actors if a.kind == "vehicle")
     assert lead.position[1] == pytest.approx(1.75 + 3.5, abs=0.2)
     # storyboard stop trigger at 60 s
@@ -252,12 +255,84 @@ def test_hero_trajectory_without_map(xosc_path):
 
 
 def test_hero_trajectory_stop_bounded(xosc_path, tmp_path):
+    from mmfn_tpu.harness.openscenario import XoscCondition
+
     cfg = parse_xosc(xosc_path)
-    cfg.stop_conditions[0] = cfg.stop_conditions[0].__class__(
-        kind="traveled", value=50.0)
+    cfg.stop_trigger = [[XoscCondition(kind="traveled", value=50.0)]]
     traj = hero_trajectory(cfg, distance=500.0)
     # the route ends before the traveled-distance stop trigger would fire
     assert traj[-1][0] == pytest.approx(30.0)  # 50 - 20 margin
+
+
+def test_unsupported_condition_keeps_event_gated(tmp_path):
+    """A StartTrigger outside the subset must NOT fire its event immediately
+    — unsupported conditions never hold (firing at t=0 would silently corrupt
+    the story)."""
+    xosc = XOSC.replace(
+        """<ByValueCondition>
+                      <SimulationTimeCondition value="8" rule="greaterThan"/>
+                    </ByValueCondition>""",
+        """<ByValueCondition>
+                      <StoryboardElementStateCondition storyboardElementType="action"
+                          storyboardElementRef="LeadKeepsVelocity" state="completeState"/>
+                    </ByValueCondition>""")
+    p = tmp_path / "gated.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    assert cfg.events[1].trigger[0][0].kind == "unsupported"
+    mgr = OpenScenarioManager(cfg)
+    for _ in range(400):
+        mgr.tick(np.array([20.0, 1.75]), 0.05)
+    assert "LeadChangesLane" not in mgr.fired_events      # stays gated
+    assert "LeadKeepsVelocity" in mgr.fired_events        # others unaffected
+
+
+def test_condition_groups_are_or_of_ands(tmp_path):
+    """Two ConditionGroups = OR: the event fires when EITHER group holds."""
+    xosc = XOSC.replace(
+        """<ConditionGroup>
+                  <Condition name="Later" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="8" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>""",
+        """<ConditionGroup>
+                  <Condition name="Never" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="9999" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+                <ConditionGroup>
+                  <Condition name="Soon" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="2" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>""")
+    p = tmp_path / "orgroups.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    assert len(cfg.events[1].trigger) == 2
+    mgr = OpenScenarioManager(cfg)
+    for _ in range(80):                                   # 4 s > 2 s, << 9999
+        mgr.tick(np.array([0.0, 1.75]), 0.05)
+    assert "LeadChangesLane" in mgr.fired_events
+
+
+def test_managers_do_not_share_fired_state(xosc_path):
+    """Two managers over ONE parsed config run independent storyboards."""
+    cfg = parse_xosc(xosc_path)
+    m1 = OpenScenarioManager(cfg)
+    m1.tick(np.array([20.0, 1.75]), 0.05)                 # fires on m1
+    assert "LeadKeepsVelocity" in m1.fired_events
+    m2 = OpenScenarioManager(cfg)
+    m2.tick(np.array([0.0, 1.75]), 0.05)                  # far away on m2
+    assert "LeadKeepsVelocity" not in m2.fired_events
+    actors = m2.tick(np.array([0.0, 1.75]), 0.05)
+    lead = next(a for a in actors if a.kind == "vehicle")
+    assert np.linalg.norm(lead.velocity) == 0.0           # still parked on m2
 
 
 def test_closed_loop_openscenario(tool, tmp_path, xosc_path):
@@ -279,3 +354,28 @@ def test_closed_loop_openscenario(tool, tmp_path, xosc_path):
     assert record.status == "Completed", record.to_dict()
     assert not record.infractions["collisions_vehicle"], record.to_dict()
     assert not record.infractions["collisions_pedestrian"], record.to_dict()
+
+
+def test_hero_trajectory_attaches_mid_polyline(xosc_path):
+    """An init position landing mid-polyline (no chunk head nearby) must
+    still walk the lane instead of falling back to a straight chord."""
+    from dataclasses import dataclass
+
+    @dataclass
+    class _Lane:
+        nodes: np.ndarray
+
+    @dataclass
+    class _Map:
+        lanes: list
+
+    # one long polyline along +x at y=1.75, nodes every 5 m from x=-100
+    nodes = np.stack([np.arange(-100.0, 100.0, 5.0),
+                      np.full(40, 1.75)], axis=1)
+    rough_map = _Map([_Lane(np.concatenate(
+        [nodes, np.zeros((40, 3))], axis=1))])
+    cfg = parse_xosc(xosc_path)        # hero at (0, 1.75): 20 nodes in
+    traj = hero_trajectory(cfg, rough_map=rough_map, distance=60.0)
+    assert len(traj) > 5               # walked nodes, not the 3-point fallback
+    assert traj[-1][0] >= 55.0
+    assert all(abs(y - 1.75) < 1e-6 for _, y in traj[1:])
