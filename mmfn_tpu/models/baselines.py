@@ -20,20 +20,15 @@ from flax import linen as nn
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.batch import Batch
-from mmfn_tpu.models.common import resolve_precision, torch_linear_kernel_init, torch_linear_bias_init
+from mmfn_tpu.models.common import (
+    join_mlp as _join_mlp, resolve_precision, torch_linear_kernel_init,
+    torch_linear_bias_init)
 from mmfn_tpu.models.decoder import WaypointDecoder
 from mmfn_tpu.models.gpt import FusionTransformer
 from mmfn_tpu.models.resnet import resnet18, resnet34
 from mmfn_tpu.ops.image import normalize_imagenet
 from mmfn_tpu.ops.pool import adaptive_avg_pool
 from mmfn_tpu.ops.resize import resize_bilinear_align_corners
-
-
-def _join_mlp(precision):
-    kw = dict(kernel_init=torch_linear_kernel_init, precision=precision)
-    return (nn.Dense(256, bias_init=torch_linear_bias_init(512), **kw),
-            nn.Dense(128, bias_init=torch_linear_bias_init(256), **kw),
-            nn.Dense(64, bias_init=torch_linear_bias_init(128), **kw))
 
 
 class AIM(nn.Module):
@@ -95,8 +90,12 @@ class CILRS(nn.Module):
             mask = (command == i + 1).astype(pred.dtype)[:, None]
             control = control + pred * mask
 
+        # the reference computes vel_out(c) AFTER `encoding += vel_in(...)`,
+        # and torch's in-place += mutates the aliased `c` — so the velocity
+        # head really consumes the velocity-augmented encoding
+        # (benchmarks/cilrs/model.py:92-95,104)
         velocity_pred = self.vel_out_fc3(nn.relu(self.vel_out_fc2(
-            nn.relu(self.vel_out_fc1(c)))))
+            nn.relu(self.vel_out_fc1(encoding)))))
         steer = control[:, 0] * 2.0 - 1.0
         throttle = control[:, 1] * self.config.max_throttle
         brake = control[:, 2]

@@ -53,24 +53,13 @@ def resolve_precision(name: Optional[str]) -> Any:
     }[name]
 
 
-class TorchDense(nn.Module):
-    """Dense with torch nn.Linear's default initialization."""
-
-    features: int
-    use_bias: bool = True
-    precision: Any = None
-
-    @nn.compact
-    def __call__(self, x):
-        in_features = x.shape[-1]
-        return nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init(in_features),
-            precision=self.precision,
-            name="linear",
-        )(x)
+def join_mlp(precision):
+    """The reference's 'join' MLP 512->256->128->64 (model_img.py:469-476),
+    shared by MMFN and the AIM/TransFuser baselines."""
+    kw = dict(kernel_init=torch_linear_kernel_init, precision=precision)
+    return (nn.Dense(256, bias_init=torch_linear_bias_init(512), **kw),
+            nn.Dense(128, bias_init=torch_linear_bias_init(256), **kw),
+            nn.Dense(64, bias_init=torch_linear_bias_init(128), **kw))
 
 
 def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:

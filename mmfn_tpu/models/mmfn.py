@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.batch import Batch
-from mmfn_tpu.models.common import resolve_precision, torch_linear_kernel_init, torch_linear_bias_init
+from mmfn_tpu.models.common import join_mlp, resolve_precision
 from mmfn_tpu.models.decoder import WaypointDecoder
 from mmfn_tpu.models.gat import RadarGAT
 from mmfn_tpu.models.gpt import FusionTransformer
@@ -126,10 +126,7 @@ class MMFN(nn.Module):
         cfg = self.config
         precision = resolve_precision(cfg.matmul_precision)
         self.encoder = MMFNEncoder(cfg, self.variant)
-        kw = dict(kernel_init=torch_linear_kernel_init, precision=precision)
-        self.join_fc1 = nn.Dense(256, bias_init=torch_linear_bias_init(512), **kw)
-        self.join_fc2 = nn.Dense(128, bias_init=torch_linear_bias_init(256), **kw)
-        self.join_fc3 = nn.Dense(64, bias_init=torch_linear_bias_init(128), **kw)
+        self.join_fc1, self.join_fc2, self.join_fc3 = join_mlp(precision)
         self.decoder = WaypointDecoder(pred_len=cfg.pred_len, hidden_size=64,
                                        precision=precision)
 

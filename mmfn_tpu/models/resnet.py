@@ -20,6 +20,14 @@ from flax import linen as nn
 
 from mmfn_tpu.models.common import max_pool_3x3_s2_p1
 
+# torchvision ResNet conv init: nn.init.kaiming_normal_(mode='fan_out',
+# nonlinearity='relu') — std sqrt(2/fan_out), normal (resnet.py _resnet init).
+# flax's default (lecun_normal, fan_in) would train from a different
+# distribution; the reference additionally starts from ImageNet weights,
+# which `pretrained_resnet:` in phase2 loads when a torchvision .pth is
+# available (this environment has no network egress to fetch one).
+_conv_kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
 
 class BasicBlock(nn.Module):
     features: int
@@ -28,7 +36,8 @@ class BasicBlock(nn.Module):
     precision: Any = None
 
     def setup(self):
-        kw = dict(use_bias=False, precision=self.precision)
+        kw = dict(use_bias=False, precision=self.precision,
+                  kernel_init=_conv_kaiming_out)
         self.conv1 = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
                              padding=((1, 1), (1, 1)), **kw)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
@@ -58,7 +67,8 @@ class ResNet(nn.Module):
 
     def setup(self):
         self.conv1 = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
-                             use_bias=False, precision=self.precision)
+                             use_bias=False, precision=self.precision,
+                             kernel_init=_conv_kaiming_out)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         layers = []
         for i, (width, blocks) in enumerate(zip(self.WIDTHS, self.stage_sizes)):

@@ -28,7 +28,8 @@ def scale_and_crop_image(image: np.ndarray, scale: int = 1, crop: int = 256) -> 
 
     Args:
         image: HWC uint8 array (any channel count; RGB expected).
-        scale: integer downscale factor (nearest resize, like PIL default).
+        scale: integer downscale factor (PIL default resample — bicubic for
+            RGB — exactly as the reference's ``image.resize((w, h))``).
         crop: output side length.
 
     Returns:
@@ -37,11 +38,10 @@ def scale_and_crop_image(image: np.ndarray, scale: int = 1, crop: int = 256) -> 
     image = np.asarray(image)
     h, w = image.shape[:2]
     if scale != 1:
+        from PIL import Image  # host-side path; match the reference exactly
+
         new_w, new_h = int(w // scale), int(h // scale)
-        # PIL Image.resize default is nearest; replicate via index sampling.
-        row_idx = (np.arange(new_h) * h / new_h).astype(np.int64)
-        col_idx = (np.arange(new_w) * w / new_w).astype(np.int64)
-        image = image[row_idx][:, col_idx]
+        image = np.asarray(Image.fromarray(image).resize((new_w, new_h)))
         h, w = new_h, new_w
     row0 = h // 2 - crop // 2
     col0 = w // 2 - crop // 2

@@ -152,6 +152,14 @@ def _bev_hist_kernel(pts_ref, out_ref, acc_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bev_hist_pallas(points4: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     n = points4.shape[0]
+    if n % _CHUNK:
+        # pad to a whole number of chunks with invalid rows (valid column 0)
+        # — without this the grid would silently drop the tail, and n < CHUNK
+        # would launch a zero-step grid that never writes the output
+        pad = _CHUNK - n % _CHUNK
+        points4 = jnp.concatenate(
+            [points4, jnp.zeros((pad, 4), points4.dtype)], axis=0)
+        n = points4.shape[0]
     num_chunks = n // _CHUNK
     points4_t = points4.T  # (4, N): lane-dim friendly layout, see kernel notes
     out = pl.pallas_call(
@@ -203,11 +211,12 @@ def pad_points(points: np.ndarray, max_points: int) -> np.ndarray:
 def lidar_to_histogram_features(points4: jnp.ndarray, *, use_pallas: bool | None = None) -> jnp.ndarray:
     """(max_points, 4) [x, y, z, valid] -> (256, 256, 2) BEV occupancy, NHWC.
 
-    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends (with a
-    point count that is a multiple of the chunk size), pure XLA elsewhere.
+    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends (any
+    point count — ragged tails are padded with invalid rows), pure XLA
+    elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and points4.shape[0] % _CHUNK == 0
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return _bev_hist_pallas(points4)
     return _bev_hist_xla(points4)

@@ -24,6 +24,11 @@ def _interp_matrix(src: int, dst: int) -> np.ndarray:
     if src == 1:
         m[:, 0] = 1.0
         return m
+    if dst == 1:
+        # align_corners maps the single output to source pixel 0 (torch
+        # semantics); the general formula would divide by dst-1 == 0
+        m[0, 0] = 1.0
+        return m
     coords = np.arange(dst) * (src - 1) / (dst - 1)
     lo = np.floor(coords).astype(np.int64)
     hi = np.minimum(lo + 1, src - 1)

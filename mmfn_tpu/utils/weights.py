@@ -200,3 +200,69 @@ def load_torch_state_dict(path: str) -> Dict[str, Array]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def load_imagenet_backbones(params: Tree, batch_stats: Tree,
+                            resnet34_path: str = None,
+                            resnet18_path: str = None) -> Tuple[Tree, Tree]:
+    """Graft torchvision ImageNet weights into the model's ResNet encoders.
+
+    The reference constructs its image/map encoders from
+    ``models.resnet34(pretrained=True)`` and the lidar encoder from
+    ``models.resnet18(pretrained=True)`` with a freshly initialized 2-channel
+    conv1 (model_img.py:22,58-62). Given raw torchvision ``.pth`` state
+    dicts (e.g. resnet34-b627a593.pth), this grafts:
+
+    - resnet34 -> every ``image_encoder`` / ``img_map_encoder`` subtree
+      present in ``params``;
+    - resnet18 -> ``lidar_encoder``, skipping conv1 (2-channel input keeps
+      its random init, exactly like the reference's re-made conv).
+
+    Returns new (params, batch_stats) trees; input trees are not mutated.
+    """
+    import copy
+
+    params = copy.deepcopy(dict(params))
+    batch_stats = copy.deepcopy(dict(batch_stats))
+
+    def walk(tree, name):
+        """Yield every dict in `tree` holding a key `name` (the encoders sit
+        at the top level in the baselines but under 'encoder' in MMFN)."""
+        if not isinstance(tree, dict):
+            return
+        if name in tree:
+            yield tree
+        for v in tree.values():
+            yield from walk(v, name)
+
+    def merge_existing(dst, src):
+        """Overwrite only leaves the model actually owns: e.g. the vec
+        variant's map stream runs layer2-4 only (VectorNet seeds it), so its
+        img_map_encoder subtree has no conv1/bn1/layer1 — grafting extra keys
+        would desync params from the optimizer state's tree structure."""
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(dst[k], dict) and isinstance(v, dict):
+                merge_existing(dst[k], v)
+            else:
+                dst[k] = np.asarray(v)
+
+    def graft(name, sd, stage_sizes, skip_conv1=False):
+        p, s = convert_resnet(sd, stage_sizes)
+        if skip_conv1:
+            p.pop("conv1", None)
+        for holder in walk(params, name):
+            merge_existing(holder[name], p)
+        if s:
+            for holder in walk(batch_stats, name):
+                merge_existing(holder[name], s)
+
+    if resnet34_path:
+        sd34 = load_torch_state_dict(resnet34_path)
+        graft("image_encoder", sd34, (3, 4, 6, 3))
+        graft("img_map_encoder", sd34, (3, 4, 6, 3))
+    if resnet18_path:
+        sd18 = load_torch_state_dict(resnet18_path)
+        graft("lidar_encoder", sd18, (2, 2, 2, 2), skip_conv1=True)
+    return params, batch_stats

@@ -22,6 +22,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import numpy as np
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.collate import data_loader
@@ -85,6 +86,20 @@ def main():
     root_key = seed_everything(int(cfg.get("seed", 42)))
     sample = next(data_loader(train_set, batch_size, gconf.max_lanes, num_threads=1))
     state = create_train_state(model, gconf, root_key, sample)
+    # ImageNet-pretrained backbones (the reference's models.resnet*(
+    # pretrained=True)): point pretrained_resnet34/18 at raw torchvision
+    # .pth files to reproduce the reference's warm start
+    if cfg.get("pretrained_resnet34") or cfg.get("pretrained_resnet18"):
+        from mmfn_tpu.utils.weights import load_imagenet_backbones
+
+        p, s = load_imagenet_backbones(
+            jax.tree.map(np.asarray, dict(state.params)),
+            jax.tree.map(np.asarray, dict(state.batch_stats)),
+            resnet34_path=cfg.get("pretrained_resnet34"),
+            resnet18_path=cfg.get("pretrained_resnet18"))
+        state = state.replace(params=p, batch_stats=s)
+        print(f"{bc.OKGREEN}grafted ImageNet backbone weights{bc.ENDC}")
+
     restored = engine.resume(state)
     if restored is not None:
         state = restored

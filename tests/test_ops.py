@@ -158,3 +158,46 @@ def test_adaptive_pool_matches_torch(rng):
         ).numpy().transpose(0, 2, 3, 1)
         got = np.asarray(adaptive_avg_pool(jnp.asarray(x), (8, 8)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bev_histogram_pallas_ragged_and_small_counts(rng):
+    """Point counts not divisible by the chunk size must not be truncated,
+    and counts below one chunk must not return an unwritten buffer."""
+    from mmfn_tpu.ops.lidar import _bev_hist_pallas
+
+    for n in (3000, 5000):
+        pts = rng.uniform(low=[-18, -26, -4], high=[18, 10, 2],
+                          size=(n, 3)).astype(np.float32)
+        want = lidar_to_histogram_features_np(pts)
+        padded = pad_points(pts, n)        # valid column, no chunk padding
+        got = np.asarray(_bev_hist_pallas(jnp.asarray(padded), interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"n={n}")
+
+
+def test_resize_to_single_pixel():
+    """align_corners resize to size 1 samples pixel 0 (torch semantics) —
+    the general interpolation formula would divide by zero."""
+    import torch
+    import torch.nn.functional as F
+    from mmfn_tpu.ops.resize import resize_bilinear_align_corners
+
+    x = np.arange(2 * 5 * 7 * 3, dtype=np.float32).reshape(2, 5, 7, 3)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (1, 1)))
+    want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(1, 1),
+                         mode="bilinear", align_corners=True
+                         ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_scale_and_crop_matches_pil():
+    """scale != 1 must reproduce the reference's PIL default resample
+    (bicubic for RGB), not nearest sampling."""
+    from PIL import Image
+    from mmfn_tpu.ops.image import scale_and_crop_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(300, 400, 3), dtype=np.uint8)
+    got = scale_and_crop_image(img, scale=2, crop=128)
+    ref = np.asarray(Image.fromarray(img).resize((200, 150)))
+    want = ref[150 // 2 - 64:150 // 2 + 64, 200 // 2 - 64:200 // 2 + 64]
+    np.testing.assert_array_equal(got, want)

@@ -241,3 +241,73 @@ def test_radar_gat_parity(rng):
     got = np.asarray(fmodel.apply({"params": params["g"]},
                                   jnp.asarray(x), jnp.asarray(adj), False))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_load_imagenet_backbones_graft(tmp_path):
+    """Torchvision-format resnet .pth files graft into the image/map
+    encoders; the lidar encoder keeps its 2-channel conv1 (the reference
+    re-makes it, model_img.py:58-62)."""
+    import torch
+    from mmfn_tpu.config import GlobalConfig
+    from mmfn_tpu.data.synthetic import synthetic_batch
+    from mmfn_tpu.models import build_model
+    from mmfn_tpu.train import create_train_state
+    from mmfn_tpu.utils.weights import load_imagenet_backbones
+
+    def fake_resnet_sd(stage_sizes):
+        g = torch.Generator().manual_seed(0)
+        sd = {"conv1.weight": torch.randn(64, 3, 7, 7, generator=g),
+              "fc.weight": torch.randn(1000, 512, generator=g),
+              "fc.bias": torch.randn(1000, generator=g)}
+        widths = (64, 128, 256, 512)
+        for i, blocks in enumerate(stage_sizes):
+            w, w_in = widths[i], widths[max(i - 1, 0)]
+            for j in range(blocks):
+                pre = f"layer{i + 1}.{j}"
+                cin = w_in if j == 0 else w
+                sd[f"{pre}.conv1.weight"] = torch.randn(w, cin, 3, 3, generator=g)
+                sd[f"{pre}.conv2.weight"] = torch.randn(w, w, 3, 3, generator=g)
+                for b in ("bn1", "bn2"):
+                    sd[f"{pre}.{b}.weight"] = torch.randn(w, generator=g)
+                    sd[f"{pre}.{b}.bias"] = torch.randn(w, generator=g)
+                    sd[f"{pre}.{b}.running_mean"] = torch.randn(w, generator=g)
+                    sd[f"{pre}.{b}.running_var"] = torch.rand(w, generator=g) + 0.5
+                if j == 0 and i > 0:
+                    sd[f"{pre}.downsample.0.weight"] = torch.randn(w, cin, 1, 1, generator=g)
+                    for s in ("weight", "bias", "running_mean", "running_var"):
+                        sd[f"{pre}.downsample.1.{s}"] = torch.randn(w, generator=g)
+        for s in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"bn1.{s}"] = torch.randn(64, generator=g)
+        return sd
+
+    p34 = tmp_path / "resnet34.pth"
+    p18 = tmp_path / "resnet18.pth"
+    torch.save(fake_resnet_sd((3, 4, 6, 3)), p34)
+    torch.save(fake_resnet_sd((2, 2, 2, 2)), p18)
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=8)
+    model = build_model(cfg, "img")   # full map-image stream owns conv1
+    batch = synthetic_batch(batch_size=1, max_lanes=8, resolution=64)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    params0 = jax.tree.map(np.asarray, dict(state.params))
+    stats0 = jax.tree.map(np.asarray, dict(state.batch_stats))
+
+    params, stats = load_imagenet_backbones(
+        params0, stats0, resnet34_path=str(p34), resnet18_path=str(p18))
+
+    sd34 = torch.load(p34, weights_only=True)
+    want = sd34["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(params["encoder"]["image_encoder"]["conv1"]["kernel"], want)
+    np.testing.assert_allclose(params["encoder"]["img_map_encoder"]["conv1"]["kernel"], want)
+    # lidar conv1 untouched (2-channel remake), deeper layers grafted
+    np.testing.assert_allclose(params["encoder"]["lidar_encoder"]["conv1"]["kernel"],
+                               params0["encoder"]["lidar_encoder"]["conv1"]["kernel"])
+    sd18 = torch.load(p18, weights_only=True)
+    np.testing.assert_allclose(
+        params["encoder"]["lidar_encoder"]["layer2_0"]["conv1"]["kernel"],
+        sd18["layer2.0.conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(stats["encoder"]["image_encoder"]["bn1"]["mean"],
+                               sd34["bn1.running_mean"].numpy())
+    # untouched trees unaffected
+    np.testing.assert_allclose(params["join_fc1"]["kernel"],
+                               params0["join_fc1"]["kernel"])
