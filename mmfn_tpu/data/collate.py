@@ -79,29 +79,59 @@ def data_loader(dataset, batch_size: int, max_lanes: int, *,
             yield collate_samples([dataset[int(i)] for i in idx], max_lanes)
         return
 
-    out: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+    # real decode pool: worker w collates batches w, w+N, w+2N, ... into its
+    # own bounded queue; the consumer round-robins the queues, preserving
+    # batch order. Workers re-check `stop` while blocked on a full queue so
+    # an abandoned iterator cannot strand threads (or their decoded batches).
+    num_threads = min(num_threads, len(batches)) or 1
+    queues = [queue_mod.Queue(maxsize=max(1, prefetch // num_threads))
+              for _ in range(num_threads)]
     stop = threading.Event()
 
-    def worker():
+    def put_checked(q, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker(w):
+        q = queues[w]
         try:
-            for idx in batches:
+            for idx in batches[w::num_threads]:
                 if stop.is_set():
                     return
-                out.put(collate_samples([dataset[int(i)] for i in idx], max_lanes))
+                if not put_checked(
+                        q, collate_samples([dataset[int(i)] for i in idx],
+                                           max_lanes)):
+                    return
         except Exception as e:  # surface loader errors to the consumer
-            out.put(e)
+            put_checked(q, e)
         finally:
-            out.put(None)
+            put_checked(q, None)
 
-    thread = threading.Thread(target=worker, daemon=True)
-    thread.start()
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(num_threads)]
+    for t in threads:
+        t.start()
     try:
-        while True:
-            item = out.get()
+        done = 0
+        w = 0
+        while done < num_threads:
+            item = queues[w].get()
             if item is None:
-                return
-            if isinstance(item, Exception):
+                done += 1
+                queues[w] = None
+            elif isinstance(item, Exception):
                 raise item
-            yield item
+            else:
+                yield item
+            # advance to the next live queue (exhausted workers drop out
+            # when batch counts are uneven across workers)
+            w = (w + 1) % num_threads
+            while queues[w] is None and done < num_threads:
+                w = (w + 1) % num_threads
     finally:
         stop.set()

@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover - exercised only with a simulator
     carla = None
     HAS_CARLA = False
 
-from mmfn_tpu.control.planner import location_to_gps
+from mmfn_tpu.control.planner import GPS_SCALE
 from mmfn_tpu.harness.agents.base import VehicleControl
 from mmfn_tpu.harness.criteria import (
     AgentBlockedCriterion, RouteCompletionCriterion, RouteDeviationCriterion,
@@ -111,6 +111,61 @@ def parse_imu(data) -> np.ndarray:
                      data.compass], dtype=np.float64)
 
 
+def latlon_ref_from_opendrive(xodr: str):
+    """Map geo-reference (lat_0, lon_0) from the OpenDRIVE header — the
+    origin CARLA's GnssSensor projects through (route_manipulation.py
+    _get_latlon_ref)."""
+    lat_ref, lon_ref = 42.0, 2.0   # CARLA's default georeference
+    try:
+        import xml.etree.ElementTree as ET
+
+        geo = ET.fromstring(xodr).find(".//geoReference")
+        for token in (geo.text or "").split(" "):
+            if token.startswith("+lat_0="):
+                lat_ref = float(token.split("=")[1])
+            elif token.startswith("+lon_0="):
+                lon_ref = float(token.split("=")[1])
+    except Exception:
+        pass
+    return lat_ref, lon_ref
+
+
+class _LinearGnssParser:
+    """Re-encode geodetic GNSS into the harness's linear convention.
+
+    Agents decode gps with the linear GPS_SCALE mapping (docs/PARITY.md: the
+    reference mixes web-mercator routes with linearly-decoded positions — two
+    subtly different frames). Here the mercator reading is inverted back to
+    CARLA world (x, y) with the map's georeference and re-encoded linearly,
+    so decoded agent positions land in the same world frame as the native
+    vectorizer's lanes and the (linearly encoded) route plan.
+    """
+
+    def __init__(self, lat_ref: float, lon_ref: float):
+        self._ref = (lat_ref, lon_ref)
+
+    def __call__(self, data) -> np.ndarray:
+        from mmfn_tpu.control.planner import GPS_SCALE, gps_to_location
+
+        x, y, alt = gps_to_location(data.latitude, data.longitude,
+                                    data.altitude, *self._ref)
+        return np.array([x / GPS_SCALE[0], y / GPS_SCALE[1], alt],
+                        dtype=np.float64)
+
+
+def parse_imu_world_yaw(data) -> np.ndarray:
+    """IMU parse with the compass column replaced by the sensor's world yaw.
+
+    The harness pose convention is theta = world yaw (the fake world emits it
+    directly); CARLA's compass is measured from north in the UE frame, and
+    decoding it would re-introduce the frame mismatch the linear GNSS parser
+    removes. The attached sensor's transform gives the exact world heading.
+    """
+    return np.array([data.accelerometer.x, data.accelerometer.y, data.accelerometer.z,
+                     data.gyroscope.x, data.gyroscope.y, data.gyroscope.z,
+                     math.radians(data.transform.rotation.yaw)], dtype=np.float64)
+
+
 class _Callback:
     _PARSERS = {
         "sensor.camera.rgb": parse_image,
@@ -120,9 +175,10 @@ class _Callback:
         "sensor.other.imu": parse_imu,
     }
 
-    def __init__(self, tag: str, sensor_type: str, interface: SensorInterface):
+    def __init__(self, tag: str, sensor_type: str, interface: SensorInterface,
+                 parse=None):
         self._tag = tag
-        self._parse = self._PARSERS[sensor_type]
+        self._parse = parse or self._PARSERS[sensor_type]
         self._interface = interface
 
     def __call__(self, data) -> None:
@@ -184,6 +240,7 @@ class OpenDriveMapReader(_BaseReader):
 
 def setup_sensors(agent, vehicle, world) -> List:
     bp_library = world.get_blueprint_library()
+    lat_ref, lon_ref = latlon_ref_from_opendrive(world.get_map().to_opendrive())
     actors = []
     for spec in agent.sensors():
         stype, tag = spec["type"], spec["id"]
@@ -244,7 +301,14 @@ def setup_sensors(agent, vehicle, world) -> List:
         sensor = world.spawn_actor(bp, carla.Transform(location, rotation),
                                    attach_to=vehicle)
         agent.sensor_interface.register_sensor(tag)
-        sensor.listen(_Callback(tag, stype, agent.sensor_interface))
+        # gnss/imu feed the harness's world-linear pose frame (see the
+        # parser docstrings) so lane crops match the native vectorizer
+        parse = None
+        if stype.startswith("sensor.other.gnss"):
+            parse = _LinearGnssParser(lat_ref, lon_ref)
+        elif stype.startswith("sensor.other.imu"):
+            parse = parse_imu_world_yaw
+        sensor.listen(_Callback(tag, stype, agent.sensor_interface, parse))
         actors.append(sensor)
     return actors
 
@@ -260,12 +324,7 @@ TOWN_TRAFFIC = {
     "Town10HD": 120,
 }
 
-WEATHER_PRESETS = (
-    "ClearNoon", "ClearSunset", "CloudyNoon", "CloudySunset", "WetNoon",
-    "WetSunset", "MidRainyNoon", "MidRainSunset", "WetCloudyNoon",
-    "WetCloudySunset", "HardRainNoon", "HardRainSunset", "SoftRainNoon",
-    "SoftRainSunset",
-)
+from mmfn_tpu.harness.weather import WEATHER_PRESETS  # noqa: E402  (shared table)
 
 
 def spawn_background_traffic(client, world, town: str, tm_port: int = 8000):
@@ -444,8 +503,10 @@ def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> Non
 
         agent = build_agent(cfg)
         dense = interpolate_route_carla(world.get_map(), config.trajectory)
-        gps_plan = [(dict(zip(("lat", "lon", "z"), location_to_gps(x, y))), opt)
-                    for (x, y), opt in dense]
+        # linear world-frame encoding, matching the GNSS parser and the
+        # native vectorizer's lane frame (docs/PARITY.md gps deviation)
+        gps_plan = [({"lat": x / GPS_SCALE[0], "lon": y / GPS_SCALE[1],
+                      "z": 0.0}, opt) for (x, y), opt in dense]
         agent.set_global_plan(gps_plan, dense)
 
         # spawn ego at the first keypoint (route_scenario.py:249)
@@ -468,11 +529,17 @@ def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> Non
         statistics.set_route(config.route_id, config.index)
         t0, game_time, timed_out, failure = time.time(), 0.0, False, ""
         try:
+            agent.sensor_interface.register_sensor("privileged")
             while True:
                 world.tick()
                 snapshot = world.get_snapshot()
                 GameTime.on_carla_tick(snapshot.timestamp)
                 watchdog.update()
+                # privileged channel: ground-truth WorldView for the experts
+                # (the fake world publishes the same channel, replay.py)
+                agent.sensor_interface.update_sensor(
+                    "privileged", world_view_from_carla(world, vehicle),
+                    GameTime.get_frame())
                 control = agent(GameTime.get_time())
                 vc = carla.VehicleControl(throttle=float(control.throttle),
                                           steer=float(control.steer),

@@ -33,14 +33,9 @@ from mmfn_tpu.harness.experts.world_view import Actor, EgoState, WorldView
 from mmfn_tpu.mapping import RoughMap, build_rmap
 from mmfn_tpu.mapping.birdview import BirdViewProducer
 
-# weather presets cycled during collection (base_agent.py:14-36,291-295);
+# weather presets cycled during collection (base_agent.py:291-295);
 # in CARLA these map to WeatherParameters, here they are recorded ids.
-WEATHERS = (
-    "ClearNoon", "ClearSunset", "CloudyNoon", "CloudySunset", "WetNoon",
-    "WetSunset", "MidRainyNoon", "MidRainSunset", "WetCloudyNoon",
-    "WetCloudySunset", "HardRainNoon", "HardRainSunset", "SoftRainNoon",
-    "SoftRainSunset",
-)
+from mmfn_tpu.harness.weather import WEATHER_PRESETS as WEATHERS  # noqa: E402
 
 
 class ExpertCollectionAgent(AutonomousAgent):

@@ -171,7 +171,9 @@ def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:
     rate = None
     if dyn is not None and dyn.get("dynamicsShape") == "linear" \
             and dyn.get("dynamicsDimension") == "rate":
-        rate = _f(dyn, "value", params)
+        # authors write decelerations as negative rates; the runtime steps
+        # toward the target, so only the magnitude is meaningful
+        rate = abs(_f(dyn, "value", params)) or None
     out = XoscAction("speed", rate=rate)
     absolute = act.find(".//AbsoluteTargetSpeed")
     relative = act.find(".//RelativeTargetSpeed")

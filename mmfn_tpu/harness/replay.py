@@ -350,6 +350,12 @@ class ClosedLoopRunner:
             if time.time() - t_start > self.max_wall_seconds:
                 timed_out = True
                 break
+        else:
+            # ticks exhausted without completing: the default max_ticks IS
+            # the timeout budget (int(timeout/DT) iterations never push
+            # game_time past timeout except by float drift) — record it as
+            # the timeout it is, not an anonymous failure
+            timed_out = True
 
         events: List[TrafficEvent] = list(collision_events)
         for c in criteria:

@@ -2,6 +2,7 @@
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -101,3 +102,24 @@ def test_preprocess_workers(route_dir, tmp_path):
     ds = CarlaDataset([route_dir], CFG, image_ext="npy")
     n = preprocess_to_pickles(ds, str(tmp_path / "pro_mp"), workers=2)
     assert len(list((tmp_path / "pro_mp").glob("*.pkl"))) == n == len(ds)
+
+
+def test_data_loader_pool_order_and_abandon(route_dir):
+    """The decode pool preserves batch order across worker threads, and an
+    abandoned iterator must not strand blocked workers."""
+    import threading
+
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    want = [b.velocity for b in data_loader(ds, 1, 8, num_threads=1)]
+    got = [b.velocity for b in data_loader(ds, 1, 8, num_threads=3, prefetch=3)]
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g))
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = data_loader(ds, 1, 8, num_threads=3, prefetch=1)
+        next(it)
+        it.close()                      # abandon early -> workers must exit
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 1, threading.active_count()

@@ -141,3 +141,48 @@ def test_world_view_from_carla_stop_sign_detection():
     # sign too far -> ignored
     view = world_view_from_carla(World([StopActor(40.0, 0.0)]), Ego())
     assert not view.stop_sign
+
+
+def test_gps_mercator_roundtrip():
+    """gps_to_location inverts location_to_gps for a nonzero georeference."""
+    from mmfn_tpu.control.planner import gps_to_location, location_to_gps
+
+    lat_ref, lon_ref = 49.0, 8.0
+    for x, y in ((0.0, 0.0), (123.4, -56.7), (-400.0, 250.0)):
+        lat, lon, z = location_to_gps(x, y, 1.5, lat_ref, lon_ref)
+        gx, gy, gz = gps_to_location(lat, lon, z, lat_ref, lon_ref)
+        np.testing.assert_allclose((gx, gy, gz), (x, y, 1.5), atol=1e-6)
+
+
+def test_linear_gnss_parser_world_frame():
+    """The glue's GNSS parser decodes mercator readings back to the world
+    frame and re-encodes them with the linear convention agents decode — so
+    decoded positions == CARLA world (x, y), the .rmap lane frame."""
+    from mmfn_tpu.control.planner import GPS_SCALE, location_to_gps
+
+    lat_ref, lon_ref = 42.0, 2.0
+    x, y = 210.5, -87.25
+    lat, lon, _ = location_to_gps(x, y, 0.0, lat_ref, lon_ref)
+    parser = glue._LinearGnssParser(lat_ref, lon_ref)
+    out = parser(SimpleNamespace(latitude=lat, longitude=lon, altitude=0.0))
+    np.testing.assert_allclose(out[0] * GPS_SCALE[0], x, atol=1e-5)
+    np.testing.assert_allclose(out[1] * GPS_SCALE[1], y, atol=1e-5)
+
+
+def test_latlon_ref_from_opendrive():
+    xodr = """<?xml version="1.0"?><OpenDRIVE><header>
+    <geoReference><![CDATA[+proj=tmerc +lat_0=49.5 +lon_0=8.25 +k=1]]></geoReference>
+    </header></OpenDRIVE>"""
+    assert glue.latlon_ref_from_opendrive(xodr) == (49.5, 8.25)
+    assert glue.latlon_ref_from_opendrive("<OpenDRIVE/>") == (42.0, 2.0)
+
+
+def test_parse_imu_world_yaw():
+    data = SimpleNamespace(
+        accelerometer=SimpleNamespace(x=1.0, y=2.0, z=3.0),
+        gyroscope=SimpleNamespace(x=0.1, y=0.2, z=0.3),
+        compass=9.9,
+        transform=SimpleNamespace(rotation=SimpleNamespace(yaw=90.0)))
+    out = glue.parse_imu_world_yaw(data)
+    np.testing.assert_allclose(out[6], math.pi / 2)
+    np.testing.assert_allclose(out[:6], [1, 2, 3, 0.1, 0.2, 0.3])
