@@ -41,8 +41,6 @@ from mmfn_tpu.harness.agents import MMFNAgent
 from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
-from mmfn_tpu.mapping import build_rmap
-from mmfn_tpu.mapping.birdview import BirdViewProducer
 from mmfn_tpu.models import build_model
 from mmfn_tpu.train import Engine, create_train_state
 
@@ -114,13 +112,11 @@ def make_signals(rmap_path, trajectory):
 
 
 def make_map(out_dir):
-    map_dir = os.path.join(out_dir, "map", "opendrive")
-    os.makedirs(map_dir, exist_ok=True)
-    with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
-        f.write(XODR)
-    assert not build_rmap([map_dir]), "native vectorizer failed"
-    rmap_path = os.path.join(map_dir, "a.rmap")
-    return rmap_path, BirdViewProducer.from_opendrive(rmap_path)
+    from mmfn_tpu.mapping import vectorize_xodr
+
+    _, birdview, rmap_path = vectorize_xodr(
+        XODR, work_dir=os.path.join(out_dir, "map"))
+    return rmap_path, birdview
 
 
 def _offset_start(traj, lateral):
@@ -217,6 +213,9 @@ def main():
     train_set = PreprocessedDataset(pro)
 
     model = build_model(cfg, "vec")
+    if len(train_set) < args.batch:
+        raise SystemExit(f"collected only {len(train_set)} frames < batch "
+                         f"{args.batch}; add routes or --repetitions")
     sample = next(data_loader(train_set, args.batch, cfg.max_lanes, num_threads=1))
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), sample)
     untrained = {"params": jax.tree.map(np.asarray, dict(state.params)),

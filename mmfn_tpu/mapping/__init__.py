@@ -1,1 +1,2 @@
-from mmfn_tpu.mapping.rough_map import RoughMap, build_rmap, write_rmap  # noqa: F401
+from mmfn_tpu.mapping.rough_map import (  # noqa: F401
+    RoughMap, build_rmap, vectorize_xodr, write_rmap)

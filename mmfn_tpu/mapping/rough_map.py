@@ -185,3 +185,32 @@ def write_rmap(path: str, lanes: Sequence[Tuple[np.ndarray, np.ndarray]],
             f.write(" ".join(f"{v:.6f}" for v in np.asarray(polygon).reshape(-1)) + "\n")
             for row in np.asarray(nodes):
                 f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+
+def vectorize_xodr(xodr: str, work_dir: Optional[str] = None,
+                   tool_path: Optional[str] = None, birdview: bool = True):
+    """OpenDRIVE string -> (RoughMap, BirdViewProducer-or-None, rmap_path).
+
+    The one shared implementation of the write-opstr -> rough_map_node ->
+    RoughMap.read (-> BirdViewProducer) sequence that phase0, the examples,
+    and the agents each need. Raises RuntimeError when the native vectorizer
+    fails — silent map loss must not silently disable signals/penalties.
+    """
+    import tempfile
+
+    base = work_dir or tempfile.mkdtemp(prefix="mmfn_map_")
+    map_dir = os.path.join(base, "opendrive")
+    os.makedirs(map_dir, exist_ok=True)
+    with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
+        f.write(xodr)
+    if build_rmap([map_dir], tool_path=tool_path):
+        raise RuntimeError(f"rough_map_node failed to vectorize the map "
+                           f"(see {map_dir}); run ./scripts/build_native.sh?")
+    rmap_path = os.path.join(map_dir, "a.rmap")
+    rough_map = RoughMap().read(rmap_path)
+    producer = None
+    if birdview:
+        from mmfn_tpu.mapping.birdview import BirdViewProducer
+
+        producer = BirdViewProducer.from_opendrive(rmap_path)
+    return rough_map, producer, rmap_path

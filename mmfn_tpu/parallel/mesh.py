@@ -41,13 +41,28 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def _place(x, sharding: NamedSharding):
+    """Host-local numpy -> global array under `sharding`.
+
+    Single-process: a plain device_put. Multi-process: device_put cannot
+    target non-addressable devices, and each host holds only ITS slice of
+    the global batch (the loader shards by process_index) — assemble the
+    global array from per-process shards instead. For a replicated spec the
+    process-local data is the full (identical-by-seed) value, which the same
+    primitive handles.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place every array leaf of a batch pytree with the leading dim sharded."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _place(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _place(x, sharding), tree)

@@ -14,7 +14,14 @@ import yaml
 
 
 class DotDict(dict):
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, k):
+        # missing attributes must raise AttributeError, not KeyError:
+        # deepcopy/hasattr/getattr-with-default probe dunder names and treat
+        # KeyError as a real error (verified: KeyError('__deepcopy__'))
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k) from None
 
     def __setattr__(self, k, v):
         self[k] = v

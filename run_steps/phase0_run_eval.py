@@ -46,7 +46,20 @@ FALLBACK_XODR = """<?xml version="1.0" standalone="yes"?>
 """
 
 
-def build_agent(cfg, shared=None):
+def _route_save_path(data_save, route_index):
+    """Per-route dataset dir: writing several routes into one directory
+    would overwrite frames (DatasetWriter restarts ids per agent). A path
+    already naming a route (…/route_NN) is used as-is — single-route runs
+    and tests address the exact directory."""
+    import re
+
+    if data_save is None or route_index is None \
+            or re.search(r"route_\d+$", str(data_save)):
+        return data_save
+    return os.path.join(str(data_save), f"route_{route_index:02d}")
+
+
+def build_agent(cfg, shared=None, route_index=None):
     """Construct a fresh agent per route (leaderboard_evaluator.py:264).
     ``shared`` caches the jitted pipeline across routes to avoid recompiles."""
     shared = shared if shared is not None else {}
@@ -58,7 +71,8 @@ def build_agent(cfg, shared=None):
 
         return ExpertCollectionAgent({
             "config": GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64)),
-            "save_path": agent_cfg.get("data_save"),
+            "save_path": _route_save_path(agent_cfg.get("data_save"),
+                                          route_index),
             "image_ext": agent_cfg.get("image_ext", "png"),
             "seed": agent_cfg.get("seed", 0),
             "pilot": agent_cfg.get("pilot", "mmfn"),
@@ -71,20 +85,27 @@ def build_agent(cfg, shared=None):
     if agent_type in ("aim", "cilrs", "transfuser"):
         from mmfn_tpu.harness.agents.baseline import BaselineAgent
         from mmfn_tpu.models import get_entry_point as get_model
+        from mmfn_tpu.train import create_train_state
 
         gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64))
         model = get_model(agent_type)(gconf)
         batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
-        if agent_type == "cilrs":
-            import jax.numpy as jnp
+        # create_train_state resolves the per-variant init signature (CILRS
+        # takes the command) and doubles as the checkpoint template
+        state = create_train_state(model, gconf, jax.random.PRNGKey(0), batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model_path = agent_cfg.get("model_path")
+        ckpt = os.path.join(model_path or "", "best_model.msgpack")
+        if model_path and os.path.exists(ckpt):
+            from flax import serialization
 
-            variables = jax.jit(model.init, static_argnums=(3,))(
-                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-                batch, jnp.ones((1,), jnp.int32), False)
+            with open(ckpt, "rb") as f:
+                state = serialization.from_bytes(state, f.read())
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            print(f"{bc.OKGREEN}loaded checkpoint {ckpt}{bc.ENDC}")
         else:
-            variables = jax.jit(model.init, static_argnums=(2,))(
-                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-                batch, False)
+            print(f"{bc.WARNING}no checkpoint at {ckpt}; "
+                  f"using random init{bc.ENDC}")
         return BaselineAgent({"kind": agent_type, "model": model,
                               "variables": variables, "config": gconf})
     # model-shape overrides so checkpoints trained at other sizes load
@@ -165,21 +186,17 @@ def main():
     rough_map = None
     birdview = None
     try:
-        import tempfile
+        from mmfn_tpu.mapping import vectorize_xodr
 
-        from mmfn_tpu.mapping import RoughMap, build_rmap
-        from mmfn_tpu.mapping.birdview import BirdViewProducer
-
-        map_dir = os.path.join(tempfile.mkdtemp(prefix="mmfn_eval_map_"), "opendrive")
-        os.makedirs(map_dir, exist_ok=True)
-        with open(os.path.join(map_dir, "opstr.txt"), "w") as f:
-            f.write(map_xodr)
-        if not build_rmap([map_dir]):
-            rmap_path = os.path.join(map_dir, "a.rmap")
-            rough_map = RoughMap().read(rmap_path)
-            birdview = BirdViewProducer.from_opendrive(rmap_path)
-    except Exception:
-        rough_map = None
+        rough_map, birdview, _ = vectorize_xodr(map_xodr)
+    except Exception as e:
+        # an explicitly configured map MUST vectorize — otherwise signals,
+        # NPC traffic, and the outside-lanes penalty would silently vanish
+        # and scores would stop being comparable
+        if cfg.get("map"):
+            raise
+        print(f"{bc.WARNING}map vectorization unavailable ({e}); running "
+              f"without signals/traffic/lane penalties{bc.ENDC}")
 
     xcfg = None
     if is_xosc:
@@ -197,11 +214,14 @@ def main():
             indexer.resume(endpoint)
 
     shared = {}
-    runner = ClosedLoopRunner(statistics)
+    # generous default wall budget: the first route pays the XLA compile
+    # (minutes cold); without headroom it would be scored as a timeout
+    runner = ClosedLoopRunner(
+        statistics, max_wall_seconds=float(cfg.get("max_wall_seconds", 900.0)))
     t0 = time.time()
     while indexer.peek():
-        agent = build_agent(cfg, shared)
         config = indexer.next()
+        agent = build_agent(cfg, shared, route_index=config.index)
         scenario_manager = None
         if is_xosc:
             from mmfn_tpu.harness.openscenario import OpenScenarioManager

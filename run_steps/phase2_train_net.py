@@ -84,6 +84,10 @@ def main():
     from mmfn_tpu.utils.seeding import seed_everything
 
     root_key = seed_everything(int(cfg.get("seed", 42)))
+    if len(train_set) < batch_size:
+        raise SystemExit(f"training pool has {len(train_set)} frames < "
+                         f"batch_size {batch_size}; collect more data or "
+                         f"lower batch_size")
     sample = next(data_loader(train_set, batch_size, gconf.max_lanes, num_threads=1))
     state = create_train_state(model, gconf, root_key, sample)
     # ImageNet-pretrained backbones (the reference's models.resnet*(
@@ -106,10 +110,13 @@ def main():
         print(f"{bc.OKGREEN}resumed from epoch {engine.cur_epoch}{bc.ENDC}")
     state = replicate(state, mesh)
 
+    # the configured seed governs data order and dropout too, not just init
+    seed = int(cfg.get("seed", 42))
+
     def batches(split_set, shuffle):
         def make(epoch):
             for b in data_loader(split_set, batch_size, gconf.max_lanes,
-                                 shuffle=shuffle, seed=epoch,
+                                 shuffle=shuffle, seed=epoch + seed * 10007,
                                  shard_index=jax.process_index(),
                                  shard_count=jax.process_count()):
                 yield shard_batch(b, mesh)
@@ -117,7 +124,8 @@ def main():
 
     state = engine.fit(
         state, batches(train_set, True), batches(val_set, False),
-        epochs=int(cfg.get("epochs", 101)), rng=jax.random.PRNGKey(0),
+        epochs=int(cfg.get("epochs", 101)),
+        rng=jax.random.fold_in(root_key, 1),
         val_every=int(cfg.get("val_every", 5)), save_every=int(cfg.get("save_every", 20)))
     engine.save(state)
     logger.close()

@@ -61,7 +61,10 @@ def main():
     model = build_model(cfg, args.variant)
     batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes,
                             seed=args.seed)
-    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    # jitted init: bare model.init runs the forward eagerly op-by-op
+    # (minutes on CPU, one relay round-trip per op on TPU — CLAUDE.md)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), batch, False)
     if args.checkpoint:
         from flax import serialization
 

@@ -161,3 +161,31 @@ def test_phase0_openscenario_cli(tmp_path):
         "_checkpoint"]["records"][0]
     assert record["infractions"]["collisions_vehicle"] == []
     assert record["scores"]["score_route"] > 50, record
+
+
+def test_dotdict_attribute_protocol():
+    """Missing attributes raise AttributeError (not KeyError) so
+    deepcopy / hasattr / getattr-with-default work."""
+    import copy
+
+    from mmfn_tpu.utils.cli import DotDict
+
+    d = DotDict(a=1)
+    assert d.a == 1
+    assert not hasattr(d, "missing")
+    assert getattr(d, "missing", "fallback") == "fallback"
+    assert copy.deepcopy(d) == {"a": 1}
+    with pytest.raises(AttributeError):
+        _ = d.missing
+
+
+def test_route_save_path_per_route():
+    sys.path.insert(0, os.path.join(ROOT, "run_steps"))
+    from phase0_run_eval import _route_save_path
+
+    # multi-route collection gets per-route subdirs
+    assert _route_save_path("/data/Town_short", 3) == "/data/Town_short/route_03"
+    # an exact route dir (tests, single-route configs) is honored as-is
+    assert _route_save_path("/data/Town_short/route_00", 3) \
+        == "/data/Town_short/route_00"
+    assert _route_save_path(None, 3) is None
