@@ -162,8 +162,9 @@ def collect(out_dir, birdview, cfg, rmap_path, traffic=0, repetitions=1):
     return town_dir
 
 
-def evaluate(variables, model, cfg, birdview, label, rmap_path, traffic=0):
-    agent = MMFNAgent({"variant": "vec", "model": model, "variables": variables,
+def evaluate(variables, model, cfg, birdview, label, rmap_path, traffic=0,
+             variant="vec"):
+    agent = MMFNAgent({"variant": variant, "model": model, "variables": variables,
                        "config": cfg, "points_per_sweep": 2048})
     runner = ClosedLoopRunner(max_wall_seconds=240)
     signals = make_signals(rmap_path, EVAL_ROUTE)
@@ -193,6 +194,8 @@ def main():
                          "recovery demonstrations")
     ap.add_argument("--map", choices=["straight", "loop"], default="straight",
                     help="fake-world map: straight road or the signalized loop")
+    ap.add_argument("--variant", choices=["img", "vec", "rad"], default="vec",
+                    help="MMFN variant to train (rad = the full 4-modality graph)")
     args = ap.parse_args()
 
     global XODR, COLLECT_ROUTES, EVAL_ROUTE
@@ -212,7 +215,7 @@ def main():
     preprocess_to_pickles(ds, pro, workers=4)
     train_set = PreprocessedDataset(pro)
 
-    model = build_model(cfg, "vec")
+    model = build_model(cfg, args.variant)
     if len(train_set) < args.batch:
         raise SystemExit(f"collected only {len(train_set)} frames < batch "
                          f"{args.batch}; add routes or --repetitions")
@@ -238,9 +241,11 @@ def main():
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
     score_untrained = evaluate(untrained, model, cfg, birdview,
-                               "random-init policy", rmap_path, args.traffic)
+                               "random-init policy", rmap_path, args.traffic,
+                               variant=args.variant)
     score_trained = evaluate(trained, model, cfg, birdview,
-                             "trained policy", rmap_path, args.traffic)
+                             "trained policy", rmap_path, args.traffic,
+                             variant=args.variant)
     print(f"driving score: untrained {score_untrained:.1f} -> "
           f"trained {score_trained:.1f}")
 
