@@ -47,6 +47,21 @@ def tool():
         try:
             subprocess.run([os.path.join(root, "scripts", "build_native.sh")],
                            check=True, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            # a broken BUILD must fail loudly (with the compiler output),
+            # not silently skip every closed-loop integration test
+            raise RuntimeError(
+                f"native build failed:\n{(e.stderr or b'').decode()[-2000:]}")
         except Exception as e:
-            pytest.skip(f"native tool unavailable: {e}")
+            pytest.skip(f"native toolchain unavailable: {e}")
     return path
+
+
+def clean_subprocess_env():
+    """Subprocess env: CPU jax, and no axon/TPU relay registration (the
+    sitecustomize dials a single-client relay and can block). The one shared
+    recipe — CLAUDE.md points here for ad-hoc subprocess tests."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    return env

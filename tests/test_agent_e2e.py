@@ -17,14 +17,16 @@ from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
 from tests.test_harness import STRAIGHT_XODR
 
-@pytest.mark.parametrize("variant", ["vec"])
-def test_mmfn_agent_closed_loop_smoke(tool, variant, tmp_path):
+def test_mmfn_agent_closed_loop_smoke(tool, tmp_path):
+    # vec only: the variants share the pipeline/agent machinery this test
+    # exercises, and the full-stack rad path is covered by bench/demo runs
+    variant = "vec"
     from mmfn_tpu.models import build_model
 
     cfg = GlobalConfig(n_layer=1, max_lanes=16)
     model = build_model(cfg, variant)
     batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnums=(2,))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch, False)
 

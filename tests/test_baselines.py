@@ -13,8 +13,10 @@ RES = 64
 
 
 def _init(model, batch, *extra):
-    return model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-                      batch, *extra, False)
+    # jitted init: bare model.init dispatches the forward op-by-op (CLAUDE.md)
+    return jax.jit(model.init, static_argnums=(2 + len(extra),))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, *extra, False)
 
 
 def test_aim_forward():

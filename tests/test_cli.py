@@ -14,13 +14,7 @@ from mmfn_tpu.utils.cli import load_config
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _clean_env():
-    """Subprocess env: CPU jax, and no axon/TPU relay registration (the
-    sitecustomize dials a single-client relay and can block)."""
-    env = {k: v for k, v in os.environ.items()
-           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
-    env["JAX_PLATFORMS"] = "cpu"
-    return env
+from tests.conftest import clean_subprocess_env as _clean_env
 
 
 
@@ -181,7 +175,10 @@ def test_dotdict_attribute_protocol():
 
 def test_route_save_path_per_route():
     sys.path.insert(0, os.path.join(ROOT, "run_steps"))
-    from phase0_run_eval import _route_save_path
+    try:
+        from phase0_run_eval import _route_save_path
+    finally:
+        sys.path.remove(os.path.join(ROOT, "run_steps"))
 
     # multi-route collection gets per-route subdirs
     assert _route_save_path("/data/Town_short", 3) == "/data/Town_short/route_03"

@@ -308,6 +308,7 @@ def test_change_lane_fast_car_moves_over():
         actors = mgr.tick(np.array([0.0, 0.0]), 0.05)
         if not actors:
             break
+    assert actors, "scenario retired before the swerve was observable"
     fast = next(a for a in actors if a.actor_id == fast_id)
     slow = next(a for a in actors if a.actor_id != fast_id)
     assert fast.position[1] == pytest.approx(3.5, abs=0.3)   # moved a lane left

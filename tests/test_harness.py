@@ -136,12 +136,15 @@ def test_watchdog_expires_and_pets():
         time.sleep(0.1)
         wd.update()
     assert wd.get_status()
+    assert not fired                      # petted: callback must not fire
     wd.stop()
 
-    wd2 = Watchdog(timeout=-0.9)  # 0.1 s fuse
+    fired2 = []
+    wd2 = Watchdog(timeout=-0.9, on_timeout=lambda: fired2.append(1))  # 0.1 s fuse
     wd2.start()
     time.sleep(0.4)
     assert not wd2.get_status()
+    assert fired2                         # expired: callback fired
 
 
 def test_sensor_interface_gating_and_timeout():
@@ -234,16 +237,11 @@ def test_npc_agent_completes_route():
     assert record.status == "Completed"
 
 
-def test_outside_lanes_penalty(tmp_path):
+def test_outside_lanes_penalty(tool, tmp_path):
     """An agent driving off-lane accrues the outside-lanes percentage penalty."""
     import subprocess
     from mmfn_tpu.mapping import RoughMap
-    from mmfn_tpu.mapping.rough_map import default_tool_path
 
-    tool = default_tool_path()
-    if not os.path.exists(tool):
-        subprocess.run([os.path.join(ROOT, "scripts", "build_native.sh")],
-                       check=True, capture_output=True)
     d = tmp_path / "map"
     d.mkdir()
     (d / "opstr.txt").write_text(STRAIGHT_XODR)

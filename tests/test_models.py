@@ -14,7 +14,9 @@ CFG = GlobalConfig(max_lanes=8)  # small lanes for test speed
 
 def _init_and_run(variant, batch, train=False):
     model = build_model(CFG, variant)
-    variables = model.init(
+    # jitted init (CLAUDE.md): bare model.init runs the forward eagerly
+    # op-by-op — minutes per call on the full graph
+    variables = jax.jit(model.init, static_argnums=(2,))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch, train,
     )

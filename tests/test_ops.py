@@ -177,7 +177,7 @@ def test_bev_histogram_pallas_ragged_and_small_counts(rng):
 def test_resize_to_single_pixel():
     """align_corners resize to size 1 samples pixel 0 (torch semantics) —
     the general interpolation formula would divide by zero."""
-    import torch
+    torch = pytest.importorskip("torch")
     import torch.nn.functional as F
     from mmfn_tpu.ops.resize import resize_bilinear_align_corners
 

@@ -29,13 +29,7 @@ from tests.test_parity_full import _TorchMMFNVec, MAX_LANES, N_LAYER, RES  # noq
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _clean_env():
-    """Subprocess env: CPU jax, and no axon/TPU relay registration (the
-    sitecustomize dials a single-client relay and can block)."""
-    env = {k: v for k, v in os.environ.items()
-           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
-    env["JAX_PLATFORMS"] = "cpu"
-    return env
+from tests.conftest import clean_subprocess_env as _clean_env
 
 
 
