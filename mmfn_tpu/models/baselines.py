@@ -4,7 +4,7 @@ Strict subsets of the MMFN layer zoo, so they share the ResNet backbones,
 fusion transformer, and waypoint decoder:
 - AIM (aim/model.py:68-120): image-only ResNet34 -> join MLP -> GRU decoder
   with concatenated target point.
-- CILRS (cilrs/model.py:40-135): ResNet34 + velocity-in projection, 6
+- CILRS (cilrs/model.py:40-135): ResNet18 + velocity-in projection, 6
   command-selected control branches (sigmoid outputs mapped to controls),
   and a velocity prediction head.
 - TransFuser (transfuser/model.py): image + LiDAR BEV streams fused by 4
@@ -59,7 +59,8 @@ class CILRS(nn.Module):
     def setup(self):
         precision = resolve_precision(self.config.matmul_precision)
         self.precision = precision
-        self.image_encoder = resnet34(precision, name="image_encoder")
+        # the reference CILRS backbone is ResNet18, not 34 (cilrs/model.py:17)
+        self.image_encoder = resnet18(precision, name="image_encoder")
         kw = dict(kernel_init=torch_linear_kernel_init, precision=precision)
         h, c = self.hidden_size, 512
         self.vel_in_fc1 = nn.Dense(h, bias_init=torch_linear_bias_init(1), **kw)

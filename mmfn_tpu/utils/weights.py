@@ -194,6 +194,86 @@ def convert_mmfn(sd: Mapping[str, Array], variant: str, n_layer: int = 8) -> Dic
     return {"params": params, "batch_stats": stats}
 
 
+# --------------------------------------------------------------------------- #
+# Baseline checkpoints (team_code/benchmarks/{aim,cilrs,transfuser}/model.py)
+# --------------------------------------------------------------------------- #
+
+def _convert_waypoint_decoder(params: Tree, sd: Mapping[str, Array]) -> None:
+    """GRUCell 'decoder' + Linear 'output' -> our WaypointDecoder subtree."""
+    gru = params.setdefault("decoder", {}).setdefault("decoder", {})
+    gru["weight_ih"] = _linear(sd["decoder.weight_ih"])
+    gru["weight_hh"] = _linear(sd["decoder.weight_hh"])
+    gru["bias_ih"] = np.asarray(sd["decoder.bias_ih"])
+    gru["bias_hh"] = np.asarray(sd["decoder.bias_hh"])
+    _dense(params, "decoder/output", sd, "output")
+
+
+def _convert_join(params: Tree, sd: Mapping[str, Array], prefix: str = "") -> None:
+    for idx, torch_idx in ((1, 0), (2, 2), (3, 4)):
+        _dense(params, f"join_fc{idx}", sd, f"{prefix}join.{torch_idx}")
+
+
+def convert_aim(sd: Mapping[str, Array]) -> Dict[str, Tree]:
+    """Reference AIM state_dict (aim/model.py:68) -> flax variables."""
+    sd = strip_ddp_prefix(dict(sd))
+    params: Tree = {}
+    stats: Tree = {}
+    p, s = convert_resnet(sd, (3, 4, 6, 3), "image_encoder.features.")
+    params["image_encoder"], stats["image_encoder"] = p, s
+    _convert_join(params, sd)
+    _convert_waypoint_decoder(params, sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_cilrs(sd: Mapping[str, Array], num_branch: int = 6) -> Dict[str, Tree]:
+    """Reference CILRS state_dict (cilrs/model.py:108) -> flax variables.
+
+    Backbone is ResNet18 (cilrs/model.py:17); heads live under 'controller.'.
+    """
+    sd = strip_ddp_prefix(dict(sd))
+    params: Tree = {}
+    stats: Tree = {}
+    p, s = convert_resnet(sd, (2, 2, 2, 2), "encoder.features.")
+    params["image_encoder"], stats["image_encoder"] = p, s
+    _dense(params, "vel_in_fc1", sd, "controller.vel_in.0")
+    _dense(params, "vel_in_fc2", sd, "controller.vel_in.2")
+    _dense(params, "vel_out_fc1", sd, "controller.vel_out.0")
+    _dense(params, "vel_out_fc2", sd, "controller.vel_out.2")
+    _dense(params, "vel_out_fc3", sd, "controller.vel_out.4")
+    for i in range(num_branch):
+        for j, torch_idx in ((1, 0), (2, 2), (3, 4)):
+            _dense(params, f"branch_{i}_fc{j}", sd,
+                   f"controller.branches.{i}.{torch_idx}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_transfuser(sd: Mapping[str, Array], n_layer: int = 8) -> Dict[str, Tree]:
+    """Reference TransFuser state_dict (transfuser/model.py:413) -> flax."""
+    sd = strip_ddp_prefix(dict(sd))
+    params: Tree = {}
+    stats: Tree = {}
+    p, s = convert_resnet(sd, (3, 4, 6, 3), "encoder.image_encoder.features.")
+    params["image_encoder"], stats["image_encoder"] = p, s
+    p, s = convert_resnet(sd, (2, 2, 2, 2), "encoder.lidar_encoder._model.")
+    params["lidar_encoder"], stats["lidar_encoder"] = p, s
+    for k in range(1, 5):
+        convert_fusion_transformer(sd, n_layer, f"encoder.transformer{k}.",
+                                   f"transformer{k}", params)
+    _convert_join(params, sd)
+    _convert_waypoint_decoder(params, sd)
+    return {"params": params, "batch_stats": stats}
+
+
+CONVERTERS = {
+    "img": lambda sd, n_layer=8: convert_mmfn(sd, "img", n_layer),
+    "vec": lambda sd, n_layer=8: convert_mmfn(sd, "vec", n_layer),
+    "rad": lambda sd, n_layer=8: convert_mmfn(sd, "rad", n_layer),
+    "aim": lambda sd, n_layer=8: convert_aim(sd),
+    "cilrs": lambda sd, n_layer=8: convert_cilrs(sd),
+    "transfuser": lambda sd, n_layer=8: convert_transfuser(sd, n_layer),
+}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
     """Load a .pth checkpoint into numpy (requires torch at call time)."""
     import torch

@@ -18,7 +18,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("torch_checkpoint")
     ap.add_argument("out_dir")
-    ap.add_argument("--variant", choices=("img", "vec", "rad"), default="vec")
+    ap.add_argument("--variant", default="vec",
+                    choices=("img", "vec", "rad", "aim", "cilrs", "transfuser"))
     ap.add_argument("--max-lanes", type=int, default=64)
     ap.add_argument("--n-layer", type=int, default=8,
                     help="fusion-transformer depth of the checkpoint (reference: 8)")
@@ -30,19 +31,22 @@ def main():
 
     from mmfn_tpu.config import GlobalConfig
     from mmfn_tpu.data.synthetic import synthetic_batch
-    from mmfn_tpu.models import build_model
+    from mmfn_tpu.models import build_model, get_entry_point
     from mmfn_tpu.train import create_train_state
-    from mmfn_tpu.utils.weights import convert_mmfn, load_torch_state_dict
+    from mmfn_tpu.utils.weights import CONVERTERS, load_torch_state_dict
 
     cfg = GlobalConfig(max_lanes=args.max_lanes, n_layer=args.n_layer)
-    model = build_model(cfg, args.variant)
+    if args.variant in ("img", "vec", "rad"):
+        model = build_model(cfg, args.variant)
+    else:
+        model = get_entry_point(args.variant)(cfg)
     # template init at low resolution: parameter shapes are resolution-agnostic
     # and the 64px trace compiles an order of magnitude faster
     batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes, resolution=64)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
 
     sd = load_torch_state_dict(args.torch_checkpoint)
-    converted = convert_mmfn(sd, args.variant, n_layer=cfg.n_layer)
+    converted = CONVERTERS[args.variant](sd, n_layer=cfg.n_layer)
 
     # graft converted leaves onto the template (keeps optimizer state shapes)
     def graft(template, new):
