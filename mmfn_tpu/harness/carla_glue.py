@@ -207,7 +207,10 @@ class _BaseReader(threading.Thread):
     def run(self) -> None:
         last_time = GameTime.get_time()
         while self._running:
-            if GameTime.get_time() - last_time >= self._period or last_time == 0:
+            # epsilon: game time accumulates 0.05 floats, so an exact >=
+            # period test misses alternate ticks and starves the sensor mux
+            if (GameTime.get_time() - last_time >= self._period - 1e-9
+                    or last_time == 0):
                 try:
                     self._interface.update_sensor(self._tag, self.read(),
                                                   GameTime.get_frame())
