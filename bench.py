@@ -99,13 +99,19 @@ def timed_loop(pipeline, variables, inputs, iters):
     return min(ts) / iters
 
 
-def timed_train(model, cfg, batch_size, iters=20):
+def timed_train(model, cfg, batch_size, iters=20, compute_dtype=jnp.float32):
     """Train-step throughput: fori_loop carrying TrainState (natural sequential
-    dependence), timed like the inference loop."""
+    dependence), timed like the inference loop.
+
+    compute_dtype=bfloat16 mirrors the engine's mixed-precision step
+    (train/engine.py make_train_step): bf16 activations + f32 master
+    params/optimizer/loss."""
     from mmfn_tpu.data.synthetic import synthetic_batch
     from mmfn_tpu.train import create_train_state
-    from mmfn_tpu.train.engine import create_optimizer, waypoint_l1_loss
+    from mmfn_tpu.train.engine import (
+        _cast_floats, create_optimizer, waypoint_l1_loss)
 
+    half = jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
     batch = synthetic_batch(batch_size=batch_size, max_lanes=cfg.max_lanes)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
     tx = create_optimizer(cfg)
@@ -113,10 +119,16 @@ def timed_train(model, cfg, batch_size, iters=20):
 
     def step(state, batch):
         def loss_fn(params):
+            p = _cast_floats(params, compute_dtype) if half else params
+            b = _cast_floats(batch, compute_dtype) if half else batch
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True, rngs={"dropout": rng_key}, mutable=["batch_stats"])
-            return waypoint_l1_loss(out, batch.waypoints), mutated["batch_stats"]
+                {"params": p, "batch_stats": state.batch_stats},
+                b, True, rngs={"dropout": rng_key}, mutable=["batch_stats"])
+            loss = waypoint_l1_loss(out.astype(jnp.float32), batch.waypoints)
+            stats = mutated["batch_stats"]
+            if half:
+                stats = _cast_floats(stats, jnp.float32)
+            return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -167,17 +179,32 @@ def main():
     batch_s = timed_loop(pipeline, variables, make_inputs(BATCH, rng), ITERS)
     fps = BATCH / batch_s
 
-    # Training throughput is opt-in (MMFN_BENCH_TRAIN=1): the fwd+bwd compile
-    # is slow through remote-compile environments and the driver's headline
-    # metric is inference fps.
+    # Training throughput: measured by default (opt out: MMFN_BENCH_TRAIN=0).
+    # bf16 activations are the engine's fast path (1.16x, docs/PERFORMANCE.md);
+    # f32 master params + optimizer as in make_train_step.
     train_batch = 24  # reference training batch (train.yaml:18)
     train_fps = None
-    if os.environ.get("MMFN_BENCH_TRAIN") == "1":
+    if os.environ.get("MMFN_BENCH_TRAIN", "1") != "0":
         try:
-            train_step_s = timed_train(model, cfg, train_batch)
+            train_step_s = timed_train(model, cfg, train_batch,
+                                       compute_dtype=jnp.bfloat16)
             train_fps = round(train_batch / train_step_s, 2)
         except Exception:
             train_fps = None
+
+    # Pallas self-check: the BEV histogram kernel vs its XLA reference,
+    # on real TPU silicon (the test suite only covers interpret mode).
+    pallas_ok = None
+    if jax.default_backend() == "tpu":
+        from mmfn_tpu.ops.lidar import _bev_hist_pallas, _bev_hist_xla
+
+        pts = rng.uniform(-30, 30, size=(MAX_POINTS, 4)).astype(np.float32)
+        pts[:, 3] = 1.0
+        pts[-1000:, 3] = 0.0   # ragged tail: padded-invalid rows must not count
+        pts = jnp.asarray(pts)
+        got = np.asarray(jax.jit(_bev_hist_pallas)(pts))
+        want = np.asarray(jax.jit(_bev_hist_xla)(pts))
+        pallas_ok = bool(np.allclose(got, want, atol=1e-5))
 
     print(json.dumps({
         "metric": "end-to-end frames/sec/chip (sensor->waypoints, full MMFN-rad)",
@@ -189,6 +216,8 @@ def main():
         "batch1_fps": round(1.0 / latency_s, 2),
         "train_fps": train_fps,
         "train_batch": train_batch,
+        "train_dtype": "bfloat16",
+        "pallas_ok": pallas_ok,
         "device": str(jax.devices()[0]),
     }))
 
