@@ -46,7 +46,7 @@ class CarlaDataset:
     """Index + decode raw collected routes into training samples."""
 
     def __init__(self, roots: Sequence[str], config: GlobalConfig,
-                 image_ext: str = "png"):
+                 image_ext: str = "png", use_preload: bool = True):
         self.config = config
         self.seq_len = config.seq_len
         self.pred_len = config.pred_len
@@ -54,24 +54,46 @@ class CarlaDataset:
         self.frames: List[Dict] = []  # one entry per sample: file paths + poses
 
         for root in roots:
-            routes = sorted(
-                d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
-            for route in routes:
-                rd = os.path.join(root, route)
-                n_frames = len(os.listdir(os.path.join(rd, "rgb_front")))
-                # last pred_len frames lack future waypoints; first frame unused
-                num_seq = (n_frames - self.pred_len - 2) // self.seq_len
-                for seq in range(num_seq):
-                    ids = [seq * self.seq_len + 1 + i
-                           for i in range(self.seq_len + self.pred_len)]
-                    entry = {
-                        "dir": rd,
-                        "ids": ids,
-                        "measurements": [
-                            os.path.join(rd, "measurements", _frame_name(i, "json"))
-                            for i in ids],
-                    }
-                    self.frames.append(entry)
+            self.frames.extend(self._index_root(root, use_preload))
+
+    def _preload_path(self, root: str) -> str:
+        # the reference caches its index per sub-root as
+        # 'rg_lidar_mmfn_diag_pl_<seq>_<pred>.npy' (dataloader.py:44); same
+        # idea, json of path entries keyed by the same two lengths
+        return os.path.join(
+            root, f"preload_index_{self.seq_len}_{self.pred_len}.json")
+
+    def _index_root(self, root: str, use_preload: bool) -> List[Dict]:
+        preload = self._preload_path(root)
+        if use_preload and os.path.exists(preload):
+            with open(preload) as f:
+                return json.load(f)
+
+        frames: List[Dict] = []
+        routes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        for route in routes:
+            rd = os.path.join(root, route)
+            n_frames = len(os.listdir(os.path.join(rd, "rgb_front")))
+            # last pred_len frames lack future waypoints; first frame unused
+            num_seq = (n_frames - self.pred_len - 2) // self.seq_len
+            for seq in range(num_seq):
+                ids = [seq * self.seq_len + 1 + i
+                       for i in range(self.seq_len + self.pred_len)]
+                frames.append({
+                    "dir": rd,
+                    "ids": ids,
+                    "measurements": [
+                        os.path.join(rd, "measurements", _frame_name(i, "json"))
+                        for i in ids],
+                })
+        if use_preload:
+            try:
+                with open(preload, "w") as f:
+                    json.dump(frames, f)
+            except OSError:
+                pass   # read-only dataset roots are fine, just un-cached
+        return frames
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -157,11 +179,26 @@ class CarlaDataset:
 
 
 class PreprocessedDataset:
-    """Reads phase-1 pickles (one sample per .pkl under root)."""
+    """Reads phase-1 pickles (one sample per .pkl under root).
 
-    def __init__(self, root: str):
-        self.files = sorted(
-            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".pkl"))
+    The sorted file list is cached in ``<root>/preload_files.json`` (the
+    PRE_Data preload analog) — listing/sorting hundreds of thousands of
+    pickles on network filesystems dominates startup otherwise."""
+
+    def __init__(self, root: str, use_preload: bool = True):
+        preload = os.path.join(root, "preload_files.json")
+        if use_preload and os.path.exists(preload):
+            with open(preload) as f:
+                self.files = [os.path.join(root, f_) for f_ in json.load(f)]
+            return
+        names = sorted(f for f in os.listdir(root) if f.endswith(".pkl"))
+        self.files = [os.path.join(root, f) for f in names]
+        if use_preload:
+            try:
+                with open(preload, "w") as f:
+                    json.dump(names, f)
+            except OSError:
+                pass
 
     def __len__(self) -> int:
         return len(self.files)
@@ -171,10 +208,22 @@ class PreprocessedDataset:
             return pickle.load(f)
 
 
-def _pickle_one(args) -> None:
-    dataset, index, path = args
+def _pickle_sample(dataset, index: int, path: str) -> None:
     with open(path, "wb") as f:
         pickle.dump(dataset[index], f)
+
+
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_job(args) -> None:
+    index, path = args
+    _pickle_sample(_WORKER_DATASET, index, path)
 
 
 def preprocess_to_pickles(dataset: CarlaDataset, out_dir: str,
@@ -182,18 +231,35 @@ def preprocess_to_pickles(dataset: CarlaDataset, out_dir: str,
                           workers: int = 0) -> int:
     """phase1: decode every raw sample once and pickle it (the reference's
     preprocess_dataset_for, phase1_preprocess_data.py:31-48). ``workers`` > 1
-    fans the CPU-heavy decode out over a process pool."""
+    fans the CPU-heavy decode out over a spawned process pool (fork is unsafe
+    after jax's threads exist; the dataset ships once via the initializer)."""
     os.makedirs(out_dir, exist_ok=True)
     n = len(dataset) if limit is None else min(limit, len(dataset))
-    jobs = [(dataset, i, os.path.join(out_dir, f"{i}.pkl")) for i in range(n)]
+    jobs = [(i, os.path.join(out_dir, f"{i}.pkl")) for i in range(n)]
     if workers and workers > 1:
         import multiprocessing as mp
 
-        with mp.get_context("fork").Pool(workers) as pool:
-            pool.map(_pickle_one, jobs, chunksize=8)
+        # spawned children re-run interpreter startup: scrub relay env vars so
+        # any jax import in the child initializes CPU instead of dialing the
+        # single-client TPU relay (CLAUDE.md / tests clean_subprocess_env)
+        saved = {k: os.environ.pop(k) for k in list(os.environ)
+                 if k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+        saved["JAX_PLATFORMS"] = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            with mp.get_context("spawn").Pool(
+                    workers, initializer=_pool_init,
+                    initargs=(dataset,)) as pool:
+                pool.map(_pool_job, jobs, chunksize=8)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     else:
-        for job in jobs:
-            _pickle_one(job)
+        for index, path in jobs:
+            _pickle_sample(dataset, index, path)
     return n
 
 

@@ -14,7 +14,10 @@ from typing import Optional
 
 import numpy as np
 
-SUBDIRS = ("rgb_front", "lidar", "radar", "maps", "vectormap", "measurements")
+# matches base_agent.py:67-74's per-route tree (opendrive/ holds the map
+# string the route was collected on, written once by the expert's _save_map)
+SUBDIRS = ("rgb_front", "lidar", "radar", "maps", "vectormap", "measurements",
+           "opendrive")
 
 
 class DatasetWriter:

@@ -104,6 +104,32 @@ def test_preprocess_workers(route_dir, tmp_path):
     assert len(list((tmp_path / "pro_mp").glob("*.pkl"))) == n == len(ds)
 
 
+def test_preload_index_caches(route_dir, tmp_path):
+    """Index caches (reference dataloader.py:44 preload files): CarlaDataset
+    persists its frame index per root, PreprocessedDataset its file list;
+    a reload from cache yields the identical dataset."""
+    ds = CarlaDataset([route_dir], CFG, image_ext="npy")
+    cache = os.path.join(route_dir,
+                         f"preload_index_{CFG.seq_len}_{CFG.pred_len}.json")
+    assert os.path.exists(cache)
+    ds2 = CarlaDataset([route_dir], CFG, image_ext="npy")
+    assert ds2.frames == ds.frames
+    # cache actually used: point it at a poisoned index and observe
+    with open(cache, "w") as f:
+        json.dump(ds.frames[:1], f)
+    assert len(CarlaDataset([route_dir], CFG, image_ext="npy")) == 1
+    assert len(CarlaDataset([route_dir], CFG, image_ext="npy",
+                            use_preload=False)) == len(ds)
+    os.remove(cache)
+
+    out = str(tmp_path / "pro_cache")
+    preprocess_to_pickles(ds, out, limit=3)
+    p1 = PreprocessedDataset(out)
+    assert os.path.exists(os.path.join(out, "preload_files.json"))
+    p2 = PreprocessedDataset(out)
+    assert p2.files == p1.files and len(p2) == 3
+
+
 def test_data_loader_pool_order_and_abandon(route_dir):
     """The decode pool preserves batch order across worker threads, and an
     abandoned iterator must not strand blocked workers."""
