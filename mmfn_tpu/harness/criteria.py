@@ -138,26 +138,39 @@ class OutsideRouteLanesCriterion(Criterion):
     discounted by (1 - percentage/100)).
 
     Lane membership is distance-to-centerline over the vectorized map's
-    polylines (half lane width + margin), so this works in any world that can
-    provide a RoughMap.
+    polylines against each lane's OWN half width (the rmap v2 width column;
+    OpenDRIVE lanes are variable-width) plus a margin — pass ``lane_widths``
+    aligned with ``lane_polylines``; lanes without widths fall back to the
+    3.5 m default.
     """
 
-    LANE_HALF_WIDTH = 1.75 + 0.6  # half width + bbox margin tolerance
+    DEFAULT_HALF_WIDTH = 1.75
+    MARGIN = 0.6              # bbox margin tolerance
 
-    def __init__(self, lane_polylines: Sequence[np.ndarray]):
+    def __init__(self, lane_polylines: Sequence[np.ndarray],
+                 lane_widths: Optional[Sequence] = None):
         super().__init__()
         pts = []
-        for poly in lane_polylines:
+        halfw = []
+        for li, poly in enumerate(lane_polylines):
             poly = np.asarray(poly, dtype=np.float64)[:, :2]
+            w = None if lane_widths is None else lane_widths[li]
+            hw = (np.full(len(poly), self.DEFAULT_HALF_WIDTH) if w is None
+                  else np.asarray(w, dtype=np.float64) / 2.0)
             if len(poly) < 2:
                 if len(poly):
                     pts.append(poly)
+                    halfw.append(hw[:1])
                 continue
-            # subdivide to ~1 m so the distance test matches the lane ribbon
-            for a, b in zip(poly[:-1], poly[1:]):
+            # subdivide to ~1 m so the distance test matches the lane ribbon,
+            # interpolating the half width along each segment
+            for k, (a, b) in enumerate(zip(poly[:-1], poly[1:])):
                 n = max(1, int(np.linalg.norm(b - a)))
-                pts.append(a + (b - a) * np.linspace(0, 1, n, endpoint=False)[:, None])
+                frac = np.linspace(0, 1, n, endpoint=False)
+                pts.append(a + (b - a) * frac[:, None])
+                halfw.append(hw[k] + (hw[k + 1] - hw[k]) * frac)
         self._points = np.concatenate(pts, axis=0) if pts else np.zeros((0, 2))
+        self._halfw = (np.concatenate(halfw) if halfw else np.zeros((0,)))
         self._outside_m = 0.0
         self._driven_m = 0.0
         self._last: Optional[np.ndarray] = None
@@ -168,8 +181,8 @@ class OutsideRouteLanesCriterion(Criterion):
             step = float(np.linalg.norm(pos - self._last))
             self._driven_m += step
             if self._points.shape[0] and step > 0:
-                d = np.min(np.linalg.norm(self._points - pos, axis=1))
-                if d > self.LANE_HALF_WIDTH:
+                slack = np.linalg.norm(self._points - pos, axis=1) - self._halfw
+                if float(np.min(slack)) > self.MARGIN:
                     self._outside_m += step
         self._last = pos
 

@@ -301,9 +301,11 @@ class ExpertCollectionAgent(AutonomousAgent):
             vectormap = np.zeros((1, cfg.lane_node_num, cfg.feature_num))
         actors = [(float(a.position[0]), float(a.position[1]), a.yaw, 4.5, 2.0)
                   for a in world.vehicles]
+        walkers = [(float(a.position[0]), float(a.position[1]), a.yaw, 1.0, 1.0)
+                   for a in world.walkers]
         raster = BirdViewProducer.as_rgb(
             self.birdview.produce([x, y, yaw], actors=actors,
-                                  lights=self._light_states))
+                                  lights=self._light_states, walkers=walkers))
         self.writer.save_frame(
             rgb_front=np.ascontiguousarray(rgb),
             lidar=input_data["lidar"][1],

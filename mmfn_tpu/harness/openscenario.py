@@ -11,7 +11,10 @@ example scenarios exercise and runs them in the KinematicWorld through
 
 Supported subset (OpenSCENARIO 1.0):
 
-- ``ParameterDeclarations`` with ``$name`` substitution;
+- ``ParameterDeclarations`` with ``$name`` substitution and OpenSCENARIO 1.1
+  ``${...}`` arithmetic expressions over parameters (spec 10.8);
+- ``CatalogLocations``/``CatalogReference`` for Vehicle/Pedestrian entries
+  (directory scan of ``*.xosc`` catalogs, ``ParameterAssignments`` honored);
 - ``Entities``: ``Vehicle`` (car/bicycle) and ``Pedestrian`` scenario objects,
   the ego identified by the ``type: ego_vehicle`` property or the name
   ``hero``/``ego_vehicle`` (openscenario_configuration.py semantics);
@@ -30,8 +33,8 @@ Supported subset (OpenSCENARIO 1.0):
   stop-trigger conditions are parsed and reported (the harness scores the
   same criteria natively through ``harness.criteria``).
 
-Out of scope (documented in docs/PARITY.md): catalogs, controllers,
-trajectory-following actions, OpenSCENARIO expressions beyond ``$param``.
+Out of scope (documented in docs/PARITY.md): controllers,
+trajectory-following actions, non-arithmetic expression functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -41,7 +44,10 @@ Conventions: positions are CARLA world frame like the rest of the harness
 
 from __future__ import annotations
 
+import ast
 import math
+import os
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -135,8 +141,36 @@ class OpenScenarioConfig:
 # parser
 # --------------------------------------------------------------------------- #
 
+_PARAM_TOKEN = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)")
+_ALLOWED_EXPR_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
+                       ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod,
+                       ast.FloorDiv, ast.Pow, ast.USub, ast.UAdd)
+
+
+def _eval_expr(expr: str, params: Dict[str, str]) -> str:
+    """OpenSCENARIO 1.1 ``${...}`` expression: arithmetic over numbers and
+    ``$parameter`` references (openscenario spec 10.8; srunner resolves the
+    same via its ParameterRef machinery)."""
+    text = _PARAM_TOKEN.sub(lambda m: str(params.get(m.group(1), "0")), expr)
+    tree = ast.parse(text, mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_EXPR_NODES):
+            raise ValueError(f"unsupported expression element "
+                             f"{type(node).__name__} in ${{{expr}}}")
+        if isinstance(node, ast.Constant) and not isinstance(node.value, (int, float)):
+            raise ValueError(f"non-numeric constant in ${{{expr}}}")
+    val = eval(compile(tree, "<xosc-expr>", "eval"))  # safe: whitelisted nodes
+    if isinstance(val, float) and val.is_integer():
+        return str(int(val))
+    return str(val)
+
+
 def _resolve(value: Optional[str], params: Dict[str, str]) -> Optional[str]:
-    if value is not None and value.startswith("$"):
+    if value is None:
+        return None
+    if value.startswith("${") and value.endswith("}"):
+        return _eval_expr(value[2:-1], params)
+    if value.startswith("$"):
         return params.get(value[1:], value)
     return value
 
@@ -302,6 +336,56 @@ def _weather_preset(env: ET.Element) -> str:
     return "ClearNoon"
 
 
+def _load_catalogs(root: ET.Element, base_dir: str) -> Dict[str, Dict[str, ET.Element]]:
+    """CatalogLocations -> {catalog name: {entry name: element}}.
+
+    Scans every ``*.xosc`` under each location's Directory (relative paths
+    resolve against the scenario file), collecting ``<Catalog name=...>``
+    children — the subset srunner's example Vehicle/Pedestrian catalogs use
+    (openscenario_parser.py get_catalog_entry semantics).
+    """
+    out: Dict[str, Dict[str, ET.Element]] = {}
+    locs = root.find("CatalogLocations")
+    if locs is None:
+        return out
+    for loc in locs:
+        d = loc.find("Directory")
+        if d is None:
+            continue
+        directory = d.get("path", "")
+        if not os.path.isabs(directory):
+            directory = os.path.join(base_dir, directory)
+        if not os.path.isdir(directory):
+            continue
+        for fn in sorted(os.listdir(directory)):
+            if not fn.endswith(".xosc"):
+                continue
+            croot = ET.parse(os.path.join(directory, fn)).getroot()
+            for cat in croot.iter("Catalog"):
+                entries = out.setdefault(cat.get("name", ""), {})
+                for child in cat:
+                    entries[child.get("name", "")] = child
+    return out
+
+
+def _catalog_entry(obj: ET.Element, catalogs: Dict[str, Dict[str, ET.Element]],
+                   params: Dict[str, str]) -> Optional[ET.Element]:
+    """Resolve a ScenarioObject's CatalogReference; ParameterAssignments
+    extend the active parameter scope for attributes read off the entry."""
+    ref = obj.find("CatalogReference")
+    if ref is None:
+        return None
+    entry = catalogs.get(_resolve(ref.get("catalogName", ""), params) or "",
+                         {}).get(_resolve(ref.get("entryName", ""), params) or "")
+    if entry is None:
+        raise ValueError(f"unresolved CatalogReference "
+                         f"{ref.get('catalogName')}/{ref.get('entryName')}")
+    for assign in ref.findall(".//ParameterAssignment"):
+        pname = assign.get("parameterRef", "").lstrip("$")
+        params[pname] = _resolve(assign.get("value", ""), params) or ""
+    return entry
+
+
 def parse_xosc(path: str) -> OpenScenarioConfig:
     root = ET.parse(path).getroot()
     if root.tag != "OpenSCENARIO":
@@ -315,11 +399,13 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
     decls = root.find("ParameterDeclarations")
     if decls is not None:
         for p in decls.findall("ParameterDeclaration"):
-            params[p.get("name", "")] = p.get("value", "")
+            params[p.get("name", "")] = _resolve(p.get("value", ""), params)
 
     logic = root.find(".//RoadNetwork/LogicFile")
     if logic is not None:
         cfg.town = logic.get("filepath", "")
+
+    catalogs = _load_catalogs(root, os.path.dirname(os.path.abspath(path)))
 
     # ---- entities ---- #
     for obj in root.findall(".//Entities/ScenarioObject"):
@@ -327,6 +413,12 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
         spec = EntitySpec(name=name)
         veh = obj.find("Vehicle")
         ped = obj.find("Pedestrian")
+        if veh is None and ped is None:
+            entry = _catalog_entry(obj, catalogs, params)
+            if entry is not None and entry.tag == "Vehicle":
+                veh = entry
+            elif entry is not None and entry.tag == "Pedestrian":
+                ped = entry
         if ped is not None:
             spec.kind = "walker"
             spec.extent = 0.5
@@ -335,9 +427,10 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
             spec.model = veh.get("name", "")
             if veh.get("vehicleCategory") == "bicycle":
                 spec.extent = 1.0
-        for prop in obj.findall(".//Properties/Property"):
-            if prop.get("name") == "type" and prop.get("value") == "ego_vehicle":
-                spec.is_hero = True
+        for src in {obj, veh, ped} - {None}:
+            for prop in src.findall(".//Properties/Property"):
+                if prop.get("name") == "type" and prop.get("value") == "ego_vehicle":
+                    spec.is_hero = True
         if name in ("hero", "ego_vehicle"):
             spec.is_hero = True
         cfg.entities[name] = spec

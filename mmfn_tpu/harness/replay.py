@@ -166,12 +166,16 @@ class KinematicWorld:
 
             lights = (self.signals.light_states(f * DT)
                       if self.signals is not None else None)
-            boxes = [(float(a.position[0]), float(a.position[1]), float(a.yaw),
-                      2 * float(a.extent), 1.4 * float(a.extent))
-                     for a in self.actors]
+            def box(a):
+                return (float(a.position[0]), float(a.position[1]),
+                        float(a.yaw), 2 * float(a.extent), 1.4 * float(a.extent))
+
+            boxes = [box(a) for a in self.actors if a.kind != "walker"]
+            walker_boxes = [box(a) for a in self.actors if a.kind == "walker"]
             raster = BirdViewProducer.as_rgb(
                 self.camera_birdview.produce([self.x, self.y, self.yaw],
-                                             actors=boxes, lights=lights))
+                                             actors=boxes, lights=lights,
+                                             walkers=walker_boxes))
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
         else:
@@ -254,7 +258,8 @@ class ClosedLoopRunner:
             from mmfn_tpu.harness.criteria import OutsideRouteLanesCriterion
 
             criteria.append(OutsideRouteLanesCriterion(
-                [lane.nodes for lane in rough_map.lanes]))
+                [lane.nodes for lane in rough_map.lanes],
+                [lane.widths for lane in rough_map.lanes]))
         if signals is not None:
             from mmfn_tpu.harness.criteria import (
                 RunningRedLightCriterion, RunningStopCriterion)

@@ -54,6 +54,82 @@ def parse_scenario_file(path: str, town: str) -> List[ScenarioTrigger]:
     return triggers
 
 
+# trigger-to-route matching thresholds (route_parser.py:19-20)
+TRIGGER_THRESHOLD = 2.0          # meters: same-position / on-route test
+TRIGGER_ANGLE_THRESHOLD = 10.0   # degrees: heading agreement
+
+
+def scan_route_for_scenarios(route_xy: Sequence,
+                             triggers: Sequence[ScenarioTrigger],
+                             position_threshold: float = TRIGGER_THRESHOLD,
+                             angle_threshold: float = TRIGGER_ANGLE_THRESHOLD,
+                             ) -> dict:
+    """Group the town's trigger positions that lie ON the route.
+
+    The reference walks every route waypoint against every trigger transform
+    with a 2 m position and 10 deg heading threshold
+    (route_parser.py:137-178 scan_route_for_possible_scenarios /
+    match_world_location_to_route). Returns {position key: [triggers]} —
+    several scenario types can share one trigger position.
+    """
+    pts = np.asarray([p[:2] for p in route_xy], dtype=np.float64)
+    if len(pts) < 2:
+        return {}
+    headings = np.degrees(np.arctan2(*(np.diff(pts, axis=0)[:, ::-1]).T))
+    grouped: dict = {}
+    for trig in triggers:
+        d = np.linalg.norm(pts[:-1] - np.array([trig.x, trig.y]), axis=1)
+        near = d < position_threshold
+        if not near.any():
+            continue
+        ang = np.abs((headings - math.degrees(trig.yaw) + 180.0) % 360.0 - 180.0)
+        if not (near & (ang < angle_threshold)).any():
+            continue
+        key = (round(trig.x, 1), round(trig.y, 1))
+        grouped.setdefault(key, []).append(trig)
+    return grouped
+
+
+def sample_scenarios(grouped: dict, seed: int = 0) -> List[ScenarioTrigger]:
+    """One scenario per trigger position, reproducing the reference's
+    sampling (route_scenario.py:304-357 _scenario_sampling): the
+    highest-numbered ScenarioN wins each position; a position already used by
+    an earlier pick falls back to a seeded random alternative or is dropped.
+    ``seed`` varies per repetition so reruns see different fallbacks.
+    """
+    rng = np.random.default_rng(seed)
+
+    def number(t: ScenarioTrigger) -> int:
+        try:
+            return int(t.scenario_type.split("Scenario")[1])
+        except (IndexError, ValueError):
+            return -1
+
+    def position_used(t: ScenarioTrigger, chosen) -> bool:
+        return any(math.hypot(t.x - c.x, t.y - c.y) < TRIGGER_THRESHOLD
+                   and t.scenario_type == c.scenario_type for c in chosen)
+
+    sampled: List[ScenarioTrigger] = []
+    for key in sorted(grouped):
+        options = list(grouped[key])
+        # reference select_scenario: >= comparison means the LAST max wins
+        choice = None
+        best = -1
+        for t in options:
+            if number(t) >= best:
+                best, choice = number(t), t
+        options.remove(choice)
+        while choice is not None and position_used(choice, sampled):
+            if not options:
+                choice = None
+                break
+            choice = options[int(rng.integers(len(options)))]
+            options.remove(choice)
+        if choice is not None:
+            sampled.append(choice)
+    return sampled
+
+
 @dataclass
 class ScenarioActor:
     kind: str                      # 'walker' | 'vehicle'
@@ -87,6 +163,9 @@ class ScenarioBehavior:
             self.active = True
             self.on_activate()
 
+    def observe(self, ego_xy: np.ndarray) -> None:
+        """Per-tick ego position hook (distance-gated behaviors override)."""
+
     def on_activate(self) -> None:
         raise NotImplementedError
 
@@ -100,12 +179,17 @@ class ScenarioBehavior:
 
 
 class CrossingWalker(ScenarioBehavior):
-    """A pedestrian crosses the road ahead of the trigger (object-crash analog,
-    srunner object_crash_vehicle)."""
+    """A pedestrian crosses the road ahead of the trigger (srunner
+    object_crash_vehicle.py DynamicObjectCrossing:153-166).
 
-    WALK_SPEED = 1.8
+    Parameters from the source: crossing speed 3 + 0.4*num_lane_changes with
+    one lane to cross -> 3.4 m/s (line 207); the scenario retires once the
+    ego has driven _ego_vehicle_distance_driven = 40 m past it (line 153)."""
+
+    WALK_SPEED = 3.4        # object_crash_vehicle.py:207 (num_lane_changes=1)
     SPAWN_AHEAD = 12.0
     SPAWN_LATERAL = 6.0
+    RETIRE_DIST = 40.0      # object_crash_vehicle.py:153
 
     def on_activate(self) -> None:
         t = self.trigger
@@ -118,47 +202,58 @@ class CrossingWalker(ScenarioBehavior):
     def step(self, dt: float) -> None:
         super().step(dt)
         if self.actors and np.linalg.norm(
-                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 30:
+                self.actors[0].position
+                - np.array([self.trigger.x, self.trigger.y])) > self.RETIRE_DIST:
             self.actors = []
             self.done = True
 
 
 class ControlLoss(ScenarioBehavior):
-    """Srunner Scenario1 (control_loss.py): the EGO's steering is perturbed by
-    short random-amplitude pulses over a few seconds, simulating loss of
-    control (e.g. ice); the agent must recover and stay in its lane. The pulse
-    schedule is seeded from the trigger position so runs are deterministic."""
+    """Srunner Scenario1 (control_loss.py:44-90): the EGO's steering is
+    perturbed at three jitter points along the road, simulating loss of
+    control (e.g. ice); the agent must recover and stay in its lane.
 
-    N_PULSES = 3
-    PULSE_SECONDS = 0.6
-    GAP_SECONDS = 1.2
+    Parameters from the source: the jitter locations sit at driven distances
+    [14, 48, 74] m past the trigger (line 80, the no-randomization branch);
+    each perturbation is a short pulse whose amplitude is seeded from the
+    trigger position so runs are deterministic (the source draws per-tick
+    normal(0, 0.01) noise, line 44-45 — pulses of equivalent integral are
+    used here because the fake world has no per-tick actuator jitter)."""
+
+    JITTER_DISTANCES = (14.0, 48.0, 74.0)   # control_loss.py:80
+    PULSE_METERS = 4.0                      # pulse length along the road
     MAX_OFFSET = 0.12
 
     def on_activate(self) -> None:
         rng = np.random.default_rng(
             abs(hash((round(self.trigger.x, 1), round(self.trigger.y, 1)))) % (2 ** 32))
-        self._offsets = rng.uniform(0.06, self.MAX_OFFSET, self.N_PULSES) \
-            * rng.choice([-1.0, 1.0], self.N_PULSES)
-        self._t = 0.0
+        self._offsets = rng.uniform(0.06, self.MAX_OFFSET, len(self.JITTER_DISTANCES)) \
+            * rng.choice([-1.0, 1.0], len(self.JITTER_DISTANCES))
+        self._driven = 0.0
+        self._last_xy = None
+
+    def observe(self, ego_xy: np.ndarray) -> None:
+        if self._last_xy is not None:
+            self._driven += float(np.linalg.norm(ego_xy - self._last_xy))
+        self._last_xy = np.asarray(ego_xy, dtype=np.float64)
 
     def step(self, dt: float) -> None:
-        self._t += dt
-        if self._t > self.N_PULSES * (self.PULSE_SECONDS + self.GAP_SECONDS):
+        if self._driven > self.JITTER_DISTANCES[-1] + self.PULSE_METERS:
             self.done = True
 
     def steer_noise(self) -> float:
         if self.done or not self.active:
             return 0.0
-        period = self.PULSE_SECONDS + self.GAP_SECONDS
-        i = int(self._t // period)
-        if i >= self.N_PULSES or (self._t % period) > self.PULSE_SECONDS:
-            return 0.0
-        return float(self._offsets[i])
+        for i, d in enumerate(self.JITTER_DISTANCES):
+            if d <= self._driven <= d + self.PULSE_METERS:
+                return float(self._offsets[i])
+        return 0.0
 
 
 class StoppedVehicle(ScenarioBehavior):
     """A stalled vehicle blocks the lane past the trigger (srunner
-    object_crash_vehicle StationaryObjectCrossing analog)."""
+    object_crash_vehicle.py StationaryObjectCrossing:52-55: static prop,
+    scenario ends after _ego_vehicle_distance_driven = 40 m)."""
 
     SPAWN_AHEAD = 20.0
 
@@ -171,9 +266,13 @@ class StoppedVehicle(ScenarioBehavior):
 
 
 class CutInVehicle(ScenarioBehavior):
-    """A vehicle merges into the ego lane from the side (srunner cut_in)."""
+    """A vehicle merges into the ego lane from the side (srunner
+    cut_in.py:48-50): velocity 40 km/h -> 11.1 m/s, activation when the ego
+    closes within _trigger_distance = 30 m (the source's speeds feed
+    WaypointFollower in km/h-scaled town traffic)."""
 
-    SPEED = 6.0
+    SPEED = 40.0 / 3.6       # cut_in.py:48 (_velocity = 40)
+    TRIGGER_RADIUS = 30.0    # cut_in.py:50 (_trigger_distance)
 
     def on_activate(self) -> None:
         t = self.trigger
@@ -186,15 +285,19 @@ class CutInVehicle(ScenarioBehavior):
 
 
 class LeadVehicleSlows(ScenarioBehavior):
-    """A lead vehicle ahead brakes to a stop (srunner FollowLeadingVehicle)."""
+    """A lead vehicle ahead brakes to a stop (srunner
+    follow_leading_vehicle.py:61-65): spawns _first_vehicle_location = 25 m
+    ahead, cruises at _first_vehicle_speed = 10 m/s, stops with
+    _other_actor_max_brake = 1.0 (full brake, ~8 m/s^2 in our kinematics)."""
 
-    START_SPEED = 6.0
-    DECEL = 2.0
+    START_SPEED = 10.0       # follow_leading_vehicle.py:62
+    DECEL = 8.0              # max_brake 1.0 * KinematicWorld.MAX_BRAKE
+    SPAWN_AHEAD = 25.0       # follow_leading_vehicle.py:61
 
     def on_activate(self) -> None:
         t = self.trigger
         ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
-        pos = np.array([t.x, t.y]) + ahead * 25.0
+        pos = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD
         self.actors = [ScenarioActor("vehicle", pos, ahead * self.START_SPEED,
                                      yaw=t.yaw, extent=2.2, actor_id=self.actor_id)]
 
@@ -209,15 +312,17 @@ class LeadVehicleSlows(ScenarioBehavior):
 
 class OppositeDirection(ScenarioBehavior):
     """An oncoming vehicle in the opposing lane (srunner
-    ManeuverOppositeDirection)."""
+    maneuver_opposite_direction.py:48-53): spawns _first_vehicle_location =
+    50 m out, oncoming at _opposite_speed = 5.56 m/s."""
 
-    SPEED = 8.0
+    SPEED = 5.56             # maneuver_opposite_direction.py:52
+    SPAWN_AHEAD = 50.0       # maneuver_opposite_direction.py:48
 
     def on_activate(self) -> None:
         t = self.trigger
         ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
         lateral = np.array([-ahead[1], ahead[0]])
-        pos = np.array([t.x, t.y]) + ahead * 60.0 - lateral * 3.5
+        pos = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD - lateral * 3.5
         self.actors = [ScenarioActor("vehicle", pos, -ahead * self.SPEED,
                                      yaw=t.yaw + math.pi, extent=2.2,
                                      actor_id=self.actor_id)]
@@ -232,9 +337,11 @@ class OppositeDirection(ScenarioBehavior):
 
 class JunctionCrossing(ScenarioBehavior):
     """A vehicle crosses the ego path perpendicularly at the trigger
-    (srunner SignalizedJunction*/NoSignalJunction scenarios)."""
+    (srunner no_signal_junction_crossing.py:39-44 /
+    opposite_vehicle_taking_priority.py): the crossing actor targets
+    _other_actor_target_velocity = 15 m/s through the junction."""
 
-    SPEED = 7.0
+    SPEED = 15.0             # no_signal_junction_crossing.py:44
 
     def on_activate(self) -> None:
         t = self.trigger
@@ -258,8 +365,9 @@ class JunctionLeftTurn(JunctionCrossing):
     SignalizedJunctionLeftTurn): spawns ahead in the opposing lane and arcs
     across the junction."""
 
-    SPEED = 6.0
+    SPEED = 6.9       # signalized_junction_left_turn.py:49 (_target_vel)
     TURN_RATE = 0.35  # rad/s yaw change through the junction
+    RETIRE_DIST = 110.0  # signalized_junction_left_turn.py:51 (_ego_distance)
 
     def on_activate(self) -> None:
         t = self.trigger
@@ -280,7 +388,8 @@ class JunctionLeftTurn(JunctionCrossing):
             a.yaw = math.atan2(a.velocity[1], a.velocity[0])
             a.step(dt)
         if self.actors and np.linalg.norm(
-                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 70:
+                self.actors[0].position
+                - np.array([self.trigger.x, self.trigger.y])) > self.RETIRE_DIST:
             self.actors = []
             self.done = True
 
@@ -290,8 +399,11 @@ class JunctionRightTurn(JunctionCrossing):
     SignalizedJunctionRightTurn): enters perpendicular, then merges to travel
     in the ego's direction ahead of it."""
 
-    SPEED = 6.0
+    SPEED = 6.9       # signalized_junction_right_turn.py:50 (_target_vel)
     TURN_RATE = 0.5
+    # _ego_distance = 40 (signalized_junction_right_turn.py:52) + the 40 m
+    # the merged actor keeps driving ahead of the ego before it retires
+    RETIRE_DIST = 80.0
 
     def step(self, dt: float) -> None:
         t = self.trigger
@@ -305,17 +417,19 @@ class JunctionRightTurn(JunctionCrossing):
                 a.yaw = math.atan2(a.velocity[1], a.velocity[0])
             a.step(dt)
         if self.actors and np.linalg.norm(
-                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 80:
+                self.actors[0].position
+                - np.array([self.trigger.x, self.trigger.y])) > self.RETIRE_DIST:
             self.actors = []
             self.done = True
 
 
 class VehicleTurningRoute(ScenarioBehavior):
     """A cyclist cuts across the road right after the ego turns at a junction
-    (srunner object_crash_intersection.py VehicleTurningRoute): closer and
-    faster than the walker crossing, with a vehicle-class collision penalty."""
+    (srunner object_crash_intersection.py VehicleTurningRoute:459-470):
+    closer and faster than the walker crossing, with a vehicle-class
+    collision penalty. _other_actor_target_velocity = 10 m/s (line 459)."""
 
-    BIKE_SPEED = 4.0
+    BIKE_SPEED = 10.0       # object_crash_intersection.py:459
     SPAWN_AHEAD = 9.0
     SPAWN_LATERAL = 5.0
 
@@ -343,12 +457,18 @@ class OtherLeadingVehicle(ScenarioBehavior):
     mid-cruise while a second vehicle paces the ego in the adjacent lane,
     blocking the overtake — the ego must brake, not swerve. Like the
     reference, the lead slows to cruise/3.2 and keeps driving (it does not
-    park), and the behavior retires once the pair has driven clear."""
+    park), and the behavior retires once the pair has driven clear.
 
-    CRUISE = 8.0
+    Parameters from other_leading_vehicle.py:50-56: lead spawns
+    _first_vehicle_location = 35 m out; speeds 55 / 45 are the source's
+    WaypointFollower targets, read as km/h town speeds -> 15.3 / 12.5 m/s."""
+
+    CRUISE = 55.0 / 3.6         # other_leading_vehicle.py:53
+    PACE_SPEED = 45.0 / 3.6     # other_leading_vehicle.py:54
     HARD_DECEL = 4.0
     BRAKE_AFTER = 2.0      # seconds of cruising before the sudden brake
-    SLOW_SPEED = CRUISE / 3.2   # srunner's first_vehicle_speed / 3.2 target
+    SLOW_SPEED = CRUISE / 3.2   # srunner's decrease_velocity target (line 135)
+    SPAWN_AHEAD = 35.0          # other_leading_vehicle.py:50
     RETIRE_DIST = 200.0
 
     def on_activate(self) -> None:
@@ -357,10 +477,11 @@ class OtherLeadingVehicle(ScenarioBehavior):
         lateral = np.array([-ahead[1], ahead[0]])
         base = np.array([t.x, t.y])
         self.actors = [
-            ScenarioActor("vehicle", base + ahead * 35.0, ahead * self.CRUISE,
+            ScenarioActor("vehicle", base + ahead * self.SPAWN_AHEAD,
+                          ahead * self.CRUISE,
                           yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
             ScenarioActor("vehicle", base + ahead * 20.0 - lateral * 3.5,
-                          ahead * self.CRUISE, yaw=t.yaw, extent=2.2,
+                          ahead * self.PACE_SPEED, yaw=t.yaw, extent=2.2,
                           actor_id=self.actor_id + 500),
         ]
         self._t = 0.0
@@ -385,10 +506,18 @@ class ChangeLane(ScenarioBehavior):
     """Srunner change_lane.py: the ego follows a fast car; a slow car drives
     far ahead in the same lane; the fast car swerves into the adjacent lane
     at the last moment, revealing the slow car — the ego must brake (or
-    change lanes) quickly."""
+    change lanes) quickly.
 
-    FAST_SPEED = 8.0
-    SLOW_SPEED = 1.5
+    Parameters from change_lane.py:61-68: fast vehicle 70 km/h -> 19.4 m/s
+    spawned _fast_vehicle_distance = 20 m out; slow vehicle STANDS
+    (_slow_vehicle_velocity = 0) at _slow_vehicle_distance = 100 m;
+    activation radius _trigger_distance = 30 m."""
+
+    FAST_SPEED = 70.0 / 3.6   # change_lane.py:61
+    SLOW_SPEED = 0.0          # change_lane.py:62
+    FAST_AHEAD = 20.0         # change_lane.py:66
+    SLOW_AHEAD = 100.0        # change_lane.py:65
+    TRIGGER_RADIUS = 30.0     # change_lane.py:67
     SWERVE_GAP = 14.0       # fast car starts its lane change this far out
     SWERVE_SECONDS = 1.5
     RETIRE_DIST = 200.0
@@ -400,9 +529,11 @@ class ChangeLane(ScenarioBehavior):
         self._lateral = np.array([-ahead[1], ahead[0]])
         base = np.array([t.x, t.y])
         self.actors = [
-            ScenarioActor("vehicle", base + ahead * 20.0, ahead * self.FAST_SPEED,
+            ScenarioActor("vehicle", base + ahead * self.FAST_AHEAD,
+                          ahead * self.FAST_SPEED,
                           yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
-            ScenarioActor("vehicle", base + ahead * 60.0, ahead * self.SLOW_SPEED,
+            ScenarioActor("vehicle", base + ahead * self.SLOW_AHEAD,
+                          ahead * self.SLOW_SPEED,
                           yaw=t.yaw, extent=2.2, actor_id=self.actor_id + 500),
         ]
         self._swerving = 0.0
@@ -431,11 +562,17 @@ class LeadVehicleWithObstacle(ScenarioBehavior):
     """Srunner follow_leading_vehicle.py FollowLeadingVehicleWithObstacle:
     the lead vehicle brakes for a cyclist crossing ITS path and resumes once
     the cyclist has cleared — the ego must keep a safe following distance
-    through the lead's unexplained stop."""
+    through the lead's unexplained stop.
 
-    CRUISE = 6.0
-    DECEL = 4.0
-    BIKE_SPEED = 1.5
+    Parameters from follow_leading_vehicle.py:191-196: lead spawns
+    _first_actor_location = 25 m out at _first_actor_speed = 10 m/s; the
+    crossing cyclist rides at _second_actor_speed = 1.5 m/s; the lead stops
+    with _other_actor_max_brake = 1.0 (~8 m/s^2 here)."""
+
+    CRUISE = 10.0            # follow_leading_vehicle.py:193
+    DECEL = 8.0              # _other_actor_max_brake = 1.0 (line 196)
+    BIKE_SPEED = 1.5         # follow_leading_vehicle.py:194
+    SPAWN_AHEAD = 25.0       # follow_leading_vehicle.py:191
     RETIRE_DIST = 150.0
 
     def on_activate(self) -> None:
@@ -445,7 +582,8 @@ class LeadVehicleWithObstacle(ScenarioBehavior):
         base = np.array([t.x, t.y])
         self._ahead = ahead
         self.actors = [
-            ScenarioActor("vehicle", base + ahead * 25.0, ahead * self.CRUISE,
+            ScenarioActor("vehicle", base + ahead * self.SPAWN_AHEAD,
+                          ahead * self.CRUISE,
                           yaw=t.yaw, extent=2.2, actor_id=self.actor_id),
             # cyclist crossing the lead's path ~35 m out
             ScenarioActor("vehicle", base + ahead * 60.0 + lateral * 7.0,
@@ -517,6 +655,7 @@ class ScenarioManagerLite:
         for b in self.behaviors:
             b.maybe_activate(np.asarray(ego_xy))
             if b.active and not b.done:
+                b.observe(np.asarray(ego_xy))
                 b.step(dt)
                 actors.extend(b.actors)
         return actors

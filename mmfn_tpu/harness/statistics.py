@@ -200,6 +200,10 @@ class StatisticsManager:
 
     def save_record(self, record: RouteRecord, index: int, endpoint: str) -> None:
         data = fetch_checkpoint(endpoint) or default_checkpoint()
+        if "_checkpoint" not in data:
+            # endpoint points at a foreign JSON (e.g. a leftover scenario
+            # file): start a fresh checkpoint rather than KeyError-crashing
+            data = default_checkpoint()
         records = data["_checkpoint"]["records"]
         if index > len(records):
             raise RuntimeError("non-contiguous record index")

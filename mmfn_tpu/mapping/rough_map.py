@@ -34,7 +34,8 @@ import numpy as np
 @dataclass
 class RoughLane:
     polygon: np.ndarray      # (4, 2) bounding polygon
-    nodes: np.ndarray        # (node_num, feature_num)
+    nodes: np.ndarray        # (node_num, feature_num) — the 5-feature contract
+    widths: np.ndarray = None  # (node_num,) lane widths, meters (rmap v2) or None
 
 
 def _convex_polys_intersect(poly: np.ndarray, polys: np.ndarray) -> np.ndarray:
@@ -99,7 +100,13 @@ class RoughMap:
                 nodes = np.array(
                     [f.readline().strip().split(" ") for _ in range(node_num)],
                     dtype=np.float64)
-                self.lanes.append(RoughLane(polygon, nodes))
+                # v2 files append a 6th per-node column (lane width); the
+                # model-facing feature contract stays the reference's 5
+                widths = None
+                if nodes.ndim == 2 and nodes.shape[1] > 5:
+                    widths = nodes[:, 5].copy()
+                    nodes = nodes[:, :5]
+                self.lanes.append(RoughLane(polygon, nodes, widths))
         self._polys = (np.stack([l.polygon for l in self.lanes])
                        if self.lanes else np.zeros((0, 4, 2)))
         return self

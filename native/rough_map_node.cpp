@@ -371,7 +371,11 @@ static std::vector<Road> parse_opendrive(const XmlNode* root) {
 // ---------------------------------------------------------------------------
 
 struct OutLane {
-  std::vector<std::array<double, 5>> nodes;  // x, y, intersection, turn, control
+  // x, y, intersection, turn, control, width — the first 5 are the
+  // reference's .rmap feature contract; width (from the lane's cubic width
+  // records) is the v2 extension consumed by the birdview road mask and the
+  // outside-lanes criterion. Readers of v1 files simply see 5 columns.
+  std::vector<std::array<double, 6>> nodes;
   double minx = 1e18, miny = 1e18, maxx = -1e18, maxy = -1e18;
 };
 
@@ -387,7 +391,7 @@ static double wrap_pi(double a) {
   return a;
 }
 
-static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(carla), hdg(xodr)
+static void emit_chunks(const std::vector<std::array<double, 4>>& pts,  // x, y(carla), hdg(xodr), width
                         bool junction, const std::vector<char>& control,
                         std::vector<OutLane>* out) {
   // consecutive chunks SHARE their boundary node (stride kMaxNodes-1): the
@@ -411,7 +415,7 @@ static void emit_chunks(const std::vector<std::array<double, 3>>& pts,  // x, y(
     for (size_t i = start; i < end; i++) {
       double x = pts[i][0], y = pts[i][1];
       lane.nodes.push_back({x, y, junction ? 1.0 : 0.0, turn,
-                            control[i] ? 1.0 : 0.0});
+                            control[i] ? 1.0 : 0.0, pts[i][3]});
       lane.minx = std::min(lane.minx, x); lane.maxx = std::max(lane.maxx, x);
       lane.miny = std::min(lane.miny, y); lane.maxy = std::max(lane.maxy, y);
     }
@@ -433,7 +437,7 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
       auto sample_side = [&](const std::vector<Lane>& side, int sign) {
         for (size_t li = 0; li < side.size(); li++) {
           if (side[li].type != "driving") continue;
-          std::vector<std::array<double, 3>> pts;
+          std::vector<std::array<double, 4>> pts;
           std::vector<char> ctrl;
           for (int k = 0; k < n_samples; k++) {
             double ds = sec_len * k / (n_samples - 1);
@@ -447,10 +451,11 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
             double t = road.lane_offset_at(s);
             for (size_t inner = 0; inner < li; inner++)
               t += sign * side[inner].width_at(ds);
-            t += sign * 0.5 * side[li].width_at(ds);
+            double w = side[li].width_at(ds);
+            t += sign * 0.5 * w;
             double x = rx - t * std::sin(rh);
             double y = ry + t * std::cos(rh);
-            pts.push_back({x, -y, rh});  // CARLA y-flip
+            pts.push_back({x, -y, rh, w});  // CARLA y-flip
           }
           if (sign > 0) {
             // left lanes (positive ids) run AGAINST road s: emit their
@@ -495,7 +500,8 @@ int main(int argc, char** argv) {
   std::ofstream outf(dir + "/a.rmap");
   outf.setf(std::ios::fixed);
   outf.precision(6);
-  outf << "rmap v1 (rough_map_node, mmfn_tpu)\n";
+  outf << "rmap v2 (rough_map_node, mmfn_tpu; node cols: x y intersection "
+          "turn control width)\n";
   outf << "lane_num " << lanes.size() << "\n";
   for (const auto& lane : lanes) {
     outf << "node_num " << lane.nodes.size() << "\n";
@@ -504,7 +510,8 @@ int main(int argc, char** argv) {
     outf << x0 << " " << y0 << " " << x1 << " " << y0 << " "
          << x1 << " " << y1 << " " << x0 << " " << y1 << "\n";
     for (const auto& n : lane.nodes)
-      outf << n[0] << " " << n[1] << " " << n[2] << " " << n[3] << " " << n[4] << "\n";
+      outf << n[0] << " " << n[1] << " " << n[2] << " " << n[3] << " " << n[4]
+           << " " << n[5] << "\n";
   }
   outf.close();
   std::printf("lanes=%zu ok\n", lanes.size());

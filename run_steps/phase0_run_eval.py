@@ -231,9 +231,20 @@ def main():
             scenario_manager = OpenScenarioManager(xcfg)
         triggers = None
         if not is_xosc and cfg.get("scenarios"):
-            from mmfn_tpu.harness.scenarios import parse_scenario_file
+            from mmfn_tpu.harness.route import interpolate_trajectory
+            from mmfn_tpu.harness.scenarios import (
+                parse_scenario_file, sample_scenarios, scan_route_for_scenarios)
 
             triggers = parse_scenario_file(cfg["scenarios"], config.town)
+            if cfg.get("route_scenario_sampling", True):
+                # reference flow: match town triggers to THIS route, then
+                # sample one scenario per position (route_scenario.py:304-357);
+                # the repetition index seeds the fallback choices
+                route_xy = [p for p, _ in
+                            interpolate_trajectory(config.trajectory)]
+                triggers = sample_scenarios(
+                    scan_route_for_scenarios(route_xy, triggers),
+                    seed=config.index)
         signals = None
         if rough_map is not None and cfg.get("signals", True):
             from mmfn_tpu.harness.replay import plan_from_trajectory

@@ -79,4 +79,89 @@ def test_light_masks_render_states(rmap):
     ys = np.nonzero(masks[..., RED_LIGHTS])[0]
     assert ys.mean() < 128
     rgb = BirdViewProducer.as_rgb(masks)
-    assert (rgb == np.array([255, 60, 60])).all(axis=-1).any()
+    from mmfn_tpu.mapping.birdview import _PALETTE
+
+    assert (rgb == np.array(_PALETTE[RED_LIGHTS])).all(axis=-1).any()
+
+
+def test_variable_width_road_mask(tmp_path):
+    """rmap v2 width column -> the road ribbon follows each lane's own width
+    (reference draws lane polygons from waypoint widths, mask.py:68-144)."""
+    from mmfn_tpu.mapping.birdview import LANES
+
+    # lane A: 3.5 m wide; lane B (parallel, 20 m away): 7 m wide
+    nodes_a = np.array([[i * 5.0, 0.0, 0, 0, 0, 3.5] for i in range(10)])
+    poly_a = np.array([[-2, -4], [47, -4], [47, 4], [-2, 4]])
+    nodes_b = np.array([[i * 5.0, 20.0, 0, 0, 0, 7.0] for i in range(10)])
+    poly_b = np.array([[-2, 16], [47, 16], [47, 24], [-2, 24]])
+    path = str(tmp_path / "w.rmap")
+    write_rmap(path, [(poly_a, nodes_a), (poly_b, nodes_b)], header="rmap v2")
+    rm = RoughMap().read(path)
+    assert rm.lanes[0].widths is not None
+    assert rm.lanes[0].nodes.shape[1] == 5          # feature contract intact
+
+    bev = BirdViewProducer(rm, target_size=256, pixels_per_meter=8)
+    masks = bev.produce([20.0, 10.0, 0.0])
+    # heading-up: the x-axis lanes render as vertical bands left (lane A at
+    # world y=0 -> image right) and right of the ego; band widths track the
+    # lane widths (~28 px vs ~56 px at 8 px/m)
+    road_cols = (masks[..., ROAD] > 0).sum(axis=0)
+    bands = np.flatnonzero(road_cols)
+    assert len(bands) > 0
+    # lane-marking boundaries exist and differ from centerlines
+    assert masks[..., LANES].sum() > 0
+    assert (masks[..., LANES] != masks[..., CENTERLINES]).any()
+
+
+def test_road_width_scales_with_lane_width(tmp_path):
+    """Road band thickness tracks the width column quantitatively."""
+    def band_height(width_m):
+        nodes = np.array([[i * 5.0, 0.0, 0, 0, 0, width_m] for i in range(10)])
+        poly = np.array([[-2, -8], [47, -8], [47, 8], [-2, 8]])
+        path = str(tmp_path / f"w{width_m}.rmap")
+        write_rmap(path, [(poly, nodes)], header="rmap v2")
+        bev = BirdViewProducer(RoughMap().read(path), target_size=256,
+                               pixels_per_meter=8)
+        masks = bev.produce([20.0, 0.0, 0.0])
+        return (masks[128:129, :, ROAD] > 0).sum()
+
+    h35, h70 = band_height(3.5), band_height(7.0)
+    assert 1.7 < h70 / h35 < 2.3, (h35, h70)
+
+
+def test_pedestrian_mask_separate(rmap):
+    from mmfn_tpu.mapping.birdview import PEDESTRIANS, _PALETTE
+
+    bev = BirdViewProducer(rmap, target_size=256, pixels_per_meter=8)
+    masks = bev.produce([20.0, 0.0, 0.0],
+                        actors=[(30.0, 0.0, 0.0, 4.5, 2.0)],
+                        walkers=[(25.0, 2.0, 0.0, 1.0, 1.0)])
+    assert masks[..., PEDESTRIANS].sum() > 0
+    assert masks[..., VEHICLES].sum() > 0
+    # walkers never leak into the vehicle mask
+    overlap = (masks[..., PEDESTRIANS] > 0) & (masks[..., VEHICLES] > 0)
+    assert not overlap.any()
+    rgb = BirdViewProducer.as_rgb(masks)
+    assert (rgb == np.array(_PALETTE[PEDESTRIANS])).all(axis=-1).any()
+
+
+def test_on_disk_static_cache(tmp_path):
+    """cache_dir persists static layers; a fresh producer restored from disk
+    renders identically (reference ~/birdview_v3_cache, __init__.py:162-198)."""
+    import mmfn_tpu.mapping.birdview as bv
+
+    nodes = np.array([[i * 5.0, 0.0, 0, 0, 0, 3.5] for i in range(10)])
+    poly = np.array([[-2, -4], [47, -4], [47, 4], [-2, 4]])
+    path = str(tmp_path / "c.rmap")
+    write_rmap(path, [(poly, nodes)], header="rmap v2")
+    cache = str(tmp_path / "bv_cache")
+
+    a = BirdViewProducer.from_opendrive(path, cache_dir=cache)
+    import os
+    files = os.listdir(cache)
+    assert len(files) == 1 and files[0].endswith(".npz")
+    want = a.produce([20.0, 0.0, 0.0])
+
+    bv._static_cache.clear()   # force the disk path
+    b = BirdViewProducer.from_opendrive(path, cache_dir=cache)
+    np.testing.assert_array_equal(b.produce([20.0, 0.0, 0.0]), want)

@@ -88,14 +88,19 @@ def test_scenario_catalog_behaviors():
     for stype, cls in SCENARIO_CLASSES.items():
         mgr = ScenarioManagerLite([ScenarioTrigger(x=10.0, y=0.0, yaw=0.0,
                                                    scenario_type=stype)])
-        actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
+        # drive the ego forward through the trigger (ControlLoss jitter is
+        # gated on driven distance, control_loss.py:80)
+        ego_x, noise_seen = 10.0, False
+        actors = mgr.tick(np.array([ego_x, 0.0]), 0.05)
+        spawned = len(actors) >= 1
+        for _ in range(2000):
+            ego_x += 0.3  # 6 m/s
+            actors = mgr.tick(np.array([ego_x, 0.0]), 0.05)
+            spawned = spawned or len(actors) >= 1
+            noise_seen = noise_seen or mgr.steer_noise() != 0.0
         # every behavior acts: spawns actors, perturbs the ego's steering, or
         # deliberately does nothing and retires (FreeRide)
-        assert len(actors) >= 1 or mgr.steer_noise() != 0.0 \
-            or mgr.behaviors[0].done, stype
-        # run a while; behaviors must keep actors finite and eventually retire
-        for _ in range(2000):
-            actors = mgr.tick(np.array([10.0, 0.0]), 0.05)
+        assert spawned or noise_seen or mgr.behaviors[0].done, stype
         for a in actors:
             assert np.isfinite(a.position).all()
 

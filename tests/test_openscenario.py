@@ -379,3 +379,115 @@ def test_hero_trajectory_attaches_mid_polyline(xosc_path):
     assert len(traj) > 5               # walked nodes, not the 3-point fallback
     assert traj[-1][0] >= 55.0
     assert all(abs(y - 1.75) < 1e-6 for _, y in traj[1:])
+
+
+CATALOG_XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="catalog-test" author=""/>
+  <Catalog name="VehicleCatalog">
+    <Vehicle name="catalog_car" vehicleCategory="car">
+      <Properties><Property name="type" value="simulation"/></Properties>
+    </Vehicle>
+    <Vehicle name="catalog_bike" vehicleCategory="bicycle"/>
+  </Catalog>
+  <Catalog name="PedestrianCatalog">
+    <Pedestrian name="catalog_walker" model="walker"/>
+  </Catalog>
+</OpenSCENARIO>
+"""
+
+
+def test_catalog_reference_and_expressions(tmp_path):
+    """CatalogLocations/CatalogReference resolve Vehicle+Pedestrian entries
+    from a catalog directory, and ${...} arithmetic expressions evaluate
+    over $parameters (OSC 1.1 spec 10.8; srunner openscenario_parser)."""
+    catdir = tmp_path / "catalogs"
+    catdir.mkdir()
+    (catdir / "vehicles.xosc").write_text(CATALOG_XOSC)
+
+    xosc = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="1" date="2026-01-01T00:00:00"
+              description="cat" author=""/>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="base" parameterType="double" value="10"/>
+    <ParameterDeclaration name="spawnX" parameterType="double" value="${$base * 3 + 5}"/>
+  </ParameterDeclarations>
+  <CatalogLocations>
+    <VehicleCatalog><Directory path="catalogs"/></VehicleCatalog>
+    <PedestrianCatalog><Directory path="catalogs"/></PedestrianCatalog>
+  </CatalogLocations>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="npc">
+      <CatalogReference catalogName="VehicleCatalog" entryName="catalog_car"/>
+    </ScenarioObject>
+    <ScenarioObject name="rider">
+      <CatalogReference catalogName="VehicleCatalog" entryName="catalog_bike"/>
+    </ScenarioObject>
+    <ScenarioObject name="ped">
+      <CatalogReference catalogName="PedestrianCatalog" entryName="catalog_walker"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="npc">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="$spawnX" y="${2 * 1.75}" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a"/></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    path = tmp_path / "cat_scene.xosc"
+    path.write_text(xosc)
+    cfg = parse_xosc(str(path))
+    assert cfg.entities["npc"].model == "catalog_car"
+    assert cfg.entities["npc"].kind != "walker"
+    assert cfg.entities["rider"].extent == 1.0        # bicycle category
+    assert cfg.entities["ped"].kind == "walker"
+    # ${$base * 3 + 5} with base=10 -> 35; ${2 * 1.75} -> 3.5
+    assert cfg.entities["npc"].x == 35.0
+    assert cfg.entities["npc"].y == 3.5
+
+
+def test_unresolved_catalog_reference_raises(tmp_path):
+    xosc = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="x" author=""/>
+  <CatalogLocations/>
+  <Entities>
+    <ScenarioObject name="npc">
+      <CatalogReference catalogName="Nope" entryName="missing"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard><Init/></Storyboard>
+</OpenSCENARIO>
+"""
+    path = tmp_path / "bad.xosc"
+    path.write_text(xosc)
+    with pytest.raises(ValueError, match="CatalogReference"):
+        parse_xosc(str(path))
+
+
+def test_expression_rejects_non_arithmetic(tmp_path):
+    from mmfn_tpu.harness.openscenario import _eval_expr
+
+    assert _eval_expr("2 + 3 * 4", {}) == "14"
+    assert _eval_expr("$a / 2", {"a": "9"}) == "4.5"
+    with pytest.raises(ValueError):
+        _eval_expr("__import__('os')", {})
+    with pytest.raises(ValueError):
+        _eval_expr("'str'", {})

@@ -147,13 +147,22 @@ def test_control_loss_perturbs_and_retires():
 
     mgr = ScenarioManagerLite([ScenarioTrigger(x=10.0, y=0.0, yaw=0.0,
                                                scenario_type="Scenario1")])
-    mgr.tick(np.array([10.0, 0.0]), 0.05)
-    noise = [mgr.steer_noise() for _ in range(int(12 / 0.05))
-             if mgr.tick(np.array([10.0, 0.0]), 0.05) is not None]
-    nz = [abs(v) for v in noise if v != 0.0]
+    # drive the ego past the three jitter points at [14, 48, 74] m
+    # (control_loss.py:80); noise must fire inside the pulses and nowhere else
+    noise = []
+    ego_x = 10.0
+    for _ in range(int(90 / 0.3)):
+        mgr.tick(np.array([ego_x, 0.0]), 0.05)
+        noise.append((ego_x - 10.0, mgr.steer_noise()))
+        ego_x += 0.3
+    nz = [abs(v) for _, v in noise if v != 0.0]
     assert nz, "control loss never perturbed steering"
     assert max(nz) <= 0.12 + 1e-9
-    assert mgr.steer_noise() == 0.0        # retired after the pulse train
+    # jitter only near the srunner distances
+    for driven, v in noise:
+        if v != 0.0:
+            assert any(d <= driven <= d + 4.5 for d in (14.0, 48.0, 74.0)), driven
+    assert mgr.steer_noise() == 0.0        # retired after the last jitter
 
 
 def test_expert_recovers_from_control_loss(tool, tmp_path):
@@ -193,3 +202,29 @@ def test_force_green_unsticks_dead_light():
     signals.force_green(50.0, duration=10.0)
     assert li.state(55.0) == "green"
     assert li.state(61.0) == "red"          # reverts after the grace window
+
+
+def test_scan_route_and_sample_scenarios():
+    """Trigger-to-route matching (route_parser.py:137-178) and per-position
+    sampling (route_scenario.py:304-357): highest ScenarioN wins a position,
+    duplicates fall back, off-route and wrong-heading triggers are dropped."""
+    import numpy as np
+
+    from mmfn_tpu.harness.scenarios import (
+        ScenarioTrigger, sample_scenarios, scan_route_for_scenarios)
+
+    route = [(float(x), 0.0) for x in range(0, 101)]   # straight +x route
+    triggers = [
+        ScenarioTrigger(x=20.0, y=0.5, yaw=0.0, scenario_type="Scenario3"),
+        ScenarioTrigger(x=20.0, y=0.5, yaw=0.0, scenario_type="Scenario7"),
+        ScenarioTrigger(x=50.0, y=0.0, yaw=0.0, scenario_type="Scenario1"),
+        # off-route (too far laterally)
+        ScenarioTrigger(x=50.0, y=8.0, yaw=0.0, scenario_type="Scenario4"),
+        # on-route position but opposing heading
+        ScenarioTrigger(x=80.0, y=0.0, yaw=np.pi, scenario_type="Scenario2"),
+    ]
+    grouped = scan_route_for_scenarios(route, triggers)
+    assert len(grouped) == 2                     # (20, 0.5) and (50, 0)
+    sampled = sample_scenarios(grouped, seed=0)
+    types = sorted(t.scenario_type for t in sampled)
+    assert types == ["Scenario1", "Scenario7"]   # 7 beats 3 at the shared spot
