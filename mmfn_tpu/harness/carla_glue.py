@@ -317,6 +317,215 @@ def setup_sensors(agent, vehicle, world) -> List:
 
 
 # --------------------------------------------------------------------------- #
+# CarlaDataProvider equivalent (srunner/scenariomanager/carla_data_provider.py)
+# --------------------------------------------------------------------------- #
+
+class CarlaDataProvider:
+    """Per-tick cached world state + actor factory.
+
+    The srunner original (carla_data_provider.py:23-687) funnels every
+    actor-state read through one cache refreshed once per tick — under
+    synchronous mode an RPC per query would dominate the 50 ms budget — and
+    owns blueprint creation, (batch) spawning, and the traffic-light group
+    annotations the scripted scenarios freeze junctions with. This is the
+    same surface keyed by ``actor.id``.
+    """
+
+    _actor_velocity_map: dict = {}
+    _actor_transform_map: dict = {}
+    _actors: dict = {}
+    _client = None
+    _world = None
+    _map = None
+    _spawn_points: list = []
+    _rng = None
+
+    # ---- lifecycle (carla_data_provider.py:161-243) ----------------------- #
+
+    @staticmethod
+    def set_client(client) -> None:
+        CarlaDataProvider._client = client
+
+    @staticmethod
+    def set_world(world, seed: int = 2000) -> None:
+        import random
+
+        CarlaDataProvider._world = world
+        CarlaDataProvider._map = world.get_map()
+        CarlaDataProvider._rng = random.Random(seed)
+        pts = list(CarlaDataProvider._map.get_spawn_points())
+        CarlaDataProvider._rng.shuffle(pts)
+        CarlaDataProvider._spawn_points = pts
+
+    @staticmethod
+    def get_world():
+        return CarlaDataProvider._world
+
+    @staticmethod
+    def get_map():
+        return CarlaDataProvider._map
+
+    @staticmethod
+    def is_sync_mode() -> bool:
+        w = CarlaDataProvider._world
+        return bool(w and w.get_settings().synchronous_mode)
+
+    @staticmethod
+    def generate_spawn_points() -> list:
+        return list(CarlaDataProvider._spawn_points)
+
+    @staticmethod
+    def cleanup() -> None:
+        CarlaDataProvider._actor_velocity_map = {}
+        CarlaDataProvider._actor_transform_map = {}
+        CarlaDataProvider._actors = {}
+        CarlaDataProvider._client = None
+        CarlaDataProvider._world = None
+        CarlaDataProvider._map = None
+        CarlaDataProvider._spawn_points = []
+
+    # ---- per-tick cache (carla_data_provider.py:66-158) ------------------- #
+
+    @staticmethod
+    def register_actor(actor) -> None:
+        CarlaDataProvider._actors[actor.id] = actor
+        CarlaDataProvider._actor_velocity_map.setdefault(actor.id, 0.0)
+        CarlaDataProvider._actor_transform_map.setdefault(
+            actor.id, actor.get_transform())
+
+    @staticmethod
+    def register_actors(actors) -> None:
+        for actor in actors:
+            CarlaDataProvider.register_actor(actor)
+
+    @staticmethod
+    def on_carla_tick() -> None:
+        for aid, actor in CarlaDataProvider._actors.items():
+            if getattr(actor, "is_alive", True):
+                v = actor.get_velocity()
+                CarlaDataProvider._actor_velocity_map[aid] = math.sqrt(
+                    v.x ** 2 + v.y ** 2 + v.z ** 2)
+                CarlaDataProvider._actor_transform_map[aid] = actor.get_transform()
+
+    @staticmethod
+    def get_velocity(actor) -> float:
+        try:
+            return CarlaDataProvider._actor_velocity_map[actor.id]
+        except KeyError:
+            v = actor.get_velocity()   # unregistered: direct read, like srunner
+            return math.sqrt(v.x ** 2 + v.y ** 2 + v.z ** 2)
+
+    @staticmethod
+    def get_transform(actor):
+        return CarlaDataProvider._actor_transform_map.get(
+            actor.id, actor.get_transform())
+
+    @staticmethod
+    def get_location(actor):
+        return CarlaDataProvider.get_transform(actor).location
+
+    @staticmethod
+    def get_actors() -> list:
+        return list(CarlaDataProvider._actors.values())
+
+    @staticmethod
+    def actor_id_exists(actor_id: int) -> bool:
+        return actor_id in CarlaDataProvider._actors
+
+    # ---- actor factory (carla_data_provider.py:412-676) ------------------- #
+
+    @staticmethod
+    def create_blueprint(model: str, rolename: str = "scenario",
+                         color: Optional[str] = None):
+        bp_library = CarlaDataProvider._world.get_blueprint_library()
+        candidates = bp_library.filter(model)
+        bp = (candidates[CarlaDataProvider._rng.randrange(len(candidates))]
+              if candidates else bp_library.find(model))
+        if bp.has_attribute("color"):
+            bp.set_attribute("color", color or CarlaDataProvider._rng.choice(
+                bp.get_attribute("color").recommended_values))
+        bp.set_attribute("role_name", rolename)
+        return bp
+
+    @staticmethod
+    def request_new_actor(model: str, spawn_point, rolename: str = "scenario",
+                          autopilot: bool = False, color: Optional[str] = None,
+                          tm_port: int = 8000):
+        bp = CarlaDataProvider.create_blueprint(model, rolename, color)
+        actor = CarlaDataProvider._world.try_spawn_actor(bp, spawn_point)
+        if actor is None:
+            return None
+        if autopilot and hasattr(actor, "set_autopilot"):
+            actor.set_autopilot(True, tm_port)
+        CarlaDataProvider.register_actor(actor)
+        return actor
+
+    @staticmethod
+    def request_new_batch_actors(model: str, amount: int, spawn_points,
+                                 autopilot: bool = False,
+                                 rolename: str = "scenario",
+                                 tm_port: int = 8000) -> List:
+        """Spawn up to ``amount`` actors over the given points
+        (request_new_batch_actors, carla_data_provider.py:622-676 — the RPC
+        batch command becomes a loop; failed spawns are skipped)."""
+        actors = []
+        for transform in list(spawn_points)[:amount]:
+            actor = CarlaDataProvider.request_new_actor(
+                model, transform, rolename, autopilot, tm_port=tm_port)
+            if actor is not None:
+                actors.append(actor)
+        return actors
+
+    # ---- traffic-light registry (carla_data_provider.py:245-346) ---------- #
+
+    @staticmethod
+    def annotate_trafficlight_in_group(traffic_light) -> dict:
+        """Classify a junction's light group relative to ``traffic_light``:
+        {'ref', 'opposite', 'left', 'right'} by heading difference
+        (annotate_trafficlight_in_group, carla_data_provider.py:245-279)."""
+        annotations = {"ref": [], "opposite": [], "left": [], "right": []}
+        ref_yaw = traffic_light.get_transform().rotation.yaw
+        for light in traffic_light.get_group_traffic_lights():
+            delta = (light.get_transform().rotation.yaw - ref_yaw + 180.0) \
+                % 360.0 - 180.0
+            if light.id == traffic_light.id or abs(delta) < 45.0:
+                annotations["ref"].append(light)
+            elif abs(abs(delta) - 180.0) < 45.0:
+                annotations["opposite"].append(light)
+            elif delta < 0:
+                annotations["right"].append(light)
+            else:
+                annotations["left"].append(light)
+        return annotations
+
+    @staticmethod
+    def update_light_states(ego_light, annotations: dict, states: dict,
+                            freeze: bool = False, timeout: float = 1e9) -> list:
+        """Apply per-direction light states, optionally freezing them
+        (update_light_states, carla_data_provider.py:305-335). Returns reset
+        parameters for ``reset_lights``."""
+        reset_params = []
+        for direction, lights in annotations.items():
+            state = states.get(direction)
+            if state is None:
+                continue
+            for light in lights:
+                reset_params.append({"light": light,
+                                     "state": light.get_state()})
+                light.set_state(state)
+                if freeze:
+                    light.set_green_time(timeout)
+                    light.freeze(True)
+        return reset_params
+
+    @staticmethod
+    def reset_lights(reset_params: list) -> None:
+        for p in reset_params:
+            p["light"].freeze(False)
+            p["light"].set_state(p["state"])
+
+
+# --------------------------------------------------------------------------- #
 # World population / maintenance (RouteScenario + expert behaviors)
 # --------------------------------------------------------------------------- #
 
@@ -331,26 +540,18 @@ from mmfn_tpu.harness.weather import WEATHER_PRESETS  # noqa: E402  (shared tabl
 
 
 def spawn_background_traffic(client, world, town: str, tm_port: int = 8000):
-    """Populate the town with autopilot NPCs (route_scenario.py:444-475)."""
-    import random
-
+    """Populate the town with autopilot NPCs (route_scenario.py:444-475),
+    batched through the CarlaDataProvider factory like srunner's
+    _initialize_actors."""
     amount = TOWN_TRAFFIC.get(town, 120)
     tm = client.get_trafficmanager(tm_port)
     tm.set_synchronous_mode(True)
-    blueprints = world.get_blueprint_library().filter("vehicle.*")
-    spawn_points = world.get_map().get_spawn_points()
-    random.shuffle(spawn_points)
-    actors = []
-    for transform in spawn_points[:amount]:
-        bp = random.choice(blueprints)
-        if bp.has_attribute("color"):
-            bp.set_attribute("color", random.choice(
-                bp.get_attribute("color").recommended_values))
-        actor = world.try_spawn_actor(bp, transform)
-        if actor is not None:
-            actor.set_autopilot(True, tm.get_port())
-            actors.append(actor)
-    return actors
+    if CarlaDataProvider.get_world() is not world:
+        CarlaDataProvider.set_client(client)
+        CarlaDataProvider.set_world(world)
+    return CarlaDataProvider.request_new_batch_actors(
+        "vehicle.*", amount, CarlaDataProvider.generate_spawn_points(),
+        autopilot=True, rolename="background", tm_port=tm.get_port())
 
 
 def set_weather(world, preset: str) -> None:
@@ -503,6 +704,9 @@ def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> Non
         settings.synchronous_mode = True
         world.apply_settings(settings)
         GameTime.restart()
+        CarlaDataProvider.cleanup()
+        CarlaDataProvider.set_client(client)
+        CarlaDataProvider.set_world(world)
 
         agent = build_agent(cfg)
         dense = interpolate_route_carla(world.get_map(), config.trajectory)
@@ -519,6 +723,7 @@ def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> Non
             carla.Location(x=x0, y=y0, z=z0)).transform
         spawn.location.z += 0.5
         vehicle = world.spawn_actor(bp, spawn)
+        CarlaDataProvider.register_actor(vehicle)
         sensors = setup_sensors(agent, vehicle, world)
         collision = CollisionCriterion(world, vehicle)
         route_xy = [p for p, _ in dense]
@@ -537,6 +742,7 @@ def run_carla_evaluation(cfg, indexer, statistics, build_agent, endpoint) -> Non
                 world.tick()
                 snapshot = world.get_snapshot()
                 GameTime.on_carla_tick(snapshot.timestamp)
+                CarlaDataProvider.on_carla_tick()
                 watchdog.update()
                 # privileged channel: ground-truth WorldView for the experts
                 # (the fake world publishes the same channel, replay.py)

@@ -298,6 +298,50 @@ class Vehicle(Actor):
         self._transform.location.y += self.speed * math.sin(yaw) * dt
 
 
+class TrafficLight(Actor):
+    """Pole-mounted light; group membership mirrors carla's
+    get_group_traffic_lights (all lights of one junction controller)."""
+
+    def __init__(self, world, transform, group_id: int = 0):
+        super().__init__(world, "traffic.traffic_light", transform)
+        self._state = TrafficLightState.Red
+        self._frozen = False
+        self._group_id = group_id
+        self.trigger_volume = _TriggerVolume(Location(0.0, 0.0, 0.0))
+
+    def get_state(self) -> str:
+        return self._state
+
+    @property
+    def state(self) -> str:
+        return self._state
+
+    def set_state(self, state) -> None:
+        self._state = state
+
+    def set_green_time(self, seconds: float) -> None:
+        self.green_time = seconds
+
+    def set_red_time(self, seconds: float) -> None:
+        self.red_time = seconds
+
+    def freeze(self, frozen: bool) -> None:
+        self._frozen = frozen
+
+    def is_frozen(self) -> bool:
+        return self._frozen
+
+    def get_group_traffic_lights(self):
+        return [a for a in self._world._actors
+                if isinstance(a, TrafficLight) and a._group_id == self._group_id]
+
+
+class _TriggerVolume:
+    def __init__(self, location: Location):
+        self.location = location
+        self.extent = Vector3D(1.5, 1.5, 1.0)
+
+
 class Sensor(Actor):
     def __init__(self, world, bp: Blueprint, transform, parent):
         super().__init__(world, bp.id, transform, parent)
@@ -460,6 +504,14 @@ class World:
 
     def get_snapshot(self) -> _Snapshot:
         return _Snapshot(self._frame, self._elapsed)
+
+    def add_traffic_light_group(self, poses, group_id: int = 0):
+        """Test helper: spawn a junction's light group at [(x, y, yaw_deg)]."""
+        lights = [TrafficLight(self, Transform(Location(x, y, 0.0),
+                                               Rotation(yaw=yaw)), group_id)
+                  for (x, y, yaw) in poses]
+        self._actors.extend(lights)
+        return lights
 
 
 class _TrafficManager:

@@ -167,3 +167,60 @@ def test_background_traffic_and_weather(glue):
         world.tick()
     moved = [a.get_location().x - x for a, x in zip(actors, x0)]
     assert all(m > 0.5 for m in moved), "autopilot NPCs did not move"
+
+
+def test_carla_data_provider(glue):
+    """CarlaDataProvider equivalent: per-tick cached velocity/transform,
+    blueprint factory + batch spawn, traffic-light group annotation and
+    state freezing (carla_data_provider.py:23-687)."""
+    import tests.fake_carla as fc
+
+    P = glue.CarlaDataProvider
+    client = fc.Client()
+    world = client.load_world("TownTest")
+    settings = world.get_settings()
+    settings.synchronous_mode = True
+    settings.fixed_delta_seconds = 0.05
+    world.apply_settings(settings)
+    P.cleanup()
+    P.set_client(client)
+    P.set_world(world)
+    assert P.get_map() is world.get_map()
+    assert P.is_sync_mode()
+
+    # batch spawn + registry
+    actors = P.request_new_batch_actors(
+        "vehicle.*", 4, P.generate_spawn_points(), autopilot=True)
+    assert 1 <= len(actors) <= 4
+    for a in actors:
+        assert P.actor_id_exists(a.id)
+
+    # caches refresh only on on_carla_tick (reads between ticks are stable)
+    a0 = actors[0]
+    assert P.get_velocity(a0) == 0.0
+    for _ in range(10):
+        world.tick()
+    assert P.get_velocity(a0) == 0.0          # not yet refreshed
+    P.on_carla_tick()
+    assert P.get_velocity(a0) > 0.1           # autopilot got it moving
+    moved = P.get_location(a0)
+    assert moved.x != 10.0 or P.get_transform(a0) is not None
+
+    # traffic-light group annotation + freeze
+    lights = world.add_traffic_light_group(
+        [(50.0, 0.0, 0.0), (60.0, 10.0, 180.0), (55.0, 5.0, 90.0),
+         (55.0, -5.0, -90.0)])
+    ann = P.annotate_trafficlight_in_group(lights[0])
+    assert lights[0] in ann["ref"]
+    assert lights[1] in ann["opposite"]
+    assert len(ann["left"]) == 1 and len(ann["right"]) == 1
+    reset = P.update_light_states(
+        lights[0], ann,
+        {"ref": fc.TrafficLightState.Green,
+         "opposite": fc.TrafficLightState.Red}, freeze=True)
+    assert lights[0].get_state() == fc.TrafficLightState.Green
+    assert lights[1].get_state() == fc.TrafficLightState.Red
+    assert lights[0].is_frozen()
+    P.reset_lights(reset)
+    assert not lights[0].is_frozen()
+    P.cleanup()
