@@ -137,8 +137,14 @@ def test_data_parallel_mesh_full_mmfn_matches_single_device():
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_mesh_full_mmfn.py")
+    env = clean_subprocess_env()
+    # 8 virtual devices on ~2 vCPUs: one device thread can exceed XLA's
+    # default 40 s collective rendezvous termination under load — raise it
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200").strip()
     proc = subprocess.run(
-        [sys.executable, script], env=clean_subprocess_env(),
+        [sys.executable, script], env=env,
         capture_output=True, text=True, timeout=1500)
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
