@@ -28,13 +28,28 @@ Supported subset (OpenSCENARIO 1.0):
   target, step or linear-rate dynamics), ``LaneChangeAction`` (relative
   target lane, mapped to a 3.5 m/lane lateral shift), ``TeleportAction`` and
   ``AcquirePositionAction`` (re-aim at a world position);
+- ``ControllerAction/AssignControllerAction`` (Init or story events): the
+  ``module`` Property selects a controller from
+  ``harness.actor_controls.CONTROL_REGISTRY`` — the same module names
+  srunner resolves (openscenario_parser.py:get_controller:340-376), incl.
+  via a Controller catalog; ``OverrideControllerValueAction`` with any
+  active override raises, exactly as the reference does (ibid.:371-374);
+- ``ActivateControllerAction`` (autopilot on -> ``npc_vehicle_control``,
+  off -> release + coast to stop; reference maps it to ChangeAutoPilot,
+  openscenario_parser.py:1025-1028);
+- ``RoutingAction/AssignRouteAction`` with an inline ``Route`` or a Route
+  ``CatalogReference`` (waypoint list fed to the actor's controller —
+  ChangeActorWaypoints semantics, openscenario_parser.py:1037-1042);
 - ``Storyboard/StopTrigger``: ``SimulationTimeCondition`` and
   ``TraveledDistanceCondition`` end the episode; srunner's ``criteria_*``
   stop-trigger conditions are parsed and reported (the harness scores the
   same criteria natively through ``harness.criteria``).
 
-Out of scope (documented in docs/PARITY.md): controllers,
-trajectory-following actions, non-arithmetic expression functions.
+Out of scope (documented in docs/PARITY.md): ``FollowTrajectoryAction``,
+``VisibilityAction`` and ``SynchronizeAction`` — all three raise
+NotImplementedError in the reference parser too
+(openscenario_parser.py:1021-1024,1043-1044) — and non-arithmetic
+expression functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -54,6 +69,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from mmfn_tpu.harness.actor_controls import (BasicControl, Obstacle,
+                                             make_controller)
 from mmfn_tpu.harness.scenarios import ScenarioActor
 
 LANE_WIDTH = 3.5
@@ -74,6 +91,10 @@ class EntitySpec:
     yaw: float = 0.0
     speed: float = 0.0
     extent: float = 2.2              # walker 0.5, bicycle 1.0, car 2.2
+    # controller / route actions assigned in Storyboard/Init, applied at
+    # actor construction (reference: init private actions are converted to
+    # behaviours that run before the story — openscenario_parser.py)
+    init_actions: List["XoscAction"] = field(default_factory=list)
 
 
 @dataclass
@@ -94,7 +115,9 @@ class XoscCondition:
 
 @dataclass
 class XoscAction:
-    kind: str                        # 'speed' | 'lane_change' | 'teleport' | 'acquire'
+    # 'speed' | 'lane_change' | 'teleport' | 'acquire' | 'controller'
+    # | 'activate' | 'route'
+    kind: str
     target_speed: Optional[float] = None
     relative_to: str = ""            # entity name for relative target speed
     speed_delta: float = 0.0
@@ -104,6 +127,10 @@ class XoscAction:
     x: float = 0.0
     y: float = 0.0
     yaw: Optional[float] = None
+    module: str = ""                 # controller module name ('controller')
+    ctrl_args: Dict[str, str] = field(default_factory=dict)
+    active: bool = True              # ActivateControllerAction longitudinal
+    waypoints: Tuple[Tuple[float, float], ...] = ()   # 'route'
 
 
 # OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
@@ -219,8 +246,79 @@ def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:
     return out
 
 
+_TRUTHY = ("true", "1", "yes", "on")
+
+
+def _parse_controller_action(ctrl: ET.Element, params: Dict[str, str],
+                             catalogs: Dict[str, Dict[str, ET.Element]]
+                             ) -> Optional[XoscAction]:
+    """ControllerAction -> 'controller' XoscAction.
+
+    Mirrors ``openscenario_parser.get_controller`` (340-376): the Controller
+    element's Properties carry a ``module`` name plus free-form args, either
+    inline or through a Controller catalog; any *active* override in
+    OverrideControllerValueAction raises, exactly as the reference does
+    (ibid.:371-374)."""
+    assign = ctrl.find(".//AssignControllerAction")
+    if assign is None:
+        return None
+    controller = assign.find("Controller")
+    if controller is None and assign.find("CatalogReference") is not None:
+        controller = _catalog_entry(assign, catalogs, params)
+    props = controller.find("Properties") if controller is not None else None
+    module, args = "", {}
+    if props is not None:
+        for prop in props.findall("Property"):
+            name = prop.get("name", "")
+            value = _resolve(prop.get("value", ""), params) or ""
+            if name == "module":
+                module = value
+            else:
+                args[name] = value
+    override = ctrl.find("OverrideControllerValueAction")
+    if override is not None:
+        for child in override:
+            if str(child.get("active", "false")).lower() in _TRUTHY:
+                raise NotImplementedError(
+                    "Controller override actions are not supported "
+                    "(the reference raises the same — "
+                    "openscenario_parser.py:371-374)")
+    if not module:
+        return None
+    return XoscAction("controller", module=module, ctrl_args=args)
+
+
+def _parse_route_action(routing: ET.Element, params: Dict[str, str],
+                        entities: Dict[str, EntitySpec],
+                        catalogs: Dict[str, Dict[str, ET.Element]]
+                        ) -> Optional[XoscAction]:
+    """RoutingAction/AssignRouteAction -> 'route' XoscAction.
+
+    Waypoint extraction per ``openscenario_parser.get_route`` (378-410):
+    an inline Route or a Route CatalogReference, each Waypoint's Position
+    converted to a world point."""
+    assign = routing.find("AssignRouteAction")
+    if assign is None:
+        return None
+    route = assign.find("Route")
+    if route is None and assign.find("CatalogReference") is not None:
+        route = _catalog_entry(assign, catalogs, params)
+    if route is None:
+        raise ValueError("AssignRouteAction without Route or CatalogReference")
+    waypoints = []
+    for wp in route.iter("Waypoint"):
+        pos = wp.find("Position")
+        if pos is not None:
+            x, y, _ = _parse_position(pos, params, entities)
+            waypoints.append((x, y))
+    return XoscAction("route", waypoints=tuple(waypoints))
+
+
 def _parse_private_action(act: ET.Element, params: Dict[str, str],
-                          entities: Dict[str, EntitySpec]) -> Optional[XoscAction]:
+                          entities: Dict[str, EntitySpec],
+                          catalogs: Optional[Dict[str, Dict[str, ET.Element]]] = None
+                          ) -> Optional[XoscAction]:
+    catalogs = catalogs or {}
     speed = act.find(".//SpeedAction")
     if speed is not None:
         return _parse_speed_action(speed, params)
@@ -237,6 +335,23 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
     if teleport is not None:
         x, y, yaw = _parse_position(teleport.find("Position"), params, entities)
         return XoscAction("teleport", x=x, y=y, yaw=yaw)
+    ctrl = act.find("ControllerAction")
+    if ctrl is not None:
+        return _parse_controller_action(ctrl, params, catalogs)
+    activate = act.find("ActivateControllerAction")
+    if activate is not None:
+        longitudinal = str(activate.get("longitudinal", "true")).lower()
+        return XoscAction("activate", active=longitudinal in _TRUTHY)
+    routing = act.find("RoutingAction")
+    if routing is not None:
+        if routing.find("FollowTrajectoryAction") is not None:
+            raise NotImplementedError(
+                "Private FollowTrajectory actions are not supported "
+                "(the reference raises the same — "
+                "openscenario_parser.py:1043-1044)")
+        route = _parse_route_action(routing, params, entities, catalogs)
+        if route is not None:
+            return route
     acquire = act.find(".//AcquirePositionAction")
     if acquire is not None:
         x, y, _ = _parse_position(acquire.find("Position"), params, entities)
@@ -452,11 +567,21 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
                         teleport.find("Position"), params, cfg.entities)
                     if yaw is not None:
                         spec.yaw = yaw
+                    continue
                 speed = act.find(".//SpeedAction")
                 if speed is not None:
                     parsed = _parse_speed_action(speed, params)
                     if parsed.target_speed is not None:
                         spec.speed = parsed.target_speed
+                    continue
+                # controller / route / activate assignments in Init apply
+                # at actor construction (srunner converts init private
+                # actions to pre-story behaviours the same way)
+                other = _parse_private_action(act, params, cfg.entities,
+                                              catalogs)
+                if other is not None and other.kind in (
+                        "controller", "route", "activate"):
+                    spec.init_actions.append(other)
 
     # ---- story events ---- #
     for act_el in root.findall(".//Storyboard/Story/Act"):
@@ -474,7 +599,7 @@ def parse_xosc(path: str) -> OpenScenarioConfig:
                     private = action_el.find("PrivateAction")
                     if private is not None:
                         parsed_a = _parse_private_action(
-                            private, params, cfg.entities)
+                            private, params, cfg.entities, catalogs)
                         if parsed_a is not None:
                             actions.append(parsed_a)
                 if actions:
@@ -508,6 +633,17 @@ class _ScriptedActor:
         self.rate: Optional[float] = None
         self._shift_left = 0.0        # remaining lateral shift, +left
         self._shift_rate = 0.0
+        self.controller: Optional[BasicControl] = None
+        for action in spec.init_actions:
+            self.apply(action, lambda name: None)
+
+    def _default_route_controller(self) -> BasicControl:
+        """A route assigned to an uncontrolled actor gets the direct-velocity
+        follower — srunner's ChangeActorWaypoints drives through the actor's
+        registered control, defaulting to simple_vehicle_control."""
+        kind = ("pedestrian_control" if self.actor.kind == "walker"
+                else "simple_vehicle_control")
+        return make_controller(kind)
 
     def apply(self, action: XoscAction, lookup) -> None:
         if action.kind == "speed":
@@ -518,6 +654,31 @@ class _ScriptedActor:
             elif action.target_speed is not None:
                 self.target_speed = action.target_speed
             self.rate = action.rate
+            if self.controller is not None:
+                self.controller.update_target_speed(self.target_speed)
+        elif action.kind == "controller":
+            self.controller = make_controller(action.module, action.ctrl_args)
+            self.controller.update_target_speed(self.target_speed)
+        elif action.kind == "route":
+            if self.controller is None:
+                self.controller = self._default_route_controller()
+                self.controller.update_target_speed(self.target_speed)
+            self.controller.update_waypoints(action.waypoints)
+        elif action.kind == "activate":
+            if action.active:
+                # autopilot on == hand the actor to the NPC follower
+                # (ChangeAutoPilot -> traffic-manager driving)
+                keep = self.controller.waypoints if self.controller else []
+                self.controller = make_controller("npc_vehicle_control")
+                self.controller.update_target_speed(self.target_speed)
+                if keep:
+                    self.controller.update_waypoints(keep)
+            else:
+                # autopilot off: nothing applies throttle any more — the
+                # kinematic analog of coasting is an immediate stop
+                self.controller = None
+                self.target_speed = 0.0
+                self.rate = None
         elif action.kind == "lane_change":
             self._shift_left = action.lane_offset
             self._shift_rate = action.lane_offset / action.shift_time
@@ -530,7 +691,20 @@ class _ScriptedActor:
             if np.linalg.norm(d) > 1e-6:
                 self.actor.yaw = math.atan2(d[1], d[0])
 
-    def step(self, dt: float) -> None:
+    def step(self, dt: float,
+             obstacles: Sequence[Obstacle] = ()) -> None:
+        if self.controller is not None:
+            out = self.controller.run_step(
+                self.actor.position, self.actor.yaw, self.speed, dt,
+                obstacles)
+            if out is not None:
+                vel, yaw = out
+                self.actor.velocity = vel
+                self.actor.yaw = yaw
+                self.actor.position = self.actor.position + vel * dt
+                self.speed = float(np.linalg.norm(vel))
+                return
+            # ExternalControl: fall through to the default scripted motion
         if self.rate is not None and self.speed != self.target_speed:
             delta = self.rate * dt
             if self.speed < self.target_speed:
@@ -654,10 +828,13 @@ class OpenScenarioManager:
 
     def tick(self, ego_xy: np.ndarray, dt: float) -> List[ScenarioActor]:
         ego_xy = np.asarray(ego_xy, dtype=np.float64)
+        ego_vel = np.zeros(2)
         if self._last_ego is not None:
-            step = float(np.linalg.norm(ego_xy - self._last_ego))
+            delta = ego_xy - self._last_ego
+            step = float(np.linalg.norm(delta))
             self.ego_traveled += step
             self._ego_speed = step / dt if dt > 0 else 0.0
+            ego_vel = delta / dt if dt > 0 else ego_vel
         self._last_ego = ego_xy.copy()
         self.time += dt
 
@@ -676,8 +853,14 @@ class OpenScenarioManager:
                         continue
                     for action in event.actions:
                         scripted.apply(action, speed_lookup)
-        for scripted in self.scripted.values():
-            scripted.step(dt)
+        # obstacle snapshots for obstacle-aware controllers: every other
+        # scripted actor plus the live ego (the reference's obstacle sensor
+        # sees all dynamic actors — simple_vehicle_control.py:90-100)
+        poses = {name: Obstacle(s.actor.position, s.actor.velocity)
+                 for name, s in self.scripted.items()}
+        poses[self.hero_name] = Obstacle(ego_xy, ego_vel)
+        for name, scripted in self.scripted.items():
+            scripted.step(dt, [o for n, o in poses.items() if n != name])
         if self.config.stop_trigger \
                 and self._trigger_holds(self.config.stop_trigger, ego_xy):
             self._stop = True

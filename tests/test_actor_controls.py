@@ -1,0 +1,442 @@
+"""Actor controllers (srunner actorcontrols parity) + OpenSCENARIO wiring."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.harness.actor_controls import (
+    NpcVehicleControl, Obstacle, PedestrianControl, SimpleVehicleControl,
+    VehicleLongitudinalControl, make_controller)
+from mmfn_tpu.harness.openscenario import OpenScenarioManager, parse_xosc
+
+DT = 0.05
+
+
+def _run(ctrl, position, yaw, speed, steps, obstacles=()):
+    position = np.asarray(position, dtype=np.float64)
+    for _ in range(steps):
+        out = ctrl.run_step(position, yaw, speed, DT, obstacles)
+        if out is None:
+            break
+        vel, yaw = out
+        position = position + vel * DT
+        speed = float(np.linalg.norm(vel))
+    return position, yaw, speed
+
+
+# --------------------------------------------------------------------------- #
+# unit: controller classes
+# --------------------------------------------------------------------------- #
+
+def test_simple_vehicle_follows_waypoints_and_stops_at_goal():
+    ctrl = SimpleVehicleControl()
+    ctrl.update_target_speed(10.0)
+    ctrl.update_waypoints([(30.0, 0.0), (30.0, 20.0)])
+    pos, yaw, speed = _run(ctrl, (0.0, 0.0), 0.0, 0.0, steps=200)
+    assert ctrl.reached_goal
+    assert np.linalg.norm(pos - np.array([30.0, 20.0])) < SimpleVehicleControl.REACH + 1.0
+    assert speed == 0.0                       # reached goal -> stop
+    # the second leg turned the actor to +y
+    assert abs(yaw - math.pi / 2) < 0.3
+
+
+def test_simple_vehicle_without_waypoints_keeps_heading():
+    ctrl = SimpleVehicleControl()
+    ctrl.update_target_speed(8.0)
+    pos, yaw, speed = _run(ctrl, (0.0, 0.0), math.pi / 2, 0.0, steps=40)
+    assert speed == pytest.approx(8.0)
+    assert pos[0] == pytest.approx(0.0, abs=1e-9)
+    assert pos[1] == pytest.approx(8.0 * 40 * DT, rel=1e-6)
+
+
+def test_simple_vehicle_brakes_for_slow_obstacle_ahead():
+    ctrl = SimpleVehicleControl(
+        {"consider_obstacles": "true", "proximity_threshold": "20"})
+    ctrl.update_target_speed(10.0)
+    blocker = Obstacle((12.0, 0.0), (0.0, 0.0))
+    speeds = []
+    speed = 10.0
+    for _ in range(20):
+        vel, _ = ctrl.run_step(np.zeros(2), 0.0, speed, DT, [blocker])
+        speed = float(np.linalg.norm(vel))
+        speeds.append(speed)
+    # closing-speed braking law engaged: monotone deceleration
+    assert speeds[0] < 10.0
+    assert speeds[-1] < speeds[0]
+
+
+def test_simple_vehicle_ignores_lateral_and_rear_obstacles():
+    ctrl = SimpleVehicleControl(
+        {"consider_obstacles": "true", "proximity_threshold": "20"})
+    ctrl.update_target_speed(10.0)
+    rear = Obstacle((-5.0, 0.0), (0.0, 0.0))
+    lateral = Obstacle((10.0, 6.0), (0.0, 0.0))
+    vel, _ = ctrl.run_step(np.zeros(2), 0.0, 10.0, DT, [rear, lateral])
+    assert float(np.linalg.norm(vel)) == pytest.approx(10.0)
+
+
+def test_npc_vehicle_rate_limits_acceleration():
+    ctrl = NpcVehicleControl()
+    ctrl.update_target_speed(10.0)
+    vel, _ = ctrl.run_step(np.zeros(2), 0.0, 0.0, DT)
+    assert float(np.linalg.norm(vel)) <= NpcVehicleControl.ACCEL * DT + 1e-9
+    # converges to the target eventually
+    _, _, speed = _run(ctrl, (0.0, 0.0), 0.0, 0.0, steps=200)
+    assert speed == pytest.approx(10.0, rel=1e-3)
+
+
+def test_longitudinal_control_bang_bang_and_fixed_heading():
+    ctrl = VehicleLongitudinalControl()
+    ctrl.update_target_speed(6.0)
+    pos, yaw, speed = _run(ctrl, (0.0, 0.0), 1.0, 0.0, steps=100)
+    assert speed == pytest.approx(6.0)
+    assert yaw == 1.0                          # steering never touched
+    # above target: coasts down at engine drag
+    ctrl.update_target_speed(2.0)
+    vel, _ = ctrl.run_step(np.zeros(2), 1.0, 6.0, DT)
+    assert float(np.linalg.norm(vel)) == pytest.approx(
+        6.0 - VehicleLongitudinalControl.DRAG_DECEL * DT)
+
+
+def test_pedestrian_control_walks_waypoints():
+    ctrl = PedestrianControl()
+    ctrl.update_target_speed(1.5)
+    ctrl.update_waypoints([(5.0, 0.0), (5.0, 5.0)])
+    pos, _, _ = _run(ctrl, (0.0, 0.0), 0.0, 0.0, steps=300)
+    assert ctrl.reached_goal
+    assert np.linalg.norm(pos - np.array([5.0, 5.0])) < PedestrianControl.REACH + 0.5
+
+
+def test_unknown_controller_module_raises():
+    with pytest.raises(ValueError, match="unknown controller module"):
+        make_controller("does_not_exist")
+
+
+# --------------------------------------------------------------------------- #
+# OpenSCENARIO wiring
+# --------------------------------------------------------------------------- #
+
+_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="controller-test" author=""/>
+  <CatalogLocations>{catalogs}</CatalogLocations>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="adversary">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car">
+        <Properties><Property name="type" value="simulation"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+  </Entities>
+"""
+
+_CONTROLLER_XOSC = _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="0" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+          <PrivateAction>
+            <ControllerAction>
+              <AssignControllerAction>
+                <Controller name="AdversaryAgent">
+                  <Properties>
+                    <Property name="module" value="{module}"/>
+                    <Property name="an_unused_property" value="whatever"/>
+                  </Properties>
+                </Controller>
+              </AssignControllerAction>
+              <OverrideControllerValueAction>
+                <Throttle value="0" active="false"/>
+                <Brake value="0" active="{override_active}"/>
+              </OverrideControllerValueAction>
+            </ControllerAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s">
+      <Act name="a">
+        <ManeuverGroup name="g" maximumExecutionCount="1">
+          <Actors selectTriggeringEntities="false">
+            <EntityRef entityRef="adversary"/>
+          </Actors>
+          <Maneuver name="m">
+            <Event name="Drive" priority="overwrite">
+              <Action name="Speed">
+                <PrivateAction>
+                  <LongitudinalAction>
+                    <SpeedAction>
+                      <SpeedActionDynamics dynamicsShape="step" value="0"
+                                           dynamicsDimension="time"/>
+                      <SpeedActionTarget>
+                        <AbsoluteTargetSpeed value="5"/>
+                      </SpeedActionTarget>
+                    </SpeedAction>
+                  </LongitudinalAction>
+                </PrivateAction>
+              </Action>
+              <Action name="Route">
+                <PrivateAction>
+                  <RoutingAction>
+                    <AssignRouteAction>
+                      <Route name="r" closed="false">
+                        <Waypoint routeStrategy="shortest">
+                          <Position><WorldPosition x="40" y="0" z="0" h="0"/></Position>
+                        </Waypoint>
+                        <Waypoint routeStrategy="shortest">
+                          <Position><WorldPosition x="40" y="30" z="0" h="0"/></Position>
+                        </Waypoint>
+                      </Route>
+                    </AssignRouteAction>
+                  </RoutingAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger/>
+            </Event>
+          </Maneuver>
+        </ManeuverGroup>
+      </Act>
+    </Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def _write(tmp_path, text, name="scene.xosc"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def _tick_many(mgr, n, ego=(1000.0, 1000.0)):
+    actors = []
+    for _ in range(n):
+        actors = mgr.tick(np.asarray(ego), DT)
+    return actors
+
+
+def test_xosc_controller_assignment_and_route(tmp_path):
+    path = _write(tmp_path, _CONTROLLER_XOSC.format(
+        module="npc_vehicle_control", override_active="false"))
+    cfg = parse_xosc(path)
+    spec = cfg.entities["adversary"]
+    assert [a.kind for a in spec.init_actions] == ["controller"]
+    assert spec.init_actions[0].module == "npc_vehicle_control"
+    assert spec.init_actions[0].ctrl_args == {"an_unused_property": "whatever"}
+
+    mgr = OpenScenarioManager(cfg)
+    scripted = mgr.scripted["adversary"]
+    assert isinstance(scripted.controller, NpcVehicleControl)
+    _tick_many(mgr, 600)
+    # followed the L-shaped route to its end and stopped there
+    assert scripted.controller.reached_goal
+    assert np.linalg.norm(
+        scripted.actor.position - np.array([40.0, 30.0])) < 6.0
+    assert float(np.linalg.norm(scripted.actor.velocity)) == 0.0
+
+
+def test_xosc_external_control_leaves_default_motion(tmp_path):
+    path = _write(tmp_path, _CONTROLLER_XOSC.format(
+        module="external_control", override_active="false"))
+    mgr = OpenScenarioManager(parse_xosc(path))
+    scripted = mgr.scripted["adversary"]
+    _tick_many(mgr, 100)
+    # ExternalControl never steers: the default scripted motion drives the
+    # actor straight along its init heading at the story speed, ignoring
+    # the route assignment
+    assert scripted.actor.position[1] == pytest.approx(0.0, abs=1e-6)
+    assert scripted.actor.position[0] > 20.0
+
+
+def test_xosc_active_controller_override_raises(tmp_path):
+    path = _write(tmp_path, _CONTROLLER_XOSC.format(
+        module="npc_vehicle_control", override_active="true"))
+    with pytest.raises(NotImplementedError, match="override"):
+        parse_xosc(path)
+
+
+def test_xosc_follow_trajectory_raises(tmp_path):
+    xosc = _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init/>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m"><Event name="e" priority="overwrite">
+          <Action name="t"><PrivateAction>
+            <RoutingAction><FollowTrajectoryAction/></RoutingAction>
+          </PrivateAction></Action>
+          <StartTrigger/>
+        </Event></Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    with pytest.raises(NotImplementedError, match="FollowTrajectory"):
+        parse_xosc(_write(tmp_path, xosc))
+
+
+def test_xosc_activate_controller_toggles_autopilot(tmp_path):
+    xosc = _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="0" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+          <PrivateAction>
+            <LongitudinalAction>
+              <SpeedAction>
+                <SpeedActionDynamics dynamicsShape="step" value="0"
+                                     dynamicsDimension="time"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="6"/></SpeedActionTarget>
+              </SpeedAction>
+            </LongitudinalAction>
+          </PrivateAction>
+          <PrivateAction>
+            <ControllerAction>
+              <AssignControllerAction>
+                <Controller name="c"><Properties>
+                  <Property name="module" value="simple_vehicle_control"/>
+                </Properties></Controller>
+              </AssignControllerAction>
+            </ControllerAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m"><Event name="Off" priority="overwrite">
+          <Action name="off"><PrivateAction>
+            <ActivateControllerAction longitudinal="false" lateral="false"/>
+          </PrivateAction></Action>
+          <StartTrigger><ConditionGroup>
+            <Condition name="t" delay="0" conditionEdge="rising">
+              <ByValueCondition>
+                <SimulationTimeCondition value="2" rule="greaterThan"/>
+              </ByValueCondition>
+            </Condition>
+          </ConditionGroup></StartTrigger>
+        </Event></Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    mgr = OpenScenarioManager(parse_xosc(_write(tmp_path, xosc)))
+    scripted = mgr.scripted["adversary"]
+    _tick_many(mgr, 30)                         # t = 1.5 s: still driving
+    assert float(np.linalg.norm(scripted.actor.velocity)) > 5.0
+    _tick_many(mgr, 30)                         # t = 3 s: autopilot off
+    assert scripted.controller is None
+    assert float(np.linalg.norm(scripted.actor.velocity)) == 0.0
+
+
+_ROUTE_CATALOG = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="cat" author=""/>
+  <Catalog name="RouteCatalog">
+    <Route name="lap" closed="false">
+      <Waypoint routeStrategy="shortest">
+        <Position><WorldPosition x="10" y="0" z="0" h="0"/></Position>
+      </Waypoint>
+      <Waypoint routeStrategy="shortest">
+        <Position><WorldPosition x="10" y="10" z="0" h="0"/></Position>
+      </Waypoint>
+    </Route>
+  </Catalog>
+  <Catalog name="ControllerCatalog">
+    <Controller name="walker_brain">
+      <Properties>
+        <Property name="module" value="pedestrian_control"/>
+      </Properties>
+    </Controller>
+  </Catalog>
+</OpenSCENARIO>
+"""
+
+
+def test_xosc_route_and_controller_from_catalog(tmp_path):
+    catdir = tmp_path / "catalogs"
+    catdir.mkdir()
+    (catdir / "routes.xosc").write_text(_ROUTE_CATALOG)
+    xosc = _HEADER.format(catalogs="""
+    <RouteCatalog><Directory path="catalogs"/></RouteCatalog>
+    <ControllerCatalog><Directory path="catalogs"/></ControllerCatalog>
+""") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <ControllerAction>
+              <AssignControllerAction>
+                <CatalogReference catalogName="ControllerCatalog"
+                                  entryName="walker_brain"/>
+              </AssignControllerAction>
+            </ControllerAction>
+          </PrivateAction>
+          <PrivateAction>
+            <LongitudinalAction>
+              <SpeedAction>
+                <SpeedActionDynamics dynamicsShape="step" value="0"
+                                     dynamicsDimension="time"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="2"/></SpeedActionTarget>
+              </SpeedAction>
+            </LongitudinalAction>
+          </PrivateAction>
+          <PrivateAction>
+            <RoutingAction>
+              <AssignRouteAction>
+                <CatalogReference catalogName="RouteCatalog" entryName="lap"/>
+              </AssignRouteAction>
+            </RoutingAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a"/></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    kinds = [a.kind for a in cfg.entities["adversary"].init_actions]
+    assert kinds == ["controller", "route"]
+    assert cfg.entities["adversary"].init_actions[0].module == \
+        "pedestrian_control"
+    assert cfg.entities["adversary"].init_actions[1].waypoints == \
+        ((10.0, 0.0), (10.0, 10.0))
+
+    mgr = OpenScenarioManager(cfg)
+    scripted = mgr.scripted["adversary"]
+    assert isinstance(scripted.controller, PedestrianControl)
+    _tick_many(mgr, 400)
+    assert scripted.controller.reached_goal
+    assert np.linalg.norm(
+        scripted.actor.position - np.array([10.0, 10.0])) < 2.0
