@@ -184,6 +184,8 @@ def main():
     # f32 master params + optimizer as in make_train_step.
     train_batch = 24  # reference training batch (train.yaml:18)
     train_fps = None
+    peak_batch = 96   # largest batch fitting 16 GB HBM (docs/PERFORMANCE.md)
+    train_fps_peak = None
     if os.environ.get("MMFN_BENCH_TRAIN", "1") != "0":
         try:
             train_step_s = timed_train(model, cfg, train_batch,
@@ -191,6 +193,14 @@ def main():
             train_fps = round(train_batch / train_step_s, 2)
         except Exception:
             train_fps = None
+        # peak single-chip throughput: same step at the largest batch that
+        # fits HBM (+12.5% measured over batch 24 — docs/PERFORMANCE.md)
+        try:
+            peak_step_s = timed_train(model, cfg, peak_batch, iters=10,
+                                      compute_dtype=jnp.bfloat16)
+            train_fps_peak = round(peak_batch / peak_step_s, 2)
+        except Exception:
+            train_fps_peak = None
 
     # Pallas self-check: the BEV histogram kernel vs its XLA reference,
     # on real TPU silicon (the test suite only covers interpret mode).
@@ -216,6 +226,8 @@ def main():
         "batch1_fps": round(1.0 / latency_s, 2),
         "train_fps": train_fps,
         "train_batch": train_batch,
+        "train_fps_peak": train_fps_peak,
+        "train_peak_batch": peak_batch,
         "train_dtype": "bfloat16",
         "pallas_ok": pallas_ok,
         "device": str(jax.devices()[0]),

@@ -157,6 +157,31 @@ def test_phase0_openscenario_cli(tmp_path):
     assert record["scores"]["score_route"] > 50, record
 
 
+def test_phase0_openscenario_controller_cli(tmp_path):
+    """phase0 runs the controller-layer .xosc: the adversary is driven by
+    npc_vehicle_control along an AssignRouteAction merge route; the expert
+    absorbs the cut-in and completes without collision."""
+    cfg = {
+        "routes": os.path.join(ROOT, "data", "scenarios",
+                               "cut_in_with_controller.xosc"),
+        "repetitions": 1, "resume": False,
+        "checkpoint": str(tmp_path / "results" / "xosc_ctrl.json"),
+        "agent": {"type": "expert", "seed": 0},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / "xosc_ctrl.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.load(open(tmp_path / "results" / "xosc_ctrl.json"))[
+        "_checkpoint"]["records"][0]
+    assert record["infractions"]["collisions_vehicle"] == []
+    assert record["scores"]["score_route"] > 50, record
+
+
 def test_dotdict_attribute_protocol():
     """Missing attributes raise AttributeError (not KeyError) so
     deepcopy / hasattr / getattr-with-default work."""
