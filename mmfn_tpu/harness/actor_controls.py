@@ -42,11 +42,12 @@ Vec2 = np.ndarray
 class Obstacle:
     """Pose snapshot of another actor, for forward-obstacle checks."""
 
-    __slots__ = ("position", "velocity")
+    __slots__ = ("position", "velocity", "extent")
 
-    def __init__(self, position: Vec2, velocity: Vec2):
+    def __init__(self, position: Vec2, velocity: Vec2, extent: float = 2.2):
         self.position = np.asarray(position, dtype=np.float64)
         self.velocity = np.asarray(velocity, dtype=np.float64)
+        self.extent = float(extent)          # half-length along heading
 
 
 class BasicControl:
@@ -60,12 +61,11 @@ class BasicControl:
         self.args = dict(args or {})
         self.waypoints: List[Vec2] = []
         self.target_speed = 0.0
-        self.init_speed = False
+        self.extent = 2.2          # own half-length, set by the owner
         self.reached_goal = False
 
     def update_target_speed(self, speed: float) -> None:
         self.target_speed = float(speed)
-        self.init_speed = False
 
     def update_waypoints(self, waypoints: Sequence) -> None:
         self.waypoints = [np.asarray(w[:2], dtype=np.float64)
@@ -127,15 +127,20 @@ class SimpleVehicleControl(BasicControl):
                             dt: float, obstacles: Sequence[Obstacle],
                             target_speed: float) -> float:
         heading = np.array([math.cos(yaw), math.sin(yaw)])
-        best: Optional[Tuple[float, float]] = None   # (distance, obs speed)
+        best: Optional[Tuple[float, float]] = None   # (bumper gap, obs speed)
         for obs in obstacles:
             rel = obs.position - position
             ahead = float(rel @ heading)
             lateral = abs(float(rel[0] * -heading[1] + rel[1] * heading[0]))
-            if 0.0 < ahead < self.proximity_threshold \
+            # bumper gap, not center distance: the reference's obstacle
+            # sensor is mounted at the front bumper and ranges to the
+            # obstacle's surface (simple_vehicle_control.py:100), so its
+            # braking law stops with the bodies apart, never overlapping
+            gap = ahead - self.extent - obs.extent
+            if 0.0 < ahead and gap < self.proximity_threshold \
                     and lateral < self.CHANNEL_HALF_WIDTH \
-                    and (best is None or ahead < best[0]):
-                best = (ahead, float(np.linalg.norm(obs.velocity)))
+                    and (best is None or gap < best[0]):
+                best = (gap, float(np.linalg.norm(obs.velocity)))
         if best is None:
             return target_speed
         distance, other_speed = best

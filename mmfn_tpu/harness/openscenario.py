@@ -259,8 +259,24 @@ def _parse_controller_action(ctrl: ET.Element, params: Dict[str, str],
     inline or through a Controller catalog; any *active* override in
     OverrideControllerValueAction raises, exactly as the reference does
     (ibid.:371-374)."""
+    # override scan first: an override-only ControllerAction is valid OSC,
+    # and an *active* override must raise whether or not a controller is
+    # also being assigned
+    override = ctrl.find("OverrideControllerValueAction")
+    if override is not None:
+        for child in override:
+            if str(child.get("active", "false")).lower() in _TRUTHY:
+                raise NotImplementedError(
+                    "Controller override actions are not supported "
+                    "(the reference raises the same — "
+                    "openscenario_parser.py:371-374)")
     assign = ctrl.find(".//AssignControllerAction")
     if assign is None:
+        # OSC 1.1 also nests ActivateControllerAction under ControllerAction
+        activate = ctrl.find("ActivateControllerAction")
+        if activate is not None:
+            longitudinal = str(activate.get("longitudinal", "true")).lower()
+            return XoscAction("activate", active=longitudinal in _TRUTHY)
         return None
     controller = assign.find("Controller")
     if controller is None and assign.find("CatalogReference") is not None:
@@ -275,14 +291,6 @@ def _parse_controller_action(ctrl: ET.Element, params: Dict[str, str],
                 module = value
             else:
                 args[name] = value
-    override = ctrl.find("OverrideControllerValueAction")
-    if override is not None:
-        for child in override:
-            if str(child.get("active", "false")).lower() in _TRUTHY:
-                raise NotImplementedError(
-                    "Controller override actions are not supported "
-                    "(the reference raises the same — "
-                    "openscenario_parser.py:371-374)")
     if not module:
         return None
     return XoscAction("controller", module=module, ctrl_args=args)
@@ -342,6 +350,14 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
     if activate is not None:
         longitudinal = str(activate.get("longitudinal", "true")).lower()
         return XoscAction("activate", active=longitudinal in _TRUTHY)
+    if act.find("VisibilityAction") is not None:
+        raise NotImplementedError(
+            "Visibility actions are not supported (the reference raises "
+            "the same — openscenario_parser.py:1021-1022)")
+    if act.find("SynchronizeAction") is not None:
+        raise NotImplementedError(
+            "Synchronization actions are not supported (the reference "
+            "raises the same — openscenario_parser.py:1023-1024)")
     routing = act.find("RoutingAction")
     if routing is not None:
         if routing.find("FollowTrajectoryAction") is not None:
@@ -634,6 +650,7 @@ class _ScriptedActor:
         self._shift_left = 0.0        # remaining lateral shift, +left
         self._shift_rate = 0.0
         self.controller: Optional[BasicControl] = None
+        self._resume_speed = 0.0      # target to restore on autopilot re-on
         for action in spec.init_actions:
             self.apply(action, lambda name: None)
 
@@ -658,18 +675,25 @@ class _ScriptedActor:
                 self.controller.update_target_speed(self.target_speed)
         elif action.kind == "controller":
             self.controller = make_controller(action.module, action.ctrl_args)
+            self.controller.extent = self.actor.extent
             self.controller.update_target_speed(self.target_speed)
         elif action.kind == "route":
             if self.controller is None:
                 self.controller = self._default_route_controller()
+                self.controller.extent = self.actor.extent
                 self.controller.update_target_speed(self.target_speed)
             self.controller.update_waypoints(action.waypoints)
         elif action.kind == "activate":
             if action.active:
                 # autopilot on == hand the actor to the NPC follower
-                # (ChangeAutoPilot -> traffic-manager driving)
+                # (ChangeAutoPilot -> traffic-manager driving); a re-enable
+                # after an off resumes the speed the story last set, like
+                # the TM resuming its own cruise speed
                 keep = self.controller.waypoints if self.controller else []
+                if self.target_speed == 0.0 and self._resume_speed > 0.0:
+                    self.target_speed = self._resume_speed
                 self.controller = make_controller("npc_vehicle_control")
+                self.controller.extent = self.actor.extent
                 self.controller.update_target_speed(self.target_speed)
                 if keep:
                     self.controller.update_waypoints(keep)
@@ -677,6 +701,7 @@ class _ScriptedActor:
                 # autopilot off: nothing applies throttle any more — the
                 # kinematic analog of coasting is an immediate stop
                 self.controller = None
+                self._resume_speed = self.target_speed
                 self.target_speed = 0.0
                 self.rate = None
         elif action.kind == "lane_change":
@@ -699,10 +724,23 @@ class _ScriptedActor:
                 obstacles)
             if out is not None:
                 vel, yaw = out
+                # longitudinal speed fed back to the controller next tick —
+                # recorded before the shift so the lateral component doesn't
+                # inflate it
+                self.speed = float(np.linalg.norm(vel))
+                # a pending LaneChangeAction shift rides on top of the
+                # controller's longitudinal motion (srunner's lateral atom
+                # overrides the controller for the duration of the shift)
+                if self._shift_left:
+                    left = np.array([-math.sin(yaw), math.cos(yaw)])
+                    shift = self._shift_rate * dt
+                    if abs(shift) >= abs(self._shift_left):
+                        shift = self._shift_left
+                    self._shift_left -= shift
+                    vel = vel + left * (shift / dt if dt > 0 else 0.0)
                 self.actor.velocity = vel
                 self.actor.yaw = yaw
                 self.actor.position = self.actor.position + vel * dt
-                self.speed = float(np.linalg.norm(vel))
                 return
             # ExternalControl: fall through to the default scripted motion
         if self.rate is not None and self.speed != self.target_speed:
@@ -856,7 +894,8 @@ class OpenScenarioManager:
         # obstacle snapshots for obstacle-aware controllers: every other
         # scripted actor plus the live ego (the reference's obstacle sensor
         # sees all dynamic actors — simple_vehicle_control.py:90-100)
-        poses = {name: Obstacle(s.actor.position, s.actor.velocity)
+        poses = {name: Obstacle(s.actor.position, s.actor.velocity,
+                                extent=s.actor.extent)
                  for name, s in self.scripted.items()}
         poses[self.hero_name] = Obstacle(ego_xy, ego_vel)
         for name, scripted in self.scripted.items():

@@ -440,3 +440,202 @@ def test_xosc_route_and_controller_from_catalog(tmp_path):
     assert scripted.controller.reached_goal
     assert np.linalg.norm(
         scripted.actor.position - np.array([10.0, 10.0])) < 2.0
+
+
+# --------------------------------------------------------------------------- #
+# bumper-gap obstacle ranging
+# --------------------------------------------------------------------------- #
+
+def test_simple_vehicle_stops_before_touching_obstacle():
+    """The obstacle range is bumper-to-bumper (simple_vehicle_control.py:100),
+    so the braking law parks the bodies apart, never overlapping."""
+    ctrl = SimpleVehicleControl(
+        {"consider_obstacles": "true", "proximity_threshold": "20"})
+    ctrl.update_target_speed(10.0)
+    blocker = Obstacle((15.0, 0.0), (0.0, 0.0))     # default extent 2.2
+    pos, _, speed = _run(ctrl, (0.0, 0.0), 0.0, 10.0, steps=300,
+                         obstacles=[blocker])
+    assert speed == 0.0
+    # parked at/behind the bumper-contact point 15 - 2.2 - 2.2 = 10.6,
+    # give one tick of travel (10 m/s * 0.05 s) of slack
+    assert pos[0] <= 10.6 + 10.0 * DT + 1e-6
+
+
+def test_obstacle_extent_widens_the_braking_envelope():
+    ctrl = SimpleVehicleControl(
+        {"consider_obstacles": "true", "proximity_threshold": "20"})
+    ctrl.update_target_speed(10.0)
+    # gap to a bus-sized obstacle (25 - 2.2 - 5 = 17.8 m) is inside the
+    # threshold; the same center with a bollard extent (22.3 m) is not
+    bus = Obstacle((25.0, 0.0), (0.0, 0.0), extent=5.0)
+    vel, _ = ctrl.run_step(np.zeros(2), 0.0, 10.0, DT, [bus])
+    assert float(np.linalg.norm(vel)) < 10.0
+    bollard = Obstacle((25.0, 0.0), (0.0, 0.0), extent=0.5)
+    vel, _ = ctrl.run_step(np.zeros(2), 0.0, 10.0, DT, [bollard])
+    assert float(np.linalg.norm(vel)) == pytest.approx(10.0)
+
+
+# --------------------------------------------------------------------------- #
+# parser: override-only / OSC 1.1 nesting / unsupported private actions
+# --------------------------------------------------------------------------- #
+
+def _story_event_xosc(event_actions: str) -> str:
+    return _HEADER.format(catalogs="") + f"""
+  <Storyboard>
+    <Init/>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m"><Event name="e" priority="overwrite">
+          {event_actions}
+          <StartTrigger/>
+        </Event></Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_xosc_override_only_controller_action_raises(tmp_path):
+    """An active override must raise even with no AssignControllerAction
+    beside it (openscenario_parser.py:371-374 scans overrides first)."""
+    xosc = _story_event_xosc("""
+          <Action name="o"><PrivateAction>
+            <ControllerAction>
+              <OverrideControllerValueAction>
+                <Brake value="1" active="true"/>
+              </OverrideControllerValueAction>
+            </ControllerAction>
+          </PrivateAction></Action>""")
+    with pytest.raises(NotImplementedError, match="override"):
+        parse_xosc(_write(tmp_path, xosc))
+
+
+def test_xosc_osc11_activate_nested_in_controller_action(tmp_path):
+    """OSC 1.1 nests ActivateControllerAction under ControllerAction; it
+    must parse to the same activate action as the 1.0 direct form."""
+    xosc = _story_event_xosc("""
+          <Action name="off"><PrivateAction>
+            <ControllerAction>
+              <ActivateControllerAction longitudinal="false" lateral="false"/>
+            </ControllerAction>
+          </PrivateAction></Action>""")
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    acts = cfg.events[0].actions
+    assert [a.kind for a in acts] == ["activate"]
+    assert acts[0].active is False
+
+
+@pytest.mark.parametrize("tag,match", [
+    ("VisibilityAction", "Visibility"),
+    ("SynchronizeAction", "Synchronization"),
+])
+def test_xosc_unsupported_private_actions_raise(tmp_path, tag, match):
+    xosc = _story_event_xosc(f"""
+          <Action name="x"><PrivateAction>
+            <{tag}/>
+          </PrivateAction></Action>""")
+    with pytest.raises(NotImplementedError, match=match):
+        parse_xosc(_write(tmp_path, xosc))
+
+
+# --------------------------------------------------------------------------- #
+# runtime: autopilot resume + lane-change over a controller
+# --------------------------------------------------------------------------- #
+
+def _two_stage_activate_xosc() -> str:
+    return _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="0" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+          <PrivateAction>
+            <LongitudinalAction>
+              <SpeedAction>
+                <SpeedActionDynamics dynamicsShape="step" value="0"
+                                     dynamicsDimension="time"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="6"/></SpeedActionTarget>
+              </SpeedAction>
+            </LongitudinalAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="Off" priority="overwrite">
+            <Action name="off"><PrivateAction>
+              <ActivateControllerAction longitudinal="false" lateral="false"/>
+            </PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="t1" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <SimulationTimeCondition value="1" rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="On" priority="overwrite">
+            <Action name="on"><PrivateAction>
+              <ActivateControllerAction longitudinal="true" lateral="true"/>
+            </PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="t2" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <SimulationTimeCondition value="2" rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_xosc_autopilot_reenable_resumes_story_speed(tmp_path):
+    mgr = OpenScenarioManager(parse_xosc(_write(
+        tmp_path, _two_stage_activate_xosc())))
+    scripted = mgr.scripted["adversary"]
+    _tick_many(mgr, 30)                   # t = 1.5 s: autopilot off, halted
+    assert scripted.controller is None
+    assert float(np.linalg.norm(scripted.actor.velocity)) == 0.0
+    _tick_many(mgr, 100)                  # t = 6.5 s: back on, resumed cruise
+    assert scripted.controller is not None
+    assert float(np.linalg.norm(scripted.actor.velocity)) == \
+        pytest.approx(6.0, rel=1e-3)
+
+
+def test_lane_change_rides_on_controller_motion(tmp_path):
+    """A LaneChangeAction shifts the actor laterally while its assigned
+    controller keeps driving it forward (srunner's lateral atom layers on
+    the registered control)."""
+    mgr = OpenScenarioManager(parse_xosc(_write(
+        tmp_path, _CONTROLLER_XOSC.format(
+            module="npc_vehicle_control", override_active="false"))))
+    scripted = mgr.scripted["adversary"]
+    _tick_many(mgr, 40)                   # cruising toward the first waypoint
+    y0 = scripted.actor.position[1]
+    from mmfn_tpu.harness.openscenario import XoscAction
+    scripted.apply(XoscAction("lane_change", lane_offset=3.5, shift_time=1.0),
+                   lambda name: None)
+    _tick_many(mgr, 40)                   # 2 s > shift_time: shift complete
+    assert scripted._shift_left == 0.0
+    assert scripted.actor.position[1] - y0 > 2.5   # moved ~a lane width left
+    assert float(np.linalg.norm(scripted.actor.velocity)) > 4.0  # kept driving
