@@ -40,16 +40,22 @@ Supported subset (OpenSCENARIO 1.0):
 - ``RoutingAction/AssignRouteAction`` with an inline ``Route`` or a Route
   ``CatalogReference`` (waypoint list fed to the actor's controller —
   ChangeActorWaypoints semantics, openscenario_parser.py:1037-1042);
+- ``RoutingAction/FollowTrajectoryAction`` with a Polyline shape (inline
+  ``Trajectory`` or a Trajectory ``CatalogReference``) — an EXTENSION
+  beyond the reference, which raises NotImplementedError on it
+  (openscenario_parser.py:1043-1044): a ``TimeReference/Timing`` replays
+  the vertex schedule exactly (scale/offset honored); ``TimeReference``
+  ``None`` (or untimed vertices) degrades to waypoint following through
+  the actor's controller at its current target speed;
 - ``Storyboard/StopTrigger``: ``SimulationTimeCondition`` and
   ``TraveledDistanceCondition`` end the episode; srunner's ``criteria_*``
   stop-trigger conditions are parsed and reported (the harness scores the
   same criteria natively through ``harness.criteria``).
 
-Out of scope (documented in docs/PARITY.md): ``FollowTrajectoryAction``,
-``VisibilityAction`` and ``SynchronizeAction`` — all three raise
-NotImplementedError in the reference parser too
-(openscenario_parser.py:1021-1024,1043-1044) — and non-arithmetic
-expression functions.
+Out of scope (documented in docs/PARITY.md): ``VisibilityAction`` and
+``SynchronizeAction`` — both raise NotImplementedError in the reference
+parser too (openscenario_parser.py:1021-1024) — non-Polyline trajectory
+shapes (Clothoid/Nurbs), and non-arithmetic expression functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -116,7 +122,7 @@ class XoscCondition:
 @dataclass
 class XoscAction:
     # 'speed' | 'lane_change' | 'teleport' | 'acquire' | 'controller'
-    # | 'activate' | 'route'
+    # | 'activate' | 'route' | 'trajectory'
     kind: str
     target_speed: Optional[float] = None
     relative_to: str = ""            # entity name for relative target speed
@@ -130,7 +136,9 @@ class XoscAction:
     module: str = ""                 # controller module name ('controller')
     ctrl_args: Dict[str, str] = field(default_factory=dict)
     active: bool = True              # ActivateControllerAction longitudinal
-    waypoints: Tuple[Tuple[float, float], ...] = ()   # 'route'
+    waypoints: Tuple[Tuple[float, float], ...] = ()   # 'route' | 'trajectory'
+    times: Tuple[float, ...] = ()    # 'trajectory' vertex schedule (seconds
+                                     # from action start; empty = untimed)
 
 
 # OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
@@ -322,6 +330,68 @@ def _parse_route_action(routing: ET.Element, params: Dict[str, str],
     return XoscAction("route", waypoints=tuple(waypoints))
 
 
+def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
+                             entities: Dict[str, EntitySpec],
+                             catalogs: Dict[str, Dict[str, ET.Element]]
+                             ) -> XoscAction:
+    """FollowTrajectoryAction -> 'trajectory' XoscAction.
+
+    EXTENSION beyond the reference (srunner raises NotImplementedError —
+    openscenario_parser.py:1043-1044). Subset: a Polyline shape from an
+    inline ``Trajectory``, an OSC 1.1 ``TrajectoryRef``, or a Trajectory
+    ``CatalogReference``. With a ``TimeReference/Timing`` (and per-vertex
+    ``time`` attributes) the schedule is replayed exactly, ``scale``/
+    ``offset`` applied per the spec; with ``TimeReference/None`` or untimed
+    vertices the polyline degrades to controller waypoint following.
+    Clothoid/Nurbs shapes raise, like every other out-of-subset construct.
+    """
+    traj = follow.find("Trajectory")
+    if traj is None:
+        holder = follow.find("TrajectoryRef")          # OSC 1.1 wrapper
+        if holder is None:
+            holder = follow
+        if holder.find("CatalogReference") is not None:
+            traj = _catalog_entry(holder, catalogs, params)
+    if traj is None:
+        raise ValueError(
+            "FollowTrajectoryAction without Trajectory or CatalogReference")
+    shape = traj.find("Shape")
+    poly = shape.find("Polyline") if shape is not None else None
+    if poly is None:
+        kinds = [c.tag for c in shape] if shape is not None else []
+        raise NotImplementedError(
+            f"only Polyline trajectory shapes are supported (got {kinds})")
+    pts: List[Tuple[float, float]] = []
+    times: List[Optional[float]] = []
+    for vertex in poly.findall("Vertex"):
+        pos = vertex.find("Position")
+        if pos is None:
+            continue
+        x, y, _ = _parse_position(pos, params, entities)
+        pts.append((x, y))
+        raw_t = _resolve(vertex.get("time"), params)
+        times.append(float(raw_t) if raw_t not in (None, "") else None)
+    if len(pts) < 2:
+        raise ValueError("trajectory Polyline needs at least two vertices")
+    timed = all(t is not None for t in times)
+    scale, offset = 1.0, 0.0
+    if follow.find(".//TimeReference/None") is not None:
+        timed = False
+    else:
+        timing = follow.find(".//TimeReference/Timing")
+        if timing is not None:
+            scale = _f(timing, "scale", params, 1.0)
+            offset = _f(timing, "offset", params, 0.0)
+    if not timed:
+        return XoscAction("trajectory", waypoints=tuple(pts))
+    schedule = tuple(offset + scale * t for t in times)
+    if any(b <= a for a, b in zip(schedule, schedule[1:])):
+        raise ValueError(
+            f"trajectory vertex times must be strictly increasing "
+            f"after scale/offset: {schedule}")
+    return XoscAction("trajectory", waypoints=tuple(pts), times=schedule)
+
+
 def _parse_private_action(act: ET.Element, params: Dict[str, str],
                           entities: Dict[str, EntitySpec],
                           catalogs: Optional[Dict[str, Dict[str, ET.Element]]] = None
@@ -360,11 +430,10 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
             "raises the same — openscenario_parser.py:1023-1024)")
     routing = act.find("RoutingAction")
     if routing is not None:
-        if routing.find("FollowTrajectoryAction") is not None:
-            raise NotImplementedError(
-                "Private FollowTrajectory actions are not supported "
-                "(the reference raises the same — "
-                "openscenario_parser.py:1043-1044)")
+        follow = routing.find("FollowTrajectoryAction")
+        if follow is not None:
+            return _parse_follow_trajectory(follow, params, entities,
+                                            catalogs)
         route = _parse_route_action(routing, params, entities, catalogs)
         if route is not None:
             return route
@@ -651,6 +720,9 @@ class _ScriptedActor:
         self._shift_rate = 0.0
         self.controller: Optional[BasicControl] = None
         self._resume_speed = 0.0      # target to restore on autopilot re-on
+        # active timed trajectory: (points [N,2], schedule [N]) + own clock
+        self._traj: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._traj_t = 0.0
         for action in spec.init_actions:
             self.apply(action, lambda name: None)
 
@@ -683,6 +755,21 @@ class _ScriptedActor:
                 self.controller.extent = self.actor.extent
                 self.controller.update_target_speed(self.target_speed)
             self.controller.update_waypoints(action.waypoints)
+        elif action.kind == "trajectory":
+            if action.times:
+                # timed: an exact pose schedule, preempting the controller
+                # for its duration (OSC: the trajectory defines the motion)
+                self._traj = (
+                    np.asarray(action.waypoints, dtype=np.float64),
+                    np.asarray(action.times, dtype=np.float64))
+                self._traj_t = 0.0
+            else:
+                # untimed: the polyline is just waypoints for the controller
+                if self.controller is None:
+                    self.controller = self._default_route_controller()
+                    self.controller.extent = self.actor.extent
+                    self.controller.update_target_speed(self.target_speed)
+                self.controller.update_waypoints(action.waypoints)
         elif action.kind == "activate":
             if action.active:
                 # autopilot on == hand the actor to the NPC follower
@@ -718,6 +805,28 @@ class _ScriptedActor:
 
     def step(self, dt: float,
              obstacles: Sequence[Obstacle] = ()) -> None:
+        if self._traj is not None:
+            pts, sched = self._traj
+            self._traj_t += dt
+            t = min(self._traj_t, float(sched[-1]))
+            # np.interp clamps before the first vertex, so an offset
+            # schedule holds the actor at vertex 0 until its time comes
+            target = np.array([np.interp(t, sched, pts[:, 0]),
+                               np.interp(t, sched, pts[:, 1])])
+            vel = ((target - self.actor.position) / dt if dt > 0
+                   else np.zeros(2))
+            self.speed = float(np.linalg.norm(vel))
+            if self.speed > 1e-6:
+                self.actor.yaw = math.atan2(vel[1], vel[0])
+            self.actor.velocity = vel
+            self.actor.position = target
+            if self._traj_t >= float(sched[-1]):
+                # schedule exhausted: resume ordinary scripted motion with
+                # the story's current target speed from the final pose
+                self._traj = None
+                if self.controller is not None:
+                    self.controller.update_target_speed(self.target_speed)
+            return
         if self.controller is not None:
             out = self.controller.run_step(
                 self.actor.position, self.actor.yaw, self.speed, dt,

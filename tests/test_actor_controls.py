@@ -268,7 +268,11 @@ def test_xosc_active_controller_override_raises(tmp_path):
         parse_xosc(path)
 
 
-def test_xosc_follow_trajectory_raises(tmp_path):
+def test_xosc_follow_trajectory_without_trajectory_raises(tmp_path):
+    """FollowTrajectoryAction is now implemented (an extension beyond the
+    reference, which raises NotImplementedError — openscenario_parser.py:
+    1043-1044; full coverage in test_openscenario.py); a bare action with
+    no Trajectory source is still a hard parse error."""
     xosc = _HEADER.format(catalogs="") + """
   <Storyboard>
     <Init/>
@@ -289,7 +293,7 @@ def test_xosc_follow_trajectory_raises(tmp_path):
   </Storyboard>
 </OpenSCENARIO>
 """
-    with pytest.raises(NotImplementedError, match="FollowTrajectory"):
+    with pytest.raises(ValueError, match="FollowTrajectoryAction without"):
         parse_xosc(_write(tmp_path, xosc))
 
 

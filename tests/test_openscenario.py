@@ -491,3 +491,178 @@ def test_expression_rejects_non_arithmetic(tmp_path):
         _eval_expr("__import__('os')", {})
     with pytest.raises(ValueError):
         _eval_expr("'str'", {})
+
+
+def _trajectory_xosc(time_reference: str, vertices: str) -> str:
+    """Minimal scenario: one scripted 'mover' whose only event (no trigger)
+    is a FollowTrajectoryAction — the construct the reference refuses
+    (openscenario_parser.py:1043-1044); ours runs it."""
+    return f"""<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="traj" author=""/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="mover">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="mover">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="10" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="mover"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="Follow" priority="overwrite">
+            <Action name="Follow">
+              <PrivateAction>
+                <RoutingAction>
+                  <FollowTrajectoryAction>
+                    <Trajectory name="t" closed="false">
+                      <Shape><Polyline>
+{vertices}
+                      </Polyline></Shape>
+                    </Trajectory>
+                    <TimeReference>{time_reference}</TimeReference>
+                    <TrajectoryFollowingMode followingMode="position"/>
+                  </FollowTrajectoryAction>
+                </RoutingAction>
+              </PrivateAction>
+            </Action>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+_TIMED_VERTICES = """\
+<Vertex time="0"><Position><WorldPosition x="10" y="0"/></Position></Vertex>
+<Vertex time="2"><Position><WorldPosition x="20" y="0"/></Position></Vertex>
+<Vertex time="4"><Position><WorldPosition x="20" y="10"/></Position></Vertex>"""
+
+
+def test_follow_trajectory_timed(tmp_path):
+    """A timed Polyline trajectory replays the vertex schedule exactly:
+    linear interpolation between vertices, yaw along the motion, and the
+    actor parks at the final vertex once the schedule is exhausted (its
+    story target speed is still 0). Extension beyond the reference, which
+    raises NotImplementedError (openscenario_parser.py:1043-1044)."""
+    p = tmp_path / "timed.xosc"
+    p.write_text(_trajectory_xosc(
+        '<Timing domainAbsoluteRelative="relative" scale="1" offset="0"/>',
+        _TIMED_VERTICES))
+    cfg = parse_xosc(str(p))
+    assert cfg.events[0].actions[0].kind == "trajectory"
+    assert cfg.events[0].actions[0].times == (0.0, 2.0, 4.0)
+    mgr = OpenScenarioManager(cfg)
+    dt, ego = 0.05, np.array([0.0, -50.0])
+    for _ in range(20):                                   # t = 1.0
+        actors = mgr.tick(ego, dt)
+    mover = actors[0]
+    assert np.allclose(mover.position, [15.0, 0.0], atol=1e-6)
+    assert abs(np.linalg.norm(mover.velocity) - 5.0) < 1e-6
+    for _ in range(40):                                   # t = 3.0
+        actors = mgr.tick(ego, dt)
+    mover = actors[0]
+    assert np.allclose(mover.position, [20.0, 5.0], atol=1e-6)
+    assert abs(mover.yaw - math.pi / 2) < 1e-6            # second leg: +y
+    for _ in range(40):                                   # t = 5.0 > end
+        actors = mgr.tick(ego, dt)
+    mover = actors[0]
+    assert np.allclose(mover.position, [20.0, 10.0], atol=1e-6)
+    assert np.linalg.norm(mover.velocity) == 0.0          # parked at the end
+
+
+def test_follow_trajectory_timing_scale_offset(tmp_path):
+    """Timing scale/offset transform the vertex schedule (OSC spec): with
+    offset=1 the actor holds at vertex 0 until its scheduled time."""
+    p = tmp_path / "scaled.xosc"
+    p.write_text(_trajectory_xosc(
+        '<Timing domainAbsoluteRelative="relative" scale="0.5" offset="1"/>',
+        _TIMED_VERTICES))
+    cfg = parse_xosc(str(p))
+    assert cfg.events[0].actions[0].times == (1.0, 2.0, 3.0)
+    mgr = OpenScenarioManager(cfg)
+    dt, ego = 0.05, np.array([0.0, -50.0])
+    for _ in range(10):                                   # t = 0.5 < offset
+        actors = mgr.tick(ego, dt)
+    assert np.allclose(actors[0].position, [10.0, 0.0], atol=1e-6)
+    for _ in range(50):                                   # t = 3.0 = end
+        actors = mgr.tick(ego, dt)
+    assert np.allclose(actors[0].position, [20.0, 10.0], atol=1e-6)
+
+
+def test_follow_trajectory_untimed_uses_controller(tmp_path):
+    """TimeReference None degrades to controller waypoint following at the
+    actor's target speed (like AssignRouteAction)."""
+    xosc = _trajectory_xosc(
+        "<None/>",
+        """<Vertex><Position><WorldPosition x="30" y="0"/></Position></Vertex>
+<Vertex><Position><WorldPosition x="60" y="0"/></Position></Vertex>""")
+    # give the mover an initial speed so the follower moves
+    xosc = xosc.replace(
+        """<Private entityRef="mover">
+          <PrivateAction>
+            <TeleportAction>""",
+        """<Private entityRef="mover">
+          <PrivateAction>
+            <LongitudinalAction><SpeedAction>
+              <SpeedActionDynamics dynamicsShape="step"/>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="6"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction>
+          </PrivateAction>
+          <PrivateAction>
+            <TeleportAction>""")
+    p = tmp_path / "untimed.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "trajectory" and action.times == ()
+    mgr = OpenScenarioManager(cfg)
+    dt, ego = 0.05, np.array([0.0, -50.0])
+    for _ in range(40):                                   # t = 2.0
+        actors = mgr.tick(ego, dt)
+    mover = actors[0]
+    assert mover.position[0] > 15.0                       # moving toward x=30
+    assert abs(mover.position[1]) < 0.5
+    assert abs(np.linalg.norm(mover.velocity) - 6.0) < 1e-6
+
+
+def test_follow_trajectory_clothoid_raises(tmp_path):
+    xosc = _trajectory_xosc("<None/>", "").replace(
+        "<Shape><Polyline>\n\n                      </Polyline></Shape>",
+        '<Shape><Clothoid curvature="0.1" length="30"/></Shape>')
+    p = tmp_path / "clothoid.xosc"
+    p.write_text(xosc)
+    with pytest.raises(NotImplementedError, match="Polyline"):
+        parse_xosc(str(p))
+
+
+def test_follow_trajectory_nonmonotonic_times_raise(tmp_path):
+    p = tmp_path / "bad_times.xosc"
+    p.write_text(_trajectory_xosc(
+        '<Timing domainAbsoluteRelative="relative" scale="1" offset="0"/>',
+        """<Vertex time="0"><Position><WorldPosition x="10" y="0"/></Position></Vertex>
+<Vertex time="2"><Position><WorldPosition x="20" y="0"/></Position></Vertex>
+<Vertex time="1"><Position><WorldPosition x="30" y="0"/></Position></Vertex>"""))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        parse_xosc(str(p))
