@@ -47,15 +47,21 @@ Supported subset (OpenSCENARIO 1.0):
   the vertex schedule exactly (scale/offset honored); ``TimeReference``
   ``None`` (or untimed vertices) degrades to waypoint following through
   the actor's controller at its current target speed;
+- ``SynchronizeAction`` — also an EXTENSION beyond the reference (which
+  raises, openscenario_parser.py:1023-1024): the actor continuously
+  retargets its speed so it reaches ``TargetPosition`` at the same moment
+  the master entity reaches ``TargetPositionMaster`` (OSC spec 3.87),
+  then adopts ``FinalSpeed`` (absolute or relative-to-master);
 - ``Storyboard/StopTrigger``: ``SimulationTimeCondition`` and
   ``TraveledDistanceCondition`` end the episode; srunner's ``criteria_*``
   stop-trigger conditions are parsed and reported (the harness scores the
   same criteria natively through ``harness.criteria``).
 
-Out of scope (documented in docs/PARITY.md): ``VisibilityAction`` and
-``SynchronizeAction`` — both raise NotImplementedError in the reference
-parser too (openscenario_parser.py:1021-1024) — non-Polyline trajectory
-shapes (Clothoid/Nurbs), and non-arithmetic expression functions.
+Out of scope (documented in docs/PARITY.md): ``VisibilityAction`` — it
+raises NotImplementedError in the reference parser too
+(openscenario_parser.py:1021-1022) and has no kinematic meaning here —
+non-Polyline trajectory shapes (Clothoid/Nurbs), and non-arithmetic
+expression functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -122,7 +128,7 @@ class XoscCondition:
 @dataclass
 class XoscAction:
     # 'speed' | 'lane_change' | 'teleport' | 'acquire' | 'controller'
-    # | 'activate' | 'route' | 'trajectory'
+    # | 'activate' | 'route' | 'trajectory' | 'sync'
     kind: str
     target_speed: Optional[float] = None
     relative_to: str = ""            # entity name for relative target speed
@@ -139,6 +145,9 @@ class XoscAction:
     waypoints: Tuple[Tuple[float, float], ...] = ()   # 'route' | 'trajectory'
     times: Tuple[float, ...] = ()    # 'trajectory' vertex schedule (seconds
                                      # from action start; empty = untimed)
+    # 'sync': relative_to = master entity, (x, y) = master's target position,
+    # waypoints[0] = own target position, target_speed/speed_delta = FinalSpeed
+    final_relative: bool = False     # FinalSpeed is RelativeSpeedToMaster
 
 
 # OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
@@ -392,6 +401,43 @@ def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
     return XoscAction("trajectory", waypoints=tuple(pts), times=schedule)
 
 
+def _parse_synchronize(sync: ET.Element, params: Dict[str, str],
+                       entities: Dict[str, EntitySpec]) -> XoscAction:
+    """SynchronizeAction -> 'sync' XoscAction.
+
+    EXTENSION beyond the reference (srunner raises NotImplementedError —
+    openscenario_parser.py:1023-1024). OSC spec 3.87: the actor adapts its
+    speed so that it arrives at ``TargetPosition`` at the same moment the
+    ``masterEntityRef`` arrives at ``TargetPositionMaster``, then adopts
+    ``FinalSpeed`` (AbsoluteSpeed or RelativeSpeedToMaster).
+    """
+    master = sync.get("masterEntityRef", "")
+    master_pos = sync.find("TargetPositionMaster")
+    own_pos = sync.find("TargetPosition")
+    if master_pos is None or own_pos is None:
+        raise ValueError("SynchronizeAction needs TargetPositionMaster "
+                         "and TargetPosition")
+
+    def unwrap(el: ET.Element) -> ET.Element:
+        # the XSD puts the position members directly under TargetPosition*;
+        # accept an explicit <Position> wrapper too (common in the wild)
+        inner = el.find("Position")
+        return inner if inner is not None else el
+
+    mx, my, _ = _parse_position(unwrap(master_pos), params, entities)
+    x, y, _ = _parse_position(unwrap(own_pos), params, entities)
+    out = XoscAction("sync", relative_to=master, x=mx, y=my,
+                     waypoints=((x, y),))
+    absolute = sync.find(".//FinalSpeed/AbsoluteSpeed")
+    relative = sync.find(".//FinalSpeed/RelativeSpeedToMaster")
+    if absolute is not None:
+        out.target_speed = _f(absolute, "value", params)
+    elif relative is not None:
+        out.final_relative = True
+        out.speed_delta = _f(relative, "value", params)
+    return out
+
+
 def _parse_private_action(act: ET.Element, params: Dict[str, str],
                           entities: Dict[str, EntitySpec],
                           catalogs: Optional[Dict[str, Dict[str, ET.Element]]] = None
@@ -424,10 +470,9 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
         raise NotImplementedError(
             "Visibility actions are not supported (the reference raises "
             "the same — openscenario_parser.py:1021-1022)")
-    if act.find("SynchronizeAction") is not None:
-        raise NotImplementedError(
-            "Synchronization actions are not supported (the reference "
-            "raises the same — openscenario_parser.py:1023-1024)")
+    sync = act.find("SynchronizeAction")
+    if sync is not None:
+        return _parse_synchronize(sync, params, entities)
     routing = act.find("RoutingAction")
     if routing is not None:
         follow = routing.find("FollowTrajectoryAction")
@@ -723,6 +768,9 @@ class _ScriptedActor:
         # active timed trajectory: (points [N,2], schedule [N]) + own clock
         self._traj: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._traj_t = 0.0
+        # active SynchronizeAction, retargeted every tick by the manager
+        # (only the manager can see the master entity's live state)
+        self._sync: Optional[XoscAction] = None
         for action in spec.init_actions:
             self.apply(action, lambda name: None)
 
@@ -791,6 +839,12 @@ class _ScriptedActor:
                 self._resume_speed = self.target_speed
                 self.target_speed = 0.0
                 self.rate = None
+        elif action.kind == "sync":
+            self._sync = action
+            if self.controller is None:
+                d = np.asarray(action.waypoints[0]) - self.actor.position
+                if np.linalg.norm(d) > 1e-6:
+                    self.actor.yaw = math.atan2(d[1], d[0])
         elif action.kind == "lane_change":
             self._shift_left = action.lane_offset
             self._shift_rate = action.lane_offset / action.shift_time
@@ -1000,6 +1054,8 @@ class OpenScenarioManager:
                         continue
                     for action in event.actions:
                         scripted.apply(action, speed_lookup)
+        for scripted in self.scripted.values():
+            self._drive_sync(scripted, ego_xy, dt)
         # obstacle snapshots for obstacle-aware controllers: every other
         # scripted actor plus the live ego (the reference's obstacle sensor
         # sees all dynamic actors — simple_vehicle_control.py:90-100)
@@ -1013,6 +1069,53 @@ class OpenScenarioManager:
                 and self._trigger_holds(self.config.stop_trigger, ego_xy):
             self._stop = True
         return [s.actor for s in self.scripted.values()]
+
+    # SynchronizeAction tuning: arrival tolerance and a sanity speed cap
+    SYNC_REACH = 2.0
+    SYNC_SPEED_CAP = 30.0
+
+    def _drive_sync(self, scripted: _ScriptedActor, ego_xy: np.ndarray,
+                    dt: float) -> None:
+        """Retarget one actor's speed for an active SynchronizeAction
+        (OSC spec 3.87): speed = own remaining distance / master's ETA to
+        its own target, re-evaluated every tick so both arrive together;
+        on arrival the FinalSpeed applies and the sync ends."""
+        sync = scripted._sync
+        if sync is None:
+            return
+        own_target = np.asarray(sync.waypoints[0], dtype=np.float64)
+        d = own_target - scripted.actor.position
+        d_own = float(np.linalg.norm(d))
+        master_speed = self._entity_speed(sync.relative_to) or 0.0
+        if d_own < self.SYNC_REACH:
+            final = sync.target_speed
+            if sync.final_relative:
+                final = max(0.0, master_speed + sync.speed_delta)
+            if final is not None:
+                scripted.target_speed = final
+                if scripted.controller is not None:
+                    scripted.controller.update_target_speed(final)
+            scripted.rate = None
+            scripted._sync = None
+            return
+        master_pos = self._entity_pos(sync.relative_to, ego_xy)
+        if master_pos is None:
+            return            # master despawned: hold the last target speed
+        d_master = float(np.linalg.norm(
+            np.array([sync.x, sync.y]) - master_pos))
+        # a parked master makes the ETA huge -> the actor waits (speed ~0),
+        # which is the spec's intent: arrival is slaved to the master's
+        eta = d_master / max(master_speed, 0.1)
+        speed = float(np.clip(d_own / max(eta, dt), 0.0,
+                              self.SYNC_SPEED_CAP))
+        scripted.target_speed = speed
+        scripted.rate = None
+        if scripted.controller is not None:
+            # a routed/controlled actor keeps its path; only the pace syncs
+            scripted.controller.update_target_speed(speed)
+        else:
+            # free actor: head straight for the sync target
+            scripted.actor.yaw = math.atan2(d[1], d[0])
 
     def steer_noise(self) -> float:
         return 0.0

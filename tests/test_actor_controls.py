@@ -534,16 +534,25 @@ def test_xosc_osc11_activate_nested_in_controller_action(tmp_path):
     assert acts[0].active is False
 
 
-@pytest.mark.parametrize("tag,match", [
-    ("VisibilityAction", "Visibility"),
-    ("SynchronizeAction", "Synchronization"),
-])
-def test_xosc_unsupported_private_actions_raise(tmp_path, tag, match):
-    xosc = _story_event_xosc(f"""
+def test_xosc_unsupported_private_actions_raise(tmp_path):
+    xosc = _story_event_xosc("""
           <Action name="x"><PrivateAction>
-            <{tag}/>
+            <VisibilityAction/>
           </PrivateAction></Action>""")
-    with pytest.raises(NotImplementedError, match=match):
+    with pytest.raises(NotImplementedError, match="Visibility"):
+        parse_xosc(_write(tmp_path, xosc))
+
+
+def test_xosc_synchronize_without_targets_raises(tmp_path):
+    """SynchronizeAction is now implemented (extension beyond the reference,
+    which raises NotImplementedError — openscenario_parser.py:1023-1024;
+    runtime coverage in test_openscenario.py), but it still needs both
+    target positions."""
+    xosc = _story_event_xosc("""
+          <Action name="x"><PrivateAction>
+            <SynchronizeAction masterEntityRef="hero"/>
+          </PrivateAction></Action>""")
+    with pytest.raises(ValueError, match="TargetPositionMaster"):
         parse_xosc(_write(tmp_path, xosc))
 
 

@@ -666,3 +666,134 @@ def test_follow_trajectory_nonmonotonic_times_raise(tmp_path):
 <Vertex time="1"><Position><WorldPosition x="30" y="0"/></Position></Vertex>"""))
     with pytest.raises(ValueError, match="strictly increasing"):
         parse_xosc(str(p))
+
+
+def _synchronize_xosc(final_speed: str) -> str:
+    """One scripted 'crosser' synchronizing its arrival at (50, 0) with the
+    hero's arrival at (50, 30) — the junction-meeting shape SynchronizeAction
+    exists for (OSC spec 3.87). The reference refuses this construct
+    (openscenario_parser.py:1023-1024); ours runs it."""
+    return f"""<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="sync" author=""/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="crosser">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="crosser">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="50" y="-40" z="0" h="1.5708"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="crosser"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="Sync" priority="overwrite">
+            <Action name="Sync">
+              <PrivateAction>
+                <SynchronizeAction masterEntityRef="hero">
+                  <TargetPositionMaster>
+                    <Position><WorldPosition x="50" y="30"/></Position>
+                  </TargetPositionMaster>
+                  <TargetPosition>
+                    <Position><WorldPosition x="50" y="0"/></Position>
+                  </TargetPosition>
+                  {final_speed}
+                </SynchronizeAction>
+              </PrivateAction>
+            </Action>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_synchronize_action_meets_master(tmp_path):
+    """The crosser paces itself so it reaches (50, 0) when the hero (moving
+    at a constant 5 m/s along y toward (50, 30)) reaches its own target;
+    after arrival the absolute FinalSpeed applies."""
+    p = tmp_path / "sync.xosc"
+    p.write_text(_synchronize_xosc(
+        '<FinalSpeed><AbsoluteSpeed value="7"/></FinalSpeed>'))
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "sync" and action.relative_to == "hero"
+    assert action.target_speed == 7.0
+
+    mgr = OpenScenarioManager(cfg)
+    dt = 0.05
+    # hero drives +y at 5 m/s from (50, -50): 16 s to (50, 30); the crosser
+    # has 40 m to cover -> it should settle near 40/16 = 2.5 m/s
+    hero_y, speeds = -50.0, []
+    crosser_arrival_t = master_arrival_t = None
+    for step in range(400):                               # 20 s
+        hero_y += 5.0 * dt
+        actors = mgr.tick(np.array([50.0, hero_y]), dt)
+        crosser = actors[0]
+        speeds.append(float(np.linalg.norm(crosser.velocity)))
+        t = (step + 1) * dt
+        if crosser_arrival_t is None and float(np.linalg.norm(
+                crosser.position - np.array([50.0, 0.0]))) < 2.5:
+            crosser_arrival_t = t
+        if master_arrival_t is None and hero_y >= 30.0:
+            master_arrival_t = t
+    # both arrive at their targets at (almost) the same moment; the slack
+    # is the 2.5 m detection radius (crossed ~1 s early at ~2.5 m/s) plus
+    # the 2 m reach handoff to FinalSpeed — the pacing itself is exact
+    assert crosser_arrival_t is not None and master_arrival_t is not None
+    assert abs(crosser_arrival_t - master_arrival_t) < 1.5
+    # mid-run pace was the synchronized ~2.5 m/s, not a constant dash
+    mid = speeds[len(speeds) // 3]
+    assert 1.5 < mid < 3.5
+    # after arrival the FinalSpeed applies
+    assert abs(speeds[-1] - 7.0) < 1e-6
+
+
+def test_synchronize_final_speed_relative_to_master(tmp_path):
+    """FinalSpeed RelativeSpeedToMaster: on arrival the crosser adopts the
+    master's live speed plus the delta."""
+    p = tmp_path / "sync_rel.xosc"
+    p.write_text(_synchronize_xosc(
+        '<FinalSpeed><RelativeSpeedToMaster value="-1"/></FinalSpeed>'))
+    cfg = parse_xosc(str(p))
+    assert cfg.events[0].actions[0].final_relative is True
+    mgr = OpenScenarioManager(cfg)
+    dt, hero_y = 0.05, -50.0
+    for _ in range(400):
+        hero_y += 5.0 * dt
+        actors = mgr.tick(np.array([50.0, hero_y]), dt)
+    # hero speed 5 m/s, delta -1 -> final 4 m/s
+    assert abs(float(np.linalg.norm(actors[0].velocity)) - 4.0) < 0.2
+
+
+def test_synchronize_waits_for_parked_master(tmp_path):
+    """A parked master means an unbounded ETA: the synchronized actor waits
+    instead of dividing by zero or dashing ahead."""
+    p = tmp_path / "sync_wait.xosc"
+    p.write_text(_synchronize_xosc(
+        '<FinalSpeed><AbsoluteSpeed value="7"/></FinalSpeed>'))
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    for _ in range(100):                                  # hero never moves
+        actors = mgr.tick(np.array([50.0, -50.0]), 0.05)
+    assert np.allclose(actors[0].position, [50.0, -40.0], atol=0.5)
