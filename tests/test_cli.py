@@ -182,6 +182,35 @@ def test_phase0_openscenario_controller_cli(tmp_path):
     assert record["scores"]["score_route"] > 50, record
 
 
+@pytest.mark.parametrize("xosc,tag", [
+    ("trajectory_lead_pulls_off.xosc", "traj"),
+    ("synchronize_crossing.xosc", "sync"),
+])
+def test_phase0_openscenario_extension_cli(tmp_path, xosc, tag):
+    """phase0 runs the two shipped episodes built on constructs the
+    reference's parser refuses (FollowTrajectoryAction / SynchronizeAction,
+    openscenario_parser.py:1043-1044 / 1023-1024): the story actor clears or
+    times itself around the ego's path and the expert completes cleanly."""
+    cfg = {
+        "routes": os.path.join(ROOT, "data", "scenarios", xosc),
+        "repetitions": 1, "resume": False,
+        "checkpoint": str(tmp_path / "results" / f"xosc_{tag}.json"),
+        "agent": {"type": "expert", "seed": 0},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / f"xosc_{tag}.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.load(open(tmp_path / "results" / f"xosc_{tag}.json"))[
+        "_checkpoint"]["records"][0]
+    assert record["infractions"]["collisions_vehicle"] == []
+    assert record["scores"]["score_route"] > 50, record
+
+
 def test_dotdict_attribute_protocol():
     """Missing attributes raise AttributeError (not KeyError) so
     deepcopy / hasattr / getattr-with-default work."""
