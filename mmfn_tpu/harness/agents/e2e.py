@@ -16,6 +16,16 @@ Tick protocol (parity with the reference):
   radar front(tag 1)/rear(tag 0) stacked then TTC-fitted to 81 rows, lanes
   cropped around the GPS pose, target point rotated into the ego frame,
   jitted forward, PID control with the brake<0.05 zeroing.
+
+Deviation (opt-in, config key ``async_dispatch``): pipelined inference. The
+reference blocks on the GPU forward every tick (mmfn_vectornet.py:295-309);
+on a remote-attached TPU the host<->device round trip alone can eat the
+50 ms tick budget. With ``async_dispatch: True`` the agent enqueues this
+tick's forward without blocking and steers from the PREVIOUS tick's
+waypoints (fetched by a background thread during the intervening world
+tick), i.e. one sim tick (50 ms) of actuation latency — the standard
+perception->control pipelining trade in real AV stacks. Off by default;
+parity mode stays synchronous. See docs/PARITY.md.
 """
 
 from __future__ import annotations
@@ -48,7 +58,8 @@ class MMFNAgent(AutonomousAgent):
         self.variant = conf.get("variant", "vec")
         self.pipeline: JitPipeline = conf["pipeline"] if "pipeline" in conf else \
             JitPipeline(conf["model"], conf["variables"], self.config,
-                        points_per_sweep=conf.get("points_per_sweep", 32768))
+                        points_per_sweep=conf.get("points_per_sweep", 32768),
+                        host_bev=conf.get("host_bev", False))
         self.controller = WaypointController(self.config)
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
                                   self.config.right, self.config.lane_node_num,
@@ -60,6 +71,13 @@ class MMFNAgent(AutonomousAgent):
         self.initialized = False
         self.prev_lidar: Optional[np.ndarray] = None
         self.pid_metadata = {}
+        self.async_dispatch = bool(conf.get("async_dispatch", False))
+        self._fetcher = None
+        self._pending = None  # (Future[np.ndarray waypoints], speed at dispatch)
+        if self.async_dispatch:
+            import concurrent.futures
+            self._fetcher = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mmfn_wp_fetch")
 
     def sensors(self):
         return [
@@ -173,11 +191,24 @@ class MMFNAgent(AutonomousAgent):
             map_img = (np.zeros((self.config.input_resolution,) * 2 + (3,), np.float32)
                        if raster is None else np.asarray(raster, np.float32))
 
-        waypoints = self.pipeline(image, points, lanes, lane_num, radar, map_img,
-                                  tick["target_point"], tick["speed"])
+        if self.async_dispatch:
+            wp_device = self.pipeline.dispatch(
+                image, points, lanes, lane_num, radar, map_img,
+                tick["target_point"], tick["speed"])
+            pending, self._pending = self._pending, (
+                self._fetcher.submit(np.asarray, wp_device), tick["speed"])
+            if pending is None:  # one extra warm-up tick: nothing to steer from yet
+                self.prev_lidar = tick["lidar"]
+                return control
+            wp_future, speed = pending
+            waypoints = wp_future.result()
+        else:
+            waypoints = self.pipeline(image, points, lanes, lane_num, radar,
+                                      map_img, tick["target_point"], tick["speed"])
+            speed = tick["speed"]
 
         steer, throttle, brake, self.pid_metadata = self.controller.control_pid(
-            waypoints, tick["speed"])
+            waypoints, speed)
         if float(brake) < 0.05:
             brake = 0.0
         if throttle > brake:
@@ -188,6 +219,10 @@ class MMFNAgent(AutonomousAgent):
                               brake=float(brake))
 
     def destroy(self) -> None:
+        if self._fetcher is not None:
+            self._fetcher.shutdown(wait=False, cancel_futures=True)
+            self._fetcher = None
+        self._pending = None
         self.pipeline = None
 
 

@@ -18,22 +18,34 @@ import jax.numpy as jnp
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.batch import Batch
-from mmfn_tpu.ops.lidar import lidar_to_histogram_features, pad_points
+from mmfn_tpu.ops.lidar import (HIST_MAX_PER_PIXEL, bev_counts_np,
+                                lidar_to_histogram_features, pad_points)
 from mmfn_tpu.ops.radar import radar_adjacency
 
 MAX_SWEEP_POINTS = 32768  # one 64-ch sweep at 600k pts/s / 20 Hz, padded
 
 
 class JitPipeline:
-    """Wraps (model, variables) into a single jitted sensor->waypoints call."""
+    """Wraps (model, variables) into a single jitted sensor->waypoints call.
+
+    ``host_bev=True`` bins the lidar cloud to the 256x256x2 BEV count grid on
+    the host (uint8, lossless — counts clip at 5) instead of shipping the
+    padded point cloud for on-device Pallas binning. Same bin math either way
+    (and the host path bins full-precision floats, like the reference's
+    dataloader.py:271-293, vs the f16-shipped cloud); choose by link: ~3x
+    fewer bytes/tick on a thin host<->device link, while a colocated host
+    prefers the on-device kernel.
+    """
 
     def __init__(self, model, variables, config: GlobalConfig,
-                 points_per_sweep: int = MAX_SWEEP_POINTS):
+                 points_per_sweep: int = MAX_SWEEP_POINTS,
+                 host_bev: bool = False):
         self.model = model
         self.variables = variables
         self.config = config
         self.variant = model.variant
         self.points_per_sweep = points_per_sweep
+        self.host_bev = host_bev
 
         @jax.jit
         def forward(variables, image, points, lanes, lane_num, radar,
@@ -41,9 +53,13 @@ class JitPipeline:
             # image arrives uint8 and points float16: the host->device copy is
             # the closed loop's bottleneck (4 MB/tick at f32), and both casts
             # are exact for their sources (camera bytes; positions whose
-            # 0.25 m BEV bins dwarf f16's ~3 cm ulp at range)
-            points = points.astype(jnp.float32)
-            bev = lidar_to_histogram_features(points)
+            # 0.25 m BEV bins dwarf f16's ~3 cm ulp at range). In host_bev
+            # mode `points` is already the uint8 count grid.
+            if host_bev:
+                bev = points.astype(jnp.float32) / HIST_MAX_PER_PIXEL
+            else:
+                points = points.astype(jnp.float32)
+                bev = lidar_to_histogram_features(points)
             radar_adj = radar_adjacency(radar)
             batch = Batch(
                 image=image[None].astype(jnp.float32),
@@ -60,17 +76,26 @@ class JitPipeline:
 
         self._forward = forward
 
-    def __call__(self, image: np.ndarray, points: np.ndarray,
+    def dispatch(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],
                  radar: np.ndarray, map_img: Optional[np.ndarray],
-                 target_point: np.ndarray, velocity: float) -> np.ndarray:
-        """All-numpy in/out; points is the merged (N, >=3) two-sweep cloud.
+                 target_point: np.ndarray, velocity: float) -> jax.Array:
+        """Enqueue one forward; returns the un-fetched device array.
+
+        JAX dispatch is asynchronous — this returns as soon as the program is
+        enqueued, letting a pipelined caller overlap the device round trip
+        with the next tick's host work (fetch with ``np.asarray`` when the
+        result is actually needed).
 
         Numpy arrays go straight into the jitted call (one transfer batch per
         dispatch — explicit per-array jnp.asarray costs a round-trip each on
         remote-device links). The camera ships as uint8 and the padded cloud
-        as float16; the device casts back (see ``forward``)."""
-        points4 = pad_points(points, 2 * self.points_per_sweep).astype(np.float16)
+        as float16 (or, with host_bev, the uint8 BEV count grid); the device
+        casts back (see ``forward``)."""
+        if self.host_bev:
+            points4 = bev_counts_np(points)
+        else:
+            points4 = pad_points(points, 2 * self.points_per_sweep).astype(np.float16)
         image = np.asarray(image)
         if image.dtype != np.uint8:
             image = image.astype(np.uint8)   # exact: raw 0-255 camera values
@@ -78,7 +103,7 @@ class JitPipeline:
         if lanes is not None:
             lanes_arr = np.asarray(lanes, dtype=np.float32)
             lane_num_arr = np.asarray(lane_num, dtype=np.int32)
-        wp = self._forward(
+        return self._forward(
             self.variables,
             image,
             points4,
@@ -91,7 +116,14 @@ class JitPipeline:
             np.asarray(target_point, dtype=np.float32),
             np.asarray(velocity, dtype=np.float32),
         )
-        return np.asarray(wp)
+
+    def __call__(self, image: np.ndarray, points: np.ndarray,
+                 lanes: Optional[np.ndarray], lane_num: Optional[int],
+                 radar: np.ndarray, map_img: Optional[np.ndarray],
+                 target_point: np.ndarray, velocity: float) -> np.ndarray:
+        """Synchronous sensor->waypoints call (dispatch + blocking fetch)."""
+        return np.asarray(self.dispatch(image, points, lanes, lane_num, radar,
+                                        map_img, target_point, velocity))
 
     @functools.cached_property
     def zero_lanes(self) -> np.ndarray:

@@ -199,6 +199,34 @@ def _bev_hist_xla(points4: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([hist[:, :GRID], hist[:, GRID:]], axis=-1)
 
 
+def bev_counts_np(points: np.ndarray) -> np.ndarray:
+    """Host-side BEV binning: (N, >=3) ragged cloud -> (256, 256, 2) uint8
+    per-cell counts clipped at HIST_MAX_PER_PIXEL.
+
+    Same bin semantics as :func:`lidar_to_histogram_features_np` (dividing by
+    HIST_MAX_PER_PIXEL reproduces it exactly — counts are small integers, so
+    uint8 transport is lossless). Used by the closed-loop pipeline's
+    ``host_bev`` mode: on a thin host<->device link, shipping the 131 KB count
+    grid beats shipping the padded point cloud (the reference also bins on
+    host, dataloader.py:271-293); a vectorized bincount over one CARLA
+    two-sweep cloud (~60k points) costs <1 ms.
+    """
+    pts = np.asarray(points)
+    x, y, z = (pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64),
+               pts[:, 2])
+    ix = np.floor((x - X_RANGE[0]) * PIXELS_PER_METER).astype(np.int64)
+    iy = np.floor((y - Y_RANGE[0]) * PIXELS_PER_METER).astype(np.int64)
+    ix[x == X_RANGE[1]] = GRID - 1
+    iy[y == Y_RANGE[1]] = GRID - 1
+    ok = ((x >= X_RANGE[0]) & (x <= X_RANGE[1])
+          & (y >= Y_RANGE[0]) & (y <= Y_RANGE[1]))
+    above = (z > HEIGHT_SPLIT).astype(np.int64)
+    idx = (above * GRID * GRID + ix * GRID + iy)[ok]
+    counts = np.bincount(idx, minlength=2 * GRID * GRID).reshape(2, GRID, GRID)
+    return np.minimum(counts, int(HIST_MAX_PER_PIXEL)).astype(
+        np.uint8).transpose(1, 2, 0)
+
+
 def pad_points(points: np.ndarray, max_points: int) -> np.ndarray:
     """Host helper: (N, >=3) ragged cloud -> (max_points, 4) [x, y, z, valid]."""
     out = np.zeros((max_points, 4), dtype=np.float32)

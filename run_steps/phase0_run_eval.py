@@ -134,7 +134,12 @@ def build_agent(cfg, shared=None, route_index=None):
         print(f"{bc.WARNING}no checkpoint at {ckpt}; using random init{bc.ENDC}")
 
     conf = {"variant": agent_cfg.get("variant", "vec"),
-            "model": model, "variables": variables, "config": gconf}
+            "model": model, "variables": variables, "config": gconf,
+            # opt-in pipelined inference (one-tick actuation latency,
+            # docs/PARITY.md): agent.async_dispatch=true; agent.host_bev=true
+            # bins lidar on host and ships the uint8 count grid (thin links)
+            "async_dispatch": agent_cfg.get("async_dispatch", False),
+            "host_bev": agent_cfg.get("host_bev", False)}
     if "pipeline" in shared:
         conf["pipeline"] = shared["pipeline"]
     agent = MMFNAgent(conf)

@@ -17,9 +17,13 @@ from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
 from tests.test_harness import STRAIGHT_XODR
 
-def test_mmfn_agent_closed_loop_smoke(tool, tmp_path):
+@pytest.mark.parametrize("async_dispatch", [False, True],
+                         ids=["sync", "async"])
+def test_mmfn_agent_closed_loop_smoke(tool, tmp_path, async_dispatch):
     # vec only: the variants share the pipeline/agent machinery this test
-    # exercises, and the full-stack rad path is covered by bench/demo runs
+    # exercises, and the full-stack rad path is covered by bench/demo runs.
+    # async covers the pipelined one-tick-latency mode (docs/PARITY.md);
+    # both parametrizations share the in-process jit cache.
     variant = "vec"
     from mmfn_tpu.models import build_model
 
@@ -33,7 +37,7 @@ def test_mmfn_agent_closed_loop_smoke(tool, tmp_path):
     agent = MMFNAgent({
         "variant": variant, "model": model, "variables": variables,
         "config": cfg, "tmp_dir": str(tmp_path), "rmap_tool": tool,
-        "points_per_sweep": 2048,
+        "points_per_sweep": 2048, "async_dispatch": async_dispatch,
     })
     # Warm the jit cache outside the closed loop's wall-clock budget (the CPU
     # compile of the full pipeline can exceed the runner's timeout).
@@ -55,3 +59,36 @@ def test_mmfn_agent_closed_loop_smoke(tool, tmp_path):
     assert agent.pid_metadata, "model forward + PID never ran"
     assert record.status.startswith(("Failed", "Completed"))
     assert np.isfinite(record.scores["score_composed"])
+
+
+def test_pipeline_host_bev_matches_device_bev():
+    """host_bev=True (ship the uint8 BEV count grid) must produce the same
+    waypoints as shipping the padded f16 cloud for on-device binning. Points
+    are pre-quantized to f16 so both paths bin bit-identical coordinates
+    (host_bev otherwise bins at FULL precision — strictly closer to the
+    reference's host binning, dataloader.py:271-293)."""
+    from mmfn_tpu.harness.agents.pipeline import JitPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "vec")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    dev = JitPipeline(model, variables, cfg, points_per_sweep=2048)
+    host = JitPipeline(model, variables, cfg, points_per_sweep=2048,
+                       host_bev=True)
+
+    rng = np.random.default_rng(7)
+    points = rng.uniform(low=[-20, -30, -4], high=[20, 12, 2],
+                         size=(3000, 3)).astype(np.float16).astype(np.float32)
+    image = rng.integers(0, 256, size=(256, 256, 3)).astype(np.uint8)
+    lanes = (rng.normal(size=(cfg.max_lanes, 10, 5)) * 10).astype(np.float32)
+    radar = rng.normal(size=(81, 5)).astype(np.float32)
+    tp = np.array([1.0, 4.0], np.float32)
+
+    wp_dev = dev(image, points, lanes, 3, radar, None, tp, 2.0)
+    wp_host = host(image, points, lanes, 3, radar, None, tp, 2.0)
+    np.testing.assert_allclose(wp_host, wp_dev, atol=1e-5)

@@ -77,6 +77,20 @@ def test_bev_histogram_pallas_interpret_matches_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_bev_counts_np_matches_oracle(rng):
+    from mmfn_tpu.ops.lidar import HIST_MAX_PER_PIXEL, bev_counts_np
+
+    pts = rng.uniform(low=[-20, -30, -4], high=[20, 12, 2], size=(6000, 3))
+    want = lidar_to_histogram_features_np(pts)
+    counts = bev_counts_np(pts)
+    assert counts.dtype == np.uint8 and counts.shape == (256, 256, 2)
+    np.testing.assert_allclose(
+        counts.astype(np.float32) / HIST_MAX_PER_PIXEL, want, atol=1e-6)
+    # clipping: many points in one cell saturate at 5
+    stack = np.tile(np.array([[0.05, 0.05, 1.0]]), (10, 1))
+    assert bev_counts_np(stack).max() == 5
+
+
 def test_bev_histogram_clips_at_five():
     pts = np.tile(np.array([[0.05, 0.05, 1.0]]), (10, 1))  # 10 pts in one cell, above
     hist = lidar_to_histogram_features_np(pts)
