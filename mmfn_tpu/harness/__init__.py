@@ -12,3 +12,4 @@ from mmfn_tpu.harness.statistics import RouteRecord, StatisticsManager  # noqa: 
 from mmfn_tpu.harness.route import parse_routes_file, downsample_route, route_length  # noqa: F401
 from mmfn_tpu.harness.watchdog import Watchdog  # noqa: F401
 from mmfn_tpu.harness.sensor_interface import SensorInterface, SensorReceivedNoData  # noqa: F401
+from mmfn_tpu.harness.fleet import FleetRunner  # noqa: F401

@@ -157,25 +157,34 @@ class MMFNAgent(AutonomousAgent):
 
     # ---- main step ----------------------------------------------------------- #
 
-    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+    def prepare_step(self, input_data: dict):
+        """Host half of a tick: sensor decode, crops, lane/radar fits.
+
+        Returns ``("control", VehicleControl)`` on warm-up/no-op ticks, or
+        ``("forward", payload)`` where ``payload`` holds the 8 pipeline
+        arguments plus the tick's speed — feed it to the pipeline (batched by
+        a fleet coordinator, or singly here) and hand the waypoints to
+        :meth:`finish_step`. State updates (route init, sweep buffer) happen
+        here, so the caller never mutates agent state."""
         control = VehicleControl()
         if not self.rough_map_loaded and "opendrive" not in input_data:
-            return control
+            return "control", control
 
         if not self.initialized:
             self._init_route()
             tick = self._tick(input_data)
             self.prev_lidar = tick["lidar"]
-            return control
+            return "control", control
 
         tick = self._tick(input_data)
         if self.step == 1:  # second warm-up frame: only fill the sweep buffer
             self.prev_lidar = tick["lidar"]
-            return control
+            return "control", control
 
         # merge two sweeps; y-flip matches the dataset convention
         points = np.concatenate([tick["lidar"], self.prev_lidar], axis=0)[:, :3].copy()
         points[:, 1] *= -1
+        self.prev_lidar = tick["lidar"]
 
         image = scale_and_crop_image(tick["rgb"], scale=self.config.scale,
                                      crop=self.config.input_resolution)
@@ -191,32 +200,42 @@ class MMFNAgent(AutonomousAgent):
             map_img = (np.zeros((self.config.input_resolution,) * 2 + (3,), np.float32)
                        if raster is None else np.asarray(raster, np.float32))
 
-        if self.async_dispatch:
-            wp_device = self.pipeline.dispatch(
-                image, points, lanes, lane_num, radar, map_img,
-                tick["target_point"], tick["speed"])
-            pending, self._pending = self._pending, (
-                self._fetcher.submit(np.asarray, wp_device), tick["speed"])
-            if pending is None:  # one extra warm-up tick: nothing to steer from yet
-                self.prev_lidar = tick["lidar"]
-                return control
-            wp_future, speed = pending
-            waypoints = wp_future.result()
-        else:
-            waypoints = self.pipeline(image, points, lanes, lane_num, radar,
-                                      map_img, tick["target_point"], tick["speed"])
-            speed = tick["speed"]
+        return "forward", {
+            "image": image, "points": points, "lanes": lanes,
+            "lane_num": lane_num, "radar": radar, "map_img": map_img,
+            "target_point": tick["target_point"], "speed": tick["speed"],
+        }
 
+    def finish_step(self, payload: dict, waypoints: np.ndarray) -> VehicleControl:
+        """Control half: PID over the waypoints, using the speed of the tick
+        whose sensors produced them (== this tick synchronously; the previous
+        tick under async_dispatch / fleet pipelining)."""
         steer, throttle, brake, self.pid_metadata = self.controller.control_pid(
-            waypoints, speed)
+            waypoints, payload["speed"])
         if float(brake) < 0.05:
             brake = 0.0
         if throttle > brake:
             brake = 0.0
-
-        self.prev_lidar = tick["lidar"]
         return VehicleControl(steer=float(steer), throttle=float(throttle),
                               brake=float(brake))
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        kind, payload = self.prepare_step(input_data)
+        if kind == "control":
+            return payload
+
+        args = (payload["image"], payload["points"], payload["lanes"],
+                payload["lane_num"], payload["radar"], payload["map_img"],
+                payload["target_point"], payload["speed"])
+        if self.async_dispatch:
+            wp_device = self.pipeline.dispatch(*args)
+            pending, self._pending = self._pending, (
+                self._fetcher.submit(np.asarray, wp_device), payload)
+            if pending is None:  # one extra warm-up tick: nothing to steer from yet
+                return VehicleControl()
+            wp_future, prev_payload = pending
+            return self.finish_step(prev_payload, wp_future.result())
+        return self.finish_step(payload, self.pipeline(*args))
 
     def destroy(self) -> None:
         if self._fetcher is not None:

@@ -47,34 +47,46 @@ class JitPipeline:
         self.points_per_sweep = points_per_sweep
         self.host_bev = host_bev
 
-        @jax.jit
-        def forward(variables, image, points, lanes, lane_num, radar,
-                    map_img, target_point, velocity):
-            # image arrives uint8 and points float16: the host->device copy is
-            # the closed loop's bottleneck (4 MB/tick at f32), and both casts
-            # are exact for their sources (camera bytes; positions whose
-            # 0.25 m BEV bins dwarf f16's ~3 cm ulp at range). In host_bev
-            # mode `points` is already the uint8 count grid.
+        def apply_batched(variables, image, points, lanes, lane_num, radar,
+                          map_img, target_point, velocity):
+            # All inputs carry a leading batch dim (1 for the single-agent
+            # wrapper, N for a fleet). image arrives uint8 and points float16:
+            # the host->device copy is the closed loop's bottleneck (4 MB/tick
+            # at f32), and both casts are exact for their sources (camera
+            # bytes; positions whose 0.25 m BEV bins dwarf f16's ~3 cm ulp at
+            # range). In host_bev mode `points` is already the uint8 count
+            # grid.
             if host_bev:
                 bev = points.astype(jnp.float32) / HIST_MAX_PER_PIXEL
             else:
                 points = points.astype(jnp.float32)
-                bev = lidar_to_histogram_features(points)
+                bev = jax.vmap(lidar_to_histogram_features)(points)
             radar_adj = radar_adjacency(radar)
             batch = Batch(
-                image=image[None].astype(jnp.float32),
-                lidar_bev=bev[None],
-                map_img=None if map_img is None else map_img[None].astype(jnp.float32),
-                lanes=None if lanes is None else lanes[None],
-                lane_num=None if lane_num is None else lane_num[None],
-                radar=radar[None],
-                radar_adj=radar_adj[None],
-                target_point=target_point[None],
-                velocity=velocity[None],
+                image=image.astype(jnp.float32),
+                lidar_bev=bev,
+                map_img=None if map_img is None else map_img.astype(jnp.float32),
+                lanes=lanes,
+                lane_num=lane_num,
+                radar=radar,
+                radar_adj=radar_adj,
+                target_point=target_point,
+                velocity=velocity,
             )
-            return model.apply(variables, batch, False)[0]
+            return model.apply(variables, batch, False)
+
+        @jax.jit
+        def forward(variables, image, points, lanes, lane_num, radar,
+                    map_img, target_point, velocity):
+            def up(x):
+                return None if x is None else x[None]
+
+            return apply_batched(variables, up(image), up(points), up(lanes),
+                                 up(lane_num), up(radar), up(map_img),
+                                 up(target_point), up(velocity))[0]
 
         self._forward = forward
+        self._forward_batched = jax.jit(apply_batched)
 
     def dispatch(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],
@@ -92,6 +104,14 @@ class JitPipeline:
         remote-device links). The camera ships as uint8 and the padded cloud
         as float16 (or, with host_bev, the uint8 BEV count grid); the device
         casts back (see ``forward``)."""
+        return self._forward(
+            self.variables,
+            *self._host_args(image, points, lanes, lane_num, radar, map_img,
+                             target_point, velocity))
+
+    def _host_args(self, image, points, lanes, lane_num, radar, map_img,
+                   target_point, velocity):
+        """Transport-dtype conversions for ONE sample (no batch dim)."""
         if self.host_bev:
             points4 = bev_counts_np(points)
         else:
@@ -103,8 +123,7 @@ class JitPipeline:
         if lanes is not None:
             lanes_arr = np.asarray(lanes, dtype=np.float32)
             lane_num_arr = np.asarray(lane_num, dtype=np.int32)
-        return self._forward(
-            self.variables,
+        return (
             image,
             points4,
             lanes_arr,
@@ -112,10 +131,21 @@ class JitPipeline:
             np.asarray(radar, dtype=np.float32),
             None if map_img is None else
             np.asarray(map_img).astype(np.uint8),   # raster bytes, cast back on device
-
             np.asarray(target_point, dtype=np.float32),
             np.asarray(velocity, dtype=np.float32),
         )
+
+    def dispatch_fleet(self, payloads) -> jax.Array:
+        """One batched forward over N agents' ``prepare_step`` payloads
+        (one compiled program per fleet size N; one transfer per tick for the
+        whole fleet). Returns the un-fetched (N, pred_len, 2) device array."""
+        rows = [self._host_args(p["image"], p["points"], p["lanes"],
+                                p["lane_num"], p["radar"], p["map_img"],
+                                p["target_point"], p["speed"])
+                for p in payloads]
+        cols = list(zip(*rows))
+        stacked = [None if col[0] is None else np.stack(col) for col in cols]
+        return self._forward_batched(self.variables, *stacked)
 
     def __call__(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],

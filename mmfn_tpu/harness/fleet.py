@@ -1,0 +1,131 @@
+"""Fleet evaluation: N routes driven in lockstep, ONE batched forward/tick.
+
+The reference evaluates routes strictly sequentially — one CARLA world, one
+agent, one GPU forward per 50 ms tick (leaderboard_evaluator.py:386-411).
+A TPU chip whose batched inference runs ~2550 frames/s (bench.py) can serve
+~128 simulated 20 Hz vehicles at once, so a fleet of fake-world routes is a
+serving-scale extension the hardware begs for: each route keeps its own
+world, criteria, scenario manager, and agent host state, while every live
+agent's ``prepare_step`` payload is stacked into a single
+``JitPipeline.dispatch_fleet`` call per tick (one transfer + one compiled
+program for the whole fleet).
+
+Mechanics: each route runs as a ``ClosedLoopRunner.drive`` generator (the
+exact scoring loop ``run_route`` uses), so fleet records are identical in
+kind to sequential ones. Finished routes free their batch slot; the batch
+stays at the fleet's full width with zero-padded slots to keep ONE compiled
+program (XLA static shapes).
+
+Agents must expose the ``prepare_step``/``finish_step`` split (the e2e
+MMFNAgent) and share one JitPipeline (same weights — fleet eval of a single
+policy). Warm-up ticks (map build, sweep buffer) return their controls
+host-side and simply skip the batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from mmfn_tpu.harness.replay import ClosedLoopRunner, _AgentCrash
+from mmfn_tpu.harness.statistics import RouteRecord, StatisticsManager
+
+
+class FleetRunner:
+    """Drives N (agent, route) pairs in lockstep and scores each route.
+
+    ``routes`` entries are dicts of :meth:`ClosedLoopRunner.drive` keyword
+    arguments: ``config`` and ``opendrive_str`` required, plus any of
+    ``max_ticks / triggers / rough_map / signals / background /
+    world_kwargs / scenario_manager``.
+    """
+
+    def __init__(self, statistics: Optional[StatisticsManager] = None,
+                 max_wall_seconds: float = 600.0):
+        self.statistics = statistics or StatisticsManager()
+        self.max_wall_seconds = max_wall_seconds
+
+    def run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
+        if len(agents) != len(routes):
+            raise ValueError("need one agent per route")
+        n = len(agents)
+        pipeline = agents[0].pipeline
+        for a in agents:
+            if a.pipeline is not pipeline:
+                raise ValueError("fleet agents must share one JitPipeline "
+                                 "(one policy, one compiled batch program)")
+
+        runner = ClosedLoopRunner(self.statistics,
+                                  max_wall_seconds=self.max_wall_seconds)
+        gens = []
+        records: List[Optional[RouteRecord]] = [None] * n
+        game_time = [0.0] * n
+        live = set()
+        for i, (agent, route) in enumerate(zip(agents, routes)):
+            gen = runner.drive(agent, **route)
+            gens.append(gen)
+            try:
+                game_time[i] = next(gen)
+                live.add(i)
+            except StopIteration as stop:  # zero-tick route
+                records[i] = stop.value
+
+        template = None      # zero payload filling freed batch slots
+        while live:
+            # (per-route wall timeouts are enforced inside each drive())
+            controls = {}
+            forwards = []    # (agent index, payload)
+            for i in sorted(live):
+                agent = agents[i]
+                try:
+                    input_data = agent.sensor_interface.get_data()
+                    kind, payload = agent.prepare_step(input_data)
+                except Exception as e:      # agent crash -> scored failure
+                    self._finish(gens[i], i, e, records, live)
+                    continue
+                if kind == "control":
+                    controls[i] = payload
+                else:
+                    forwards.append((i, payload))
+
+            if forwards:
+                if template is None:
+                    template = _zero_like_payload(forwards[0][1])
+                batch = [p for _, p in forwards]
+                batch += [template] * (n - len(batch))
+                waypoints = np.asarray(pipeline.dispatch_fleet(batch))
+                for row, (i, payload) in enumerate(forwards):
+                    agent = agents[i]
+                    try:
+                        controls[i] = agent.finish_step(payload, waypoints[row])
+                    except Exception as e:
+                        self._finish(gens[i], i, e, records, live)
+
+            for i in sorted(set(controls) & live):
+                try:
+                    game_time[i] = gens[i].send(controls[i])
+                except StopIteration as stop:
+                    records[i] = stop.value
+                    live.discard(i)
+        return records
+
+    @staticmethod
+    def _finish(gen, i, exc, records, live):
+        try:
+            gen.throw(_AgentCrash(exc))
+        except StopIteration as stop:
+            records[i] = stop.value
+        live.discard(i)
+
+
+def _zero_like_payload(payload: dict) -> dict:
+    def z(x):
+        return None if x is None else np.zeros_like(np.asarray(x))
+
+    out = {k: z(v) for k, v in payload.items()}
+    out["speed"] = 0.0
+    # one zero lane, not zero lanes: the masked lane attention expects >= 1
+    # valid token (the reference's empty-crop fallback, mmfn_vectornet.py:179)
+    out["lane_num"] = 1 if payload.get("lane_num") is not None else None
+    return out

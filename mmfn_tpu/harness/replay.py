@@ -205,8 +205,25 @@ def plan_from_trajectory(trajectory) -> Tuple[list, list]:
     return gps_plan, world_plan
 
 
+class _AgentCrash(Exception):
+    """Thrown into the route generator when the agent callable raised; the
+    generator converts it into a scored failure (leaderboard semantics,
+    leaderboard_evaluator.py:279-384)."""
+
+    def __init__(self, cause: Exception):
+        super().__init__(str(cause))
+        self.cause = cause
+
+
 class ClosedLoopRunner:
-    """Drives one agent through one route in the fake world and scores it."""
+    """Drives one agent through one route in the fake world and scores it.
+
+    The per-tick body lives in the :meth:`drive` generator (yields the game
+    time whenever a control is needed, receives the control via ``send``);
+    :meth:`run_route` drives one agent synchronously, while
+    `harness.fleet.FleetRunner` drives many route generators in lockstep with
+    one batched device forward per tick.
+    """
 
     def __init__(self, statistics: Optional[StatisticsManager] = None,
                  max_wall_seconds: float = 120.0):
@@ -236,6 +253,34 @@ class ClosedLoopRunner:
         harness.openscenario.OpenScenarioManager) used instead of the
         trigger-list ScenarioManagerLite; if it exposes ``stop_triggered()``
         (OpenSCENARIO storyboard stop trigger) the episode ends there."""
+        gen = self.drive(agent, config, opendrive_str, max_ticks=max_ticks,
+                         triggers=triggers, rough_map=rough_map,
+                         signals=signals, background=background,
+                         world_kwargs=world_kwargs,
+                         scenario_manager=scenario_manager)
+        try:
+            game_time = next(gen)
+            while True:
+                try:
+                    control = agent(game_time)
+                except Exception as e:  # agent crash -> scored failure
+                    gen.throw(_AgentCrash(e))
+                game_time = gen.send(control)
+        except StopIteration as stop:
+            return stop.value
+
+    def drive(self, agent, config: RouteConfig, opendrive_str: str,
+              max_ticks: Optional[int] = None,
+              triggers: Optional[list] = None,
+              rough_map=None,
+              signals=None,
+              background=None,
+              world_kwargs: Optional[dict] = None,
+              scenario_manager=None):
+        """Generator form of :meth:`run_route` (same arguments): writes the
+        tick's sensor frames into ``agent.sensor_interface``, yields the game
+        time, and expects the agent's control via ``send``; its return value
+        (StopIteration.value) is the scored RouteRecord."""
         trajectory = config.trajectory
         gps_plan, world_plan = plan_from_trajectory(trajectory)
         agent.set_global_plan(gps_plan, world_plan)
@@ -312,9 +357,9 @@ class ClosedLoopRunner:
                         agent.sensor_interface.register_sensor(tag)
                 agent.sensor_interface.update_sensor(tag, payload, f)
             try:
-                control = agent(game_time)
-            except Exception as e:  # agent crash -> scored failure
-                failure = f"Agent crashed: {e}"
+                control = yield game_time
+            except _AgentCrash as e:  # thrown in by the driver
+                failure = f"Agent crashed: {e.cause}"
                 break
             noise = scenario_mgr.steer_noise()
             if noise:

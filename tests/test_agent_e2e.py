@@ -91,4 +91,59 @@ def test_pipeline_host_bev_matches_device_bev():
 
     wp_dev = dev(image, points, lanes, 3, radar, None, tp, 2.0)
     wp_host = host(image, points, lanes, 3, radar, None, tp, 2.0)
-    np.testing.assert_allclose(wp_host, wp_dev, atol=1e-5)
+    # rtol, not tight atol: the untrained net emits O(1e3) waypoints and the
+    # two jit programs fuse differently (f32 reassociation ~ a few ulps)
+    np.testing.assert_allclose(wp_host, wp_dev, rtol=1e-5, atol=1e-4)
+
+    # fleet dispatch: a stacked batch of identical payloads must reproduce
+    # the single-sample forward row-for-row
+    payload = {"image": image, "points": points, "lanes": lanes, "lane_num": 3,
+               "radar": radar, "map_img": None, "target_point": tp,
+               "speed": 2.0}
+    wp_fleet = np.asarray(dev.dispatch_fleet([payload, dict(payload)]))
+    assert wp_fleet.shape[0] == 2
+    np.testing.assert_allclose(wp_fleet[0], wp_dev, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(wp_fleet[1], wp_dev, rtol=1e-5, atol=1e-4)
+
+
+def test_fleet_runner_closed_loop(tool, tmp_path):
+    """Three routes in lockstep, one batched forward per tick; every route
+    ends with a scored RouteRecord and every agent ran the model + PID."""
+    from mmfn_tpu.harness.fleet import FleetRunner
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "vec")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    agents = [MMFNAgent({"variant": "vec", "model": model,
+                         "variables": variables, "config": cfg,
+                         "tmp_dir": str(tmp_path / "a0"), "rmap_tool": tool,
+                         "points_per_sweep": 2048})]
+    for k in (1, 2):
+        agents.append(MMFNAgent({"variant": "vec",
+                                 "pipeline": agents[0].pipeline,
+                                 "config": cfg,
+                                 "tmp_dir": str(tmp_path / f"a{k}"),
+                                 "rmap_tool": tool}))
+
+    routes = []
+    for k in range(3):
+        config = RouteConfig(route_id=str(k), town="TownTest",
+                             trajectory=[(0.0, 1.75, 0.0), (60.0, 1.75, 0.0)],
+                             index=k)
+        routes.append({"config": config, "opendrive_str": STRAIGHT_XODR,
+                       "max_ticks": 6})
+
+    records = FleetRunner(max_wall_seconds=600).run(agents, routes)
+
+    assert len(records) == 3
+    for k, (agent, record) in enumerate(zip(agents, records)):
+        assert record is not None, f"route {k} never finished"
+        assert record.status.startswith(("Failed", "Completed"))
+        assert np.isfinite(record.scores["score_composed"])
+        assert agent.rough_map_loaded
+        assert agent.pid_metadata, f"agent {k}: model forward + PID never ran"
