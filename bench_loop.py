@@ -17,6 +17,7 @@ Full flagship config (MMFN-rad, n_layer=8, 64 lanes) with random weights —
 throughput does not depend on the weights.
 """
 
+import argparse
 import json
 import time
 
@@ -127,8 +128,65 @@ def _relay_rtt_ms(n: int = 20) -> float:
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def _fleet_mode(pipeline, config, n: int, ticks: int):
+    """Aggregate throughput of an N-vehicle lockstep fleet (harness/fleet.py):
+    N fake worlds, N full host agent paths, ONE batched device forward per
+    tick. The serving-scale claim made from bench.py's batched fps (one chip
+    ~= 128 simulated 20 Hz vehicles) measured end-to-end."""
+    from mmfn_tpu.harness.fleet import FleetRunner
+
+    def run_once(run_ticks):
+        agents = [MMFNAgent({"variant": "rad", "pipeline": pipeline,
+                             "config": config}) for _ in range(n)]
+        routes = [{"config": RouteConfig(
+                       route_id=str(k), town="TownBench",
+                       trajectory=[(0.0, 1.75, 0.0), (2900.0, 1.75, 0.0)],
+                       index=k),
+                   "opendrive_str": XODR, "max_ticks": run_ticks}
+                  for k in range(n)]
+        t0 = time.perf_counter()
+        records = FleetRunner(max_wall_seconds=3600).run(agents, routes)
+        wall = time.perf_counter() - t0
+        total_ticks = sum(a.step + 1 for a in agents)  # ticks _tick() ran
+        return wall, total_ticks, records
+
+    run_once(WARMUP_TICKS)          # pays the width-N batch compile
+    wall, total_ticks, records = run_once(ticks)
+    agg = total_ticks / wall
+    return {
+        "fleet": n,
+        "agg_ticks_per_sec": round(agg, 2),
+        "per_vehicle_ticks_per_sec": round(agg / n, 2),
+        "vehicles_at_20hz": round(agg / 20.0, 1),
+        "route_status": records[0].status,
+    }
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="N>0: measure an N-vehicle lockstep fleet instead "
+                         "of the single-agent soak modes")
+    ap.add_argument("--ticks", type=int, default=0,
+                    help="override soak ticks per route")
+    args = ap.parse_args()
+
     agent = _build_agent()
+
+    if args.fleet > 0:
+        out = _fleet_mode(agent.pipeline, agent.config, args.fleet,
+                          args.ticks or 120)
+        agg = out["agg_ticks_per_sec"]
+        print(json.dumps({
+            "metric": f"fleet aggregate agent ticks/sec ({args.fleet} vehicles, fake world, full MMFN-rad)",
+            "value": agg,
+            "unit": "ticks/s",
+            "vs_baseline": round(agg / 20.0, 2),
+            **out,
+            "relay_rtt_ms": round(_relay_rtt_ms(), 2),
+            "device": str(jax.devices()[0]),
+        }))
+        return
     # warmup run compiles the jit pipeline + builds the map
     _soak(agent, WARMUP_TICKS)
 

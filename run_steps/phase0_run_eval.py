@@ -113,6 +113,12 @@ def build_agent(cfg, shared=None, route_index=None):
     overrides = {k: agent_cfg[k] for k in ("n_layer", "n_embd", "n_head")
                  if k in agent_cfg}
     gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64), **overrides)
+    if "pipeline" in shared:
+        # later routes (and fleet members beyond the first) reuse the warm
+        # jitted pipeline — skip the model build / init / checkpoint load
+        return MMFNAgent({"variant": agent_cfg.get("variant", "vec"),
+                          "pipeline": shared["pipeline"], "config": gconf,
+                          "async_dispatch": agent_cfg.get("async_dispatch", False)})
     model = build_model(gconf, agent_cfg.get("variant", "vec"))
     batch = synthetic_batch(batch_size=1, max_lanes=gconf.max_lanes)
     variables = jax.jit(model.init, static_argnums=(2,))(
@@ -218,15 +224,9 @@ def main():
         if cfg.get("resume"):
             indexer.resume(endpoint)
 
-    shared = {}
-    # generous default wall budget: the first route pays the XLA compile
-    # (minutes cold); without headroom it would be scored as a timeout
-    runner = ClosedLoopRunner(
-        statistics, max_wall_seconds=float(cfg.get("max_wall_seconds", 900.0)))
-    t0 = time.time()
-    while indexer.peek():
-        config = indexer.next()
-        agent = build_agent(cfg, shared, route_index=config.index)
+    def route_kwargs(config):
+        """Per-route drive() kwargs: scenario triggers, signals, traffic,
+        the birdview camera, and (for .xosc) a fresh storyboard manager."""
         scenario_manager = None
         if is_xosc:
             from mmfn_tpu.harness.openscenario import OpenScenarioManager
@@ -266,15 +266,52 @@ def main():
                 [lane.nodes for lane in rough_map.lanes], bg_amount,
                 seed=config.index, signals=signals,
                 ego_start=config.trajectory[0][:2])
-        print(f"{bc.OKCYAN}route {config.route_id} ({config.index + 1}/{indexer.total}){bc.ENDC}")
-        record = runner.run_route(agent, config, map_xodr, triggers=triggers,
-                                  rough_map=rough_map, signals=signals,
-                                  background=background,
-                                  world_kwargs={"camera_birdview": birdview},
-                                  scenario_manager=scenario_manager)
-        statistics.save_record(record, config.index, endpoint)
+        max_ticks = cfg.get("max_ticks")
+        return dict(triggers=triggers, rough_map=rough_map, signals=signals,
+                    background=background,
+                    world_kwargs={"camera_birdview": birdview},
+                    scenario_manager=scenario_manager,
+                    max_ticks=None if max_ticks is None else int(max_ticks))
+
+    shared = {}
+    # generous default wall budget: the first route pays the XLA compile
+    # (minutes cold); without headroom it would be scored as a timeout
+    wall_budget = float(cfg.get("max_wall_seconds", 900.0))
+    runner = ClosedLoopRunner(statistics, max_wall_seconds=wall_budget)
+    # fleet: N — serving-scale extension (harness/fleet.py): drive up to N
+    # routes in lockstep with ONE batched device forward per tick instead of
+    # the reference's strictly sequential route loop. e2e agents only.
+    fleet_n = max(1, int(cfg.get("fleet", 1)))
+    t0 = time.time()
+    while indexer.peek():
+        configs = []
+        while indexer.peek() and len(configs) < fleet_n:
+            configs.append(indexer.next())
+        if len(configs) > 1:
+            from mmfn_tpu.harness.fleet import FleetRunner
+
+            agents = [build_agent(cfg, shared, route_index=c.index)
+                      for c in configs]
+            if not all(hasattr(a, "prepare_step") for a in agents):
+                raise SystemExit("fleet: N needs agents with the "
+                                 "prepare_step/finish_step split "
+                                 "(agent.type=e2e)")
+            print(f"{bc.OKCYAN}fleet of {len(configs)}: routes "
+                  f"{', '.join(c.route_id for c in configs)}{bc.ENDC}")
+            records = FleetRunner(statistics, max_wall_seconds=wall_budget).run(
+                agents, [dict(config=c, opendrive_str=map_xodr,
+                              **route_kwargs(c)) for c in configs])
+        else:
+            config = configs[0]
+            agent = build_agent(cfg, shared, route_index=config.index)
+            print(f"{bc.OKCYAN}route {config.route_id} "
+                  f"({config.index + 1}/{indexer.total}){bc.ENDC}")
+            records = [runner.run_route(agent, config, map_xodr,
+                                        **route_kwargs(config))]
+        for config, record in zip(configs, records):
+            statistics.save_record(record, config.index, endpoint)
+            print(format_route_record(record, title=f"route {config.route_id}"))
         indexer.save_state(endpoint)
-        print(format_route_record(record, title=f"route {config.route_id}"))
 
     global_record = statistics.compute_global_statistics(indexer.total)
     statistics.save_global_record(global_record, indexer.total, endpoint)

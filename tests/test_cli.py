@@ -211,6 +211,38 @@ def test_phase0_openscenario_extension_cli(tmp_path, xosc, tag):
     assert record["scores"]["score_route"] > 50, record
 
 
+def test_phase0_fleet_cli(tmp_path):
+    """``fleet: 2`` drives both route repetitions in lockstep through ONE
+    batched forward per tick (harness/fleet.py); both land in the checkpoint
+    as ordinary scored records. Tiny e2e model + max_ticks cap keep the
+    subprocess compile/run small; the persistent cache dir is passed through
+    the env (conftest sets it in-process only)."""
+    cfg = {
+        "routes": os.path.join(ROOT, "tests", "fixtures", "route_straight.xml"),
+        "repetitions": 2, "fleet": 2, "max_ticks": 6, "resume": False,
+        "checkpoint": str(tmp_path / "results" / "fleet.json"),
+        "agent": {"variant": "vec", "n_layer": 1, "max_lanes": 16,
+                  "model_path": None},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / "fleet.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    env = _clean_env()
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(ROOT, "tests", ".jax_cache")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "fleet of 2" in proc.stdout
+    assert "driving score" in proc.stdout
+    records = json.load(open(tmp_path / "results" / "fleet.json"))[
+        "_checkpoint"]["records"]
+    assert len(records) == 2
+    for record in records:
+        assert record["status"].startswith(("Failed", "Completed"))
+
+
 def test_dotdict_attribute_protocol():
     """Missing attributes raise AttributeError (not KeyError) so
     deepcopy / hasattr / getattr-with-default work."""
