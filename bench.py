@@ -39,6 +39,29 @@ BATCH = 8
 ITERS = 200
 
 
+def _require_device(timeout_s: float = None):
+    """Fail fast (exit 3, stderr message, NO JSON line) if the TPU relay is
+    unreachable: ``jax.devices()`` blocks forever dialing a dead relay, and a
+    silent hang is worse for the driver than a distinguishable error."""
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("MMFN_BENCH_DIAL_TIMEOUT",
+                                                  "300"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"bench: no response from jax.devices() within "
+                  f"{timeout_s:.0f}s - device relay unreachable; aborting",
+                  file=__import__("sys").stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devices = jax.devices()
+    done.set()
+    return devices
+
+
 def make_inputs(batch, rng):
     return dict(
         image=jnp.asarray(rng.integers(0, 256, size=(batch, 256, 256, 3)).astype(np.float32)),
@@ -158,6 +181,7 @@ def timed_train(model, cfg, batch_size, iters=20, compute_dtype=jnp.float32):
 
 
 def main():
+    _require_device()
     rng = np.random.default_rng(0)
     cfg = GlobalConfig()
     model = build_model(cfg, "rad")

@@ -171,6 +171,8 @@ def main():
                     help="override soak ticks per route")
     args = ap.parse_args()
 
+    from bench import _require_device
+    _require_device()
     agent = _build_agent()
 
     if args.fleet > 0:

@@ -40,13 +40,14 @@ Supported subset (OpenSCENARIO 1.0):
 - ``RoutingAction/AssignRouteAction`` with an inline ``Route`` or a Route
   ``CatalogReference`` (waypoint list fed to the actor's controller —
   ChangeActorWaypoints semantics, openscenario_parser.py:1037-1042);
-- ``RoutingAction/FollowTrajectoryAction`` with a Polyline shape (inline
-  ``Trajectory`` or a Trajectory ``CatalogReference``) — an EXTENSION
-  beyond the reference, which raises NotImplementedError on it
+- ``RoutingAction/FollowTrajectoryAction`` with a Polyline or Clothoid
+  shape (inline ``Trajectory`` or a Trajectory ``CatalogReference``) — an
+  EXTENSION beyond the reference, which raises NotImplementedError on it
   (openscenario_parser.py:1043-1044): a ``TimeReference/Timing`` replays
   the vertex schedule exactly (scale/offset honored); ``TimeReference``
   ``None`` (or untimed vertices) degrades to waypoint following through
-  the actor's controller at its current target speed;
+  the actor's controller at its current target speed; Clothoids integrate
+  the analytic spiral heading and time along ``startTime``/``stopTime``;
 - ``SynchronizeAction`` — also an EXTENSION beyond the reference (which
   raises, openscenario_parser.py:1023-1024): the actor continuously
   retargets its speed so it reaches ``TargetPosition`` at the same moment
@@ -57,11 +58,15 @@ Supported subset (OpenSCENARIO 1.0):
   stop-trigger conditions are parsed and reported (the harness scores the
   same criteria natively through ``harness.criteria``).
 
-Out of scope (documented in docs/PARITY.md): ``VisibilityAction`` — it
-raises NotImplementedError in the reference parser too
-(openscenario_parser.py:1021-1022) and has no kinematic meaning here —
-non-Polyline trajectory shapes (Clothoid/Nurbs), and non-arithmetic
-expression functions.
+- ``VisibilityAction`` — another EXTENSION beyond the reference (which
+  raises, openscenario_parser.py:1021-1022), with CARLA actor-visibility
+  semantics: ``sensors=false`` removes the actor from the ego's lidar/radar
+  synthesis, ``graphics=false`` from the camera/birdview render,
+  ``traffic=false`` from other participants' obstacle awareness; physics
+  (and thus collision scoring) always stays on.
+
+Out of scope (documented in docs/PARITY.md): Nurbs trajectory shapes and
+non-arithmetic expression functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -128,7 +133,7 @@ class XoscCondition:
 @dataclass
 class XoscAction:
     # 'speed' | 'lane_change' | 'teleport' | 'acquire' | 'controller'
-    # | 'activate' | 'route' | 'trajectory' | 'sync'
+    # | 'activate' | 'route' | 'trajectory' | 'sync' | 'visibility'
     kind: str
     target_speed: Optional[float] = None
     relative_to: str = ""            # entity name for relative target speed
@@ -148,6 +153,8 @@ class XoscAction:
     # 'sync': relative_to = master entity, (x, y) = master's target position,
     # waypoints[0] = own target position, target_speed/speed_delta = FinalSpeed
     final_relative: bool = False     # FinalSpeed is RelativeSpeedToMaster
+    # 'visibility': (graphics, traffic, sensors) flags
+    visibility: Tuple[bool, bool, bool] = (True, True, True)
 
 
 # OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
@@ -339,6 +346,71 @@ def _parse_route_action(routing: ET.Element, params: Dict[str, str],
     return XoscAction("route", waypoints=tuple(waypoints))
 
 
+def _parse_clothoid(clothoid: ET.Element, follow: ET.Element,
+                    params: Dict[str, str],
+                    entities: Dict[str, EntitySpec]) -> XoscAction:
+    """Clothoid trajectory shape -> 'trajectory' XoscAction (EXTENSION —
+    the reference raises on every FollowTrajectoryAction).
+
+    OSC 1.0 Clothoid: start ``Position`` (pose incl. heading), ``curvature``
+    κ0, ``curvatureDot`` dκ/ds (OSC 1.1 calls it ``curvaturePrime``),
+    ``length``; heading along the spiral is the analytic
+    θ(s) = h + κ0·s + ½·(dκ/ds)·s², positions integrate cos/sin θ
+    (trapezoid at 0.5 m steps — the same discretization the native
+    vectorizer uses for OpenDRIVE spirals, rough_map_node.cpp). With
+    ``startTime``/``stopTime`` the arc is replayed on a uniform time grid
+    (constant speed along s, the spec's natural parameterization);
+    otherwise the sampled points degrade to controller waypoints like an
+    untimed Polyline. ``TimeReference/None`` forces untimed; ``Timing``
+    scale/offset apply to the schedule."""
+    pos = clothoid.find("Position")
+    if pos is None:
+        raise ValueError("Clothoid needs a start Position")
+    x0, y0, yaw = _parse_position(pos, params, entities)
+    h = 0.0 if yaw is None else float(yaw)
+    c0 = _f(clothoid, "curvature", params, 0.0)
+    cdot = _f(clothoid, "curvatureDot", params,
+              _f(clothoid, "curvaturePrime", params, 0.0))
+    length = _f(clothoid, "length", params)
+    if length <= 0:
+        raise ValueError("Clothoid needs a positive length")
+    # step count: 0.5 m spacing, refined so no step turns more than
+    # ~0.02 rad (total heading change κ0·L + ½κ'·L²) — keeps the trapezoid
+    # integral within ~1 cm of the analytic spiral even at tight ends
+    turn = abs(c0) * length + 0.5 * abs(cdot) * length * length
+    n = int(np.clip(max(math.ceil(length / 0.5), math.ceil(turn / 0.02)),
+                    8, 1000))
+    s = np.linspace(0.0, length, n + 1)
+    theta = h + c0 * s + 0.5 * cdot * s * s
+    dx = np.cos(theta)
+    dy = np.sin(theta)
+    ds = s[1] - s[0]
+    # trapezoid cumulative integral, anchored at the start pose
+    xs = x0 + np.concatenate([[0.0], np.cumsum((dx[1:] + dx[:-1]) * ds / 2)])
+    ys = y0 + np.concatenate([[0.0], np.cumsum((dy[1:] + dy[:-1]) * ds / 2)])
+    pts = tuple(zip(xs.tolist(), ys.tolist()))
+
+    raw0 = _resolve(clothoid.get("startTime"), params)
+    raw1 = _resolve(clothoid.get("stopTime"), params)
+    timed = raw0 not in (None, "") and raw1 not in (None, "")
+    t0, t1 = (float(raw0), float(raw1)) if timed else (0.0, 0.0)
+    if timed and t1 <= t0:
+        raise ValueError(f"Clothoid stopTime must exceed startTime "
+                         f"({t0} .. {t1})")
+    if follow.find(".//TimeReference/None") is not None:
+        timed = False
+    if not timed:
+        return XoscAction("trajectory", waypoints=pts)
+    scale, offset = 1.0, 0.0
+    timing = follow.find(".//TimeReference/Timing")
+    if timing is not None:
+        scale = _f(timing, "scale", params, 1.0)
+        offset = _f(timing, "offset", params, 0.0)
+    schedule = tuple(offset + scale * t
+                     for t in np.linspace(t0, t1, n + 1).tolist())
+    return XoscAction("trajectory", waypoints=pts, times=schedule)
+
+
 def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
                              entities: Dict[str, EntitySpec],
                              catalogs: Dict[str, Dict[str, ET.Element]]
@@ -346,13 +418,13 @@ def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
     """FollowTrajectoryAction -> 'trajectory' XoscAction.
 
     EXTENSION beyond the reference (srunner raises NotImplementedError —
-    openscenario_parser.py:1043-1044). Subset: a Polyline shape from an
-    inline ``Trajectory``, an OSC 1.1 ``TrajectoryRef``, or a Trajectory
-    ``CatalogReference``. With a ``TimeReference/Timing`` (and per-vertex
-    ``time`` attributes) the schedule is replayed exactly, ``scale``/
-    ``offset`` applied per the spec; with ``TimeReference/None`` or untimed
-    vertices the polyline degrades to controller waypoint following.
-    Clothoid/Nurbs shapes raise, like every other out-of-subset construct.
+    openscenario_parser.py:1043-1044). Subset: a Polyline or Clothoid shape
+    from an inline ``Trajectory``, an OSC 1.1 ``TrajectoryRef``, or a
+    Trajectory ``CatalogReference``. With a ``TimeReference/Timing`` (and
+    per-vertex ``time`` attributes) the schedule is replayed exactly,
+    ``scale``/``offset`` applied per the spec; with ``TimeReference/None``
+    or untimed vertices the polyline degrades to controller waypoint
+    following. Nurbs shapes raise, like every other out-of-subset construct.
     """
     traj = follow.find("Trajectory")
     if traj is None:
@@ -365,11 +437,15 @@ def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
         raise ValueError(
             "FollowTrajectoryAction without Trajectory or CatalogReference")
     shape = traj.find("Shape")
+    clothoid = shape.find("Clothoid") if shape is not None else None
+    if clothoid is not None:
+        return _parse_clothoid(clothoid, follow, params, entities)
     poly = shape.find("Polyline") if shape is not None else None
     if poly is None:
         kinds = [c.tag for c in shape] if shape is not None else []
         raise NotImplementedError(
-            f"only Polyline trajectory shapes are supported (got {kinds})")
+            f"only Polyline and Clothoid trajectory shapes are supported "
+            f"(got {kinds})")
     pts: List[Tuple[float, float]] = []
     times: List[Optional[float]] = []
     for vertex in poly.findall("Vertex"):
@@ -466,10 +542,18 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
     if activate is not None:
         longitudinal = str(activate.get("longitudinal", "true")).lower()
         return XoscAction("activate", active=longitudinal in _TRUTHY)
-    if act.find("VisibilityAction") is not None:
-        raise NotImplementedError(
-            "Visibility actions are not supported (the reference raises "
-            "the same — openscenario_parser.py:1021-1022)")
+    vis = act.find("VisibilityAction")
+    if vis is not None:
+        # EXTENSION beyond the reference (srunner raises NotImplementedError
+        # — openscenario_parser.py:1021-1022). CARLA actor-visibility
+        # semantics: graphics = rendering (our birdview camera), sensors =
+        # ego sensor returns (lidar/radar synthesis), traffic = other
+        # participants' obstacle awareness. Physics/collisions stay on.
+        def flag(attr):
+            return str(_resolve(vis.get(attr, "true"), params)).lower() \
+                in _TRUTHY
+        return XoscAction("visibility", visibility=(
+            flag("graphics"), flag("traffic"), flag("sensors")))
     sync = act.find("SynchronizeAction")
     if sync is not None:
         return _parse_synchronize(sync, params, entities)
@@ -856,6 +940,9 @@ class _ScriptedActor:
             d = np.array([action.x, action.y]) - self.actor.position
             if np.linalg.norm(d) > 1e-6:
                 self.actor.yaw = math.atan2(d[1], d[0])
+        elif action.kind == "visibility":
+            (self.actor.visible_graphics, self.actor.visible_traffic,
+             self.actor.visible_sensors) = action.visibility
 
     def step(self, dt: float,
              obstacles: Sequence[Obstacle] = ()) -> None:
@@ -1061,7 +1148,8 @@ class OpenScenarioManager:
         # sees all dynamic actors — simple_vehicle_control.py:90-100)
         poses = {name: Obstacle(s.actor.position, s.actor.velocity,
                                 extent=s.actor.extent)
-                 for name, s in self.scripted.items()}
+                 for name, s in self.scripted.items()
+                 if s.actor.visible_traffic}  # VisibilityAction traffic=false
         poses[self.hero_name] = Obstacle(ego_xy, ego_vel)
         for name, scripted in self.scripted.items():
             scripted.step(dt, [o for n, o in poses.items() if n != name])

@@ -112,6 +112,8 @@ class KinematicWorld:
         ground[:, 3] = rng.uniform(0.2, 0.6, n_ground)         # intensity
         chunks = [ground]
         for a in self.actors:
+            if not a.visible_sensors:     # VisibilityAction sensors=false
+                continue
             lat, fwd = self._ego_frame(a.position)
             if math.hypot(lat, fwd) > self.LIDAR_RANGE:
                 continue
@@ -141,6 +143,8 @@ class KinematicWorld:
         side = np.array([math.sin(face_yaw), -math.cos(face_yaw)])
         ego_vel = self.v * np.array([math.cos(self.yaw), math.sin(self.yaw)])
         for a in self.actors:
+            if not a.visible_sensors:     # VisibilityAction sensors=false
+                continue
             rel = np.asarray(a.position, dtype=np.float64) \
                 - np.array([self.x, self.y])
             depth = float(np.linalg.norm(rel))
@@ -170,8 +174,9 @@ class KinematicWorld:
                 return (float(a.position[0]), float(a.position[1]),
                         float(a.yaw), 2 * float(a.extent), 1.4 * float(a.extent))
 
-            boxes = [box(a) for a in self.actors if a.kind != "walker"]
-            walker_boxes = [box(a) for a in self.actors if a.kind == "walker"]
+            drawn = [a for a in self.actors if a.visible_graphics]
+            boxes = [box(a) for a in drawn if a.kind != "walker"]
+            walker_boxes = [box(a) for a in drawn if a.kind == "walker"]
             raster = BirdViewProducer.as_rgb(
                 self.camera_birdview.produce([self.x, self.y, self.yaw],
                                              actors=boxes, lights=lights,
@@ -329,9 +334,13 @@ class ClosedLoopRunner:
         for _ in range(max_ticks):
             scenario_actors = scenario_mgr.tick(np.array([world.x, world.y]), DT)
             if background is not None:
+                # VisibilityAction traffic=false hides an actor from other
+                # participants' obstacle awareness (physics stays on)
                 scenario_actors = scenario_actors + background.tick(
                     np.array([world.x, world.y]), world.v, DT,
-                    game_time=game_time, other_actors=scenario_actors)
+                    game_time=game_time,
+                    other_actors=[a for a in scenario_actors
+                                  if a.visible_traffic])
             world.actors = scenario_actors   # sensors reflect the live actors
             frame = world.sensor_frame()
             # privileged channel: ground-truth ego + scenario actors, consumed

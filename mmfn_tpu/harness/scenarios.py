@@ -138,6 +138,13 @@ class ScenarioActor:
     yaw: float = 0.0
     extent: float = 1.0
     actor_id: int = 0
+    # OpenSCENARIO VisibilityAction state (CARLA actor-visibility semantics:
+    # physics/collisions always stay on). sensors: ego sensor synthesis;
+    # graphics: camera/birdview rendering; traffic: other participants'
+    # obstacle awareness.
+    visible_sensors: bool = True
+    visible_graphics: bool = True
+    visible_traffic: bool = True
 
     def step(self, dt: float) -> None:
         self.position = self.position + self.velocity * dt

@@ -534,13 +534,26 @@ def test_xosc_osc11_activate_nested_in_controller_action(tmp_path):
     assert acts[0].active is False
 
 
-def test_xosc_unsupported_private_actions_raise(tmp_path):
+def test_xosc_visibility_action(tmp_path):
+    """VisibilityAction (extension — the reference raises,
+    openscenario_parser.py:1021-1022) parses its three flags and flips the
+    actor's visibility state when the event fires; defaults restore to
+    fully visible."""
     xosc = _story_event_xosc("""
-          <Action name="x"><PrivateAction>
-            <VisibilityAction/>
+          <Action name="hide"><PrivateAction>
+            <VisibilityAction graphics="false" traffic="true" sensors="false"/>
           </PrivateAction></Action>""")
-    with pytest.raises(NotImplementedError, match="Visibility"):
-        parse_xosc(_write(tmp_path, xosc))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "visibility"
+    assert action.visibility == (False, True, False)
+
+    mgr = OpenScenarioManager(cfg)
+    actors = mgr.tick(np.array([0.0, 0.0]), DT)  # empty StartTrigger -> fires
+    adversary = actors[0]
+    assert adversary.visible_graphics is False
+    assert adversary.visible_sensors is False
+    assert adversary.visible_traffic is True
 
 
 def test_xosc_synchronize_without_targets_raises(tmp_path):

@@ -185,12 +185,14 @@ def test_phase0_openscenario_controller_cli(tmp_path):
 @pytest.mark.parametrize("xosc,tag", [
     ("trajectory_lead_pulls_off.xosc", "traj"),
     ("synchronize_crossing.xosc", "sync"),
+    ("clothoid_pull_off_ghost.xosc", "clo"),
 ])
 def test_phase0_openscenario_extension_cli(tmp_path, xosc, tag):
-    """phase0 runs the two shipped episodes built on constructs the
-    reference's parser refuses (FollowTrajectoryAction / SynchronizeAction,
-    openscenario_parser.py:1043-1044 / 1023-1024): the story actor clears or
-    times itself around the ego's path and the expert completes cleanly."""
+    """phase0 runs the shipped episodes built on constructs the reference's
+    parser refuses (FollowTrajectoryAction Polyline/Clothoid, Synchronize-
+    Action, VisibilityAction — openscenario_parser.py:1043-1044 / 1023-1024 /
+    1021-1022): the story actor clears or times itself around the ego's path
+    and the expert completes cleanly."""
     cfg = {
         "routes": os.path.join(ROOT, "data", "scenarios", xosc),
         "repetitions": 1, "resume": False,

@@ -314,3 +314,25 @@ def test_sensors_reflect_actors():
     frame = world.sensor_frame()
     assert (np.abs(frame["radar_rear"][1][:, 3] - 12.0) < 0.5).any()
     assert not (np.abs(frame["radar_front"][1][:, 3] - 12.0) < 0.5).any()
+
+
+def test_visibility_flags_gate_sensor_synthesis():
+    """VisibilityAction semantics in the fake world: ``sensors=false``
+    removes an actor from the lidar/radar returns, but physics stays on —
+    the collision check still sees it (CARLA hides rendering/sensing, never
+    collision)."""
+    from mmfn_tpu.harness.replay import KinematicWorld
+    from mmfn_tpu.harness.scenarios import ScenarioActor, check_collision
+
+    world = KinematicWorld(STRAIGHT_XODR, (0.0, 0.0, 0.0))
+    world.v = 5.0
+    ghost = ScenarioActor("vehicle", np.array([10.0, 0.0]), np.zeros(2),
+                          extent=2.2, actor_id=9, visible_sensors=False)
+    world.actors = [ghost]
+    frame = world.sensor_frame()
+    lidar = frame["lidar"][1]
+    assert (lidar[:, 2] <= -2.0).all()        # ground returns only
+    radar = frame["radar_front"][1]
+    assert not (np.abs(radar[:, 3] - 10.0) < 0.5).any()
+    # ... but it still collides: drive the ego onto it
+    assert check_collision(np.array([9.0, 0.0]), 0.0, [ghost])

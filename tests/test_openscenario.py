@@ -647,13 +647,74 @@ def test_follow_trajectory_untimed_uses_controller(tmp_path):
     assert abs(np.linalg.norm(mover.velocity) - 6.0) < 1e-6
 
 
-def test_follow_trajectory_clothoid_raises(tmp_path):
-    xosc = _trajectory_xosc("<None/>", "").replace(
+def _clothoid_xosc(clothoid: str, time_reference: str = "") -> str:
+    return _trajectory_xosc(time_reference, "").replace(
         "<Shape><Polyline>\n\n                      </Polyline></Shape>",
-        '<Shape><Clothoid curvature="0.1" length="30"/></Shape>')
-    p = tmp_path / "clothoid.xosc"
-    p.write_text(xosc)
-    with pytest.raises(NotImplementedError, match="Polyline"):
+        f"<Shape>{clothoid}</Shape>")
+
+
+def test_follow_trajectory_clothoid_circle(tmp_path):
+    """A constant-curvature Clothoid is a circular arc: κ=0.1 (R=10 m) over
+    a quarter circle (length πR/2) from (10,0) heading +x must end at
+    (20, 10) heading +y; with startTime/stopTime it replays on a uniform
+    schedule (constant speed along the arc). Extension — the reference
+    raises on every FollowTrajectoryAction (openscenario_parser.py:1043)."""
+    length = math.pi * 10.0 / 2.0
+    p = tmp_path / "clothoid_circle.xosc"
+    p.write_text(_clothoid_xosc(
+        f'<Clothoid curvature="0.1" curvatureDot="0" length="{length}" '
+        f'startTime="0" stopTime="4">'
+        f'<Position><WorldPosition x="10" y="0" h="0"/></Position>'
+        f'</Clothoid>'))
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "trajectory"
+    assert action.times[0] == 0.0 and abs(action.times[-1] - 4.0) < 1e-9
+    mgr = OpenScenarioManager(cfg)
+    dt, ego = 0.05, np.array([0.0, -50.0])
+    speeds = []
+    for _ in range(40):                                   # t = 2.0: halfway
+        actors = mgr.tick(ego, dt)
+        speeds.append(float(np.linalg.norm(actors[0].velocity)))
+    mover = actors[0]
+    # halfway around the quarter arc: 45 deg -> (10 + R sin45, R(1-cos45))
+    assert np.allclose(mover.position,
+                       [10 + 10 * math.sin(math.pi / 4),
+                        10 * (1 - math.cos(math.pi / 4))], atol=0.05)
+    # constant pace = length / 4 s
+    assert abs(speeds[-1] - length / 4.0) < 0.1
+    for _ in range(50):                                   # past the end
+        actors = mgr.tick(ego, dt)
+    mover = actors[0]
+    assert np.allclose(mover.position, [20.0, 10.0], atol=0.05)
+    assert abs(mover.yaw - math.pi / 2) < 0.05            # heading +y
+
+
+def test_follow_trajectory_clothoid_untimed_spiral(tmp_path):
+    """An untimed Clothoid degrades to controller waypoints (like an untimed
+    Polyline); the sampled points match an independent fine integration of
+    the spiral heading θ(s) = κ0·s + ½κ'·s²."""
+    p = tmp_path / "clothoid_spiral.xosc"
+    p.write_text(_clothoid_xosc(
+        '<Clothoid curvature="0" curvatureDot="0.01" length="40">'
+        '<Position><WorldPosition x="10" y="0" h="0"/></Position>'
+        '</Clothoid>'))
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "trajectory" and action.times == ()
+    # independent check: integrate at 1 mm steps
+    s = np.arange(0, 40.0, 0.001)
+    theta = 0.5 * 0.01 * s * s
+    end = np.array([10 + np.sum(np.cos(theta)) * 0.001,
+                    np.sum(np.sin(theta)) * 0.001])
+    assert np.linalg.norm(np.asarray(action.waypoints[-1]) - end) < 0.02
+    assert np.allclose(action.waypoints[0], [10.0, 0.0], atol=1e-9)
+
+
+def test_follow_trajectory_nurbs_raises(tmp_path):
+    p = tmp_path / "nurbs.xosc"
+    p.write_text(_clothoid_xosc('<Nurbs order="3"/>'))
+    with pytest.raises(NotImplementedError, match="Polyline and Clothoid"):
         parse_xosc(str(p))
 
 
