@@ -40,14 +40,16 @@ Supported subset (OpenSCENARIO 1.0):
 - ``RoutingAction/AssignRouteAction`` with an inline ``Route`` or a Route
   ``CatalogReference`` (waypoint list fed to the actor's controller —
   ChangeActorWaypoints semantics, openscenario_parser.py:1037-1042);
-- ``RoutingAction/FollowTrajectoryAction`` with a Polyline or Clothoid
-  shape (inline ``Trajectory`` or a Trajectory ``CatalogReference``) — an
-  EXTENSION beyond the reference, which raises NotImplementedError on it
-  (openscenario_parser.py:1043-1044): a ``TimeReference/Timing`` replays
-  the vertex schedule exactly (scale/offset honored); ``TimeReference``
-  ``None`` (or untimed vertices) degrades to waypoint following through
-  the actor's controller at its current target speed; Clothoids integrate
-  the analytic spiral heading and time along ``startTime``/``stopTime``;
+- ``RoutingAction/FollowTrajectoryAction`` with any OSC shape — Polyline,
+  Clothoid, or Nurbs (inline ``Trajectory`` or a Trajectory
+  ``CatalogReference``) — an EXTENSION beyond the reference, which raises
+  NotImplementedError on it (openscenario_parser.py:1043-1044): a
+  ``TimeReference/Timing`` replays the vertex schedule exactly
+  (scale/offset honored); ``TimeReference`` ``None`` (or untimed vertices)
+  degrades to waypoint following through the actor's controller at its
+  current target speed; Clothoids integrate the analytic spiral heading
+  and time along ``startTime``/``stopTime``; Nurbs evaluate the rational
+  Cox-de Boor curve with control-point weights and times;
 - ``SynchronizeAction`` — also an EXTENSION beyond the reference (which
   raises, openscenario_parser.py:1023-1024): the actor continuously
   retargets its speed so it reaches ``TargetPosition`` at the same moment
@@ -65,8 +67,8 @@ Supported subset (OpenSCENARIO 1.0):
   ``traffic=false`` from other participants' obstacle awareness; physics
   (and thus collision scoring) always stays on.
 
-Out of scope (documented in docs/PARITY.md): Nurbs trajectory shapes and
-non-arithmetic expression functions.
+Out of scope (documented in docs/PARITY.md): non-arithmetic expression
+functions.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -411,6 +413,99 @@ def _parse_clothoid(clothoid: ET.Element, follow: ET.Element,
     return XoscAction("trajectory", waypoints=pts, times=schedule)
 
 
+def _nurbs_basis(knots: np.ndarray, order: int, u: np.ndarray) -> np.ndarray:
+    """Cox-de Boor basis functions N_{i,p}(u) for every control point.
+
+    Returns [len(u), n_ctrl]. Degree p = order-1; the 0/0 convention is 0.
+    Clamped evaluation: u == last domain knot is attributed to the final
+    span so the curve endpoint is reproduced exactly."""
+    p = order - 1
+    n_ctrl = len(knots) - order
+    # zeroth degree: indicator of the knot span (half-open, last span closed)
+    N = np.zeros((len(u), len(knots) - 1))
+    for i in range(len(knots) - 1):
+        if knots[i + 1] > knots[i]:
+            inside = (u >= knots[i]) & (u < knots[i + 1])
+            if knots[i + 1] >= knots[-order]:      # close the final span
+                inside = (u >= knots[i]) & (u <= knots[i + 1])
+            N[:, i] = inside
+    for d in range(1, p + 1):
+        nxt = np.zeros((len(u), N.shape[1] - 1))
+        for i in range(nxt.shape[1]):
+            left_den = knots[i + d] - knots[i]
+            right_den = knots[i + d + 1] - knots[i + 1]
+            term = np.zeros(len(u))
+            if left_den > 0:
+                term = (u - knots[i]) / left_den * N[:, i]
+            if right_den > 0:
+                term = term + (knots[i + d + 1] - u) / right_den * N[:, i + 1]
+            nxt[:, i] = term
+        N = nxt
+    return N[:, :n_ctrl]
+
+
+def _parse_nurbs(nurbs: ET.Element, follow: ET.Element,
+                 params: Dict[str, str],
+                 entities: Dict[str, EntitySpec]) -> XoscAction:
+    """Nurbs trajectory shape -> 'trajectory' XoscAction (EXTENSION — the
+    reference raises on every FollowTrajectoryAction).
+
+    OSC 1.0 Nurbs: ``order`` k (= degree+1), ``ControlPoint`` elements
+    (Position + optional ``weight``/``time``) and a clamped ``Knot`` vector
+    of len(ctrl)+order values. The rational curve
+    C(u) = Σ N_{i,p}(u)·w_i·P_i / Σ N_{i,p}(u)·w_i is sampled at 100 points
+    over the valid domain [u_{k-1}, u_{n+1}]; per the spec, control-point
+    ``time`` values interpolate through the same rational basis, producing
+    a timed replay schedule (``TimeReference/None`` forces untimed)."""
+    order = int(_f(nurbs, "order", params))
+    pts, weights, times = [], [], []
+    for cp in nurbs.findall("ControlPoint"):
+        pos = cp.find("Position")
+        if pos is None:
+            continue
+        x, y, _ = _parse_position(pos, params, entities)
+        pts.append((x, y))
+        weights.append(_f(cp, "weight", params, 1.0))
+        raw_t = _resolve(cp.get("time"), params)
+        times.append(float(raw_t) if raw_t not in (None, "") else None)
+    knots = np.array([_f(k, "value", params)
+                      for k in nurbs.findall("Knot")], dtype=np.float64)
+    if order < 2 or len(pts) < order:
+        raise ValueError(f"Nurbs needs order >= 2 and at least `order` "
+                         f"control points (order={order}, n={len(pts)})")
+    if len(knots) != len(pts) + order:
+        raise ValueError(f"Nurbs knot vector must have n_ctrl+order = "
+                         f"{len(pts) + order} values (got {len(knots)})")
+    if np.any(np.diff(knots) < 0):
+        raise ValueError("Nurbs knot vector must be non-decreasing")
+    u = np.linspace(knots[order - 1], knots[len(pts)], 100)
+    basis = _nurbs_basis(knots, order, u)            # [100, n_ctrl]
+    w = np.asarray(weights, dtype=np.float64)
+    bw = basis * w                                   # rational weighting
+    denom = bw.sum(axis=1, keepdims=True)
+    denom[denom == 0.0] = 1.0
+    xy = (bw @ np.asarray(pts, dtype=np.float64)) / denom
+    waypoints = tuple(map(tuple, xy.tolist()))
+
+    timed = all(t is not None for t in times) and len(times) > 0
+    if follow.find(".//TimeReference/None") is not None:
+        timed = False
+    if not timed:
+        return XoscAction("trajectory", waypoints=waypoints)
+    scale, offset = 1.0, 0.0
+    timing = follow.find(".//TimeReference/Timing")
+    if timing is not None:
+        scale = _f(timing, "scale", params, 1.0)
+        offset = _f(timing, "offset", params, 0.0)
+    sched = (bw @ np.asarray(times, dtype=np.float64)) / denom[:, 0]
+    sched = offset + scale * sched
+    if np.any(np.diff(sched) <= 0):
+        raise ValueError("Nurbs control-point times must produce a strictly "
+                         "increasing schedule")
+    return XoscAction("trajectory", waypoints=waypoints,
+                      times=tuple(sched.tolist()))
+
+
 def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
                              entities: Dict[str, EntitySpec],
                              catalogs: Dict[str, Dict[str, ET.Element]]
@@ -418,13 +513,13 @@ def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
     """FollowTrajectoryAction -> 'trajectory' XoscAction.
 
     EXTENSION beyond the reference (srunner raises NotImplementedError —
-    openscenario_parser.py:1043-1044). Subset: a Polyline or Clothoid shape
-    from an inline ``Trajectory``, an OSC 1.1 ``TrajectoryRef``, or a
-    Trajectory ``CatalogReference``. With a ``TimeReference/Timing`` (and
-    per-vertex ``time`` attributes) the schedule is replayed exactly,
-    ``scale``/``offset`` applied per the spec; with ``TimeReference/None``
-    or untimed vertices the polyline degrades to controller waypoint
-    following. Nurbs shapes raise, like every other out-of-subset construct.
+    openscenario_parser.py:1043-1044). All three OSC shapes — Polyline,
+    Clothoid, Nurbs — from an inline ``Trajectory``, an OSC 1.1
+    ``TrajectoryRef``, or a Trajectory ``CatalogReference``. With a
+    ``TimeReference/Timing`` (and per-vertex ``time`` attributes) the
+    schedule is replayed exactly, ``scale``/``offset`` applied per the
+    spec; with ``TimeReference/None`` or untimed vertices the polyline
+    degrades to controller waypoint following.
     """
     traj = follow.find("Trajectory")
     if traj is None:
@@ -440,11 +535,14 @@ def _parse_follow_trajectory(follow: ET.Element, params: Dict[str, str],
     clothoid = shape.find("Clothoid") if shape is not None else None
     if clothoid is not None:
         return _parse_clothoid(clothoid, follow, params, entities)
+    nurbs = shape.find("Nurbs") if shape is not None else None
+    if nurbs is not None:
+        return _parse_nurbs(nurbs, follow, params, entities)
     poly = shape.find("Polyline") if shape is not None else None
     if poly is None:
         kinds = [c.tag for c in shape] if shape is not None else []
-        raise NotImplementedError(
-            f"only Polyline and Clothoid trajectory shapes are supported "
+        raise ValueError(
+            f"Trajectory Shape needs Polyline, Clothoid, or Nurbs "
             f"(got {kinds})")
     pts: List[Tuple[float, float]] = []
     times: List[Optional[float]] = []

@@ -711,10 +711,51 @@ def test_follow_trajectory_clothoid_untimed_spiral(tmp_path):
     assert np.allclose(action.waypoints[0], [10.0, 0.0], atol=1e-9)
 
 
-def test_follow_trajectory_nurbs_raises(tmp_path):
+def test_follow_trajectory_nurbs_quarter_circle(tmp_path):
+    """A rational quadratic NURBS with weights (1, √2/2, 1) over a clamped
+    knot vector is an EXACT quarter circle — every sampled waypoint must sit
+    on the radius-10 circle about the origin to float precision, and the
+    control-point times must interpolate into a monotone schedule.
+    Extension — the reference raises on every FollowTrajectoryAction."""
+    w_mid = math.sqrt(2) / 2
     p = tmp_path / "nurbs.xosc"
-    p.write_text(_clothoid_xosc('<Nurbs order="3"/>'))
-    with pytest.raises(NotImplementedError, match="Polyline and Clothoid"):
+    p.write_text(_clothoid_xosc(f"""
+      <Nurbs order="3">
+        <ControlPoint time="0" weight="1">
+          <Position><WorldPosition x="10" y="0"/></Position>
+        </ControlPoint>
+        <ControlPoint time="2" weight="{w_mid}">
+          <Position><WorldPosition x="10" y="10"/></Position>
+        </ControlPoint>
+        <ControlPoint time="4" weight="1">
+          <Position><WorldPosition x="0" y="10"/></Position>
+        </ControlPoint>
+        <Knot value="0"/><Knot value="0"/><Knot value="0"/>
+        <Knot value="1"/><Knot value="1"/><Knot value="1"/>
+      </Nurbs>"""))
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "trajectory"
+    pts = np.asarray(action.waypoints)
+    radii = np.linalg.norm(pts, axis=1)
+    assert np.allclose(radii, 10.0, atol=1e-9)            # exact circle
+    assert np.allclose(pts[0], [10.0, 0.0], atol=1e-9)
+    assert np.allclose(pts[-1], [0.0, 10.0], atol=1e-9)
+    # times interpolate through the same rational basis: monotone 0 -> 4
+    assert action.times[0] == 0.0 and abs(action.times[-1] - 4.0) < 1e-9
+    assert np.all(np.diff(action.times) > 0)
+
+
+def test_follow_trajectory_nurbs_validates(tmp_path):
+    p = tmp_path / "nurbs_bad.xosc"
+    p.write_text(_clothoid_xosc("""
+      <Nurbs order="3">
+        <ControlPoint><Position><WorldPosition x="0" y="0"/></Position></ControlPoint>
+        <ControlPoint><Position><WorldPosition x="1" y="0"/></Position></ControlPoint>
+        <ControlPoint><Position><WorldPosition x="2" y="0"/></Position></ControlPoint>
+        <Knot value="0"/><Knot value="1"/>
+      </Nurbs>"""))
+    with pytest.raises(ValueError, match="knot vector"):
         parse_xosc(str(p))
 
 
