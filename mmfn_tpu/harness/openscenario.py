@@ -32,8 +32,11 @@ Supported subset (OpenSCENARIO 1.0):
   ``module`` Property selects a controller from
   ``harness.actor_controls.CONTROL_REGISTRY`` — the same module names
   srunner resolves (openscenario_parser.py:get_controller:340-376), incl.
-  via a Controller catalog; ``OverrideControllerValueAction`` with any
-  active override raises, exactly as the reference does (ibid.:371-374);
+  via a Controller catalog; ``OverrideControllerValueAction`` is another
+  EXTENSION (the reference raises on any active override, ibid.:371-374):
+  Throttle/Brake/ParkingBrake/SteeringWheel preempt the controller with
+  the ego's kinematic pedal model (Clutch/Gear ignored — no kinematic
+  meaning); an inactive override (``active="false"``) releases it;
 - ``ActivateControllerAction`` (autopilot on -> ``npc_vehicle_control``,
   off -> release + coast to stop; reference maps it to ChangeAutoPilot,
   openscenario_parser.py:1025-1028);
@@ -157,6 +160,9 @@ class XoscAction:
     final_relative: bool = False     # FinalSpeed is RelativeSpeedToMaster
     # 'visibility': (graphics, traffic, sensors) flags
     visibility: Tuple[bool, bool, bool] = (True, True, True)
+    # 'override' (or riding on 'controller'): pedal-level overrides,
+    # name -> value for activations, name -> None for deactivations
+    overrides: Dict[str, Optional[float]] = field(default_factory=dict)
 
 
 # OpenSCENARIO Trigger = OR over ConditionGroups, AND within a group
@@ -280,22 +286,28 @@ def _parse_controller_action(ctrl: ET.Element, params: Dict[str, str],
                              ) -> Optional[XoscAction]:
     """ControllerAction -> 'controller' XoscAction.
 
-    Mirrors ``openscenario_parser.get_controller`` (340-376): the Controller
-    element's Properties carry a ``module`` name plus free-form args, either
-    inline or through a Controller catalog; any *active* override in
-    OverrideControllerValueAction raises, exactly as the reference does
-    (ibid.:371-374)."""
-    # override scan first: an override-only ControllerAction is valid OSC,
-    # and an *active* override must raise whether or not a controller is
-    # also being assigned
+    Mirrors ``openscenario_parser.get_controller`` (340-376) for the
+    Controller element's Properties (``module`` name plus free-form args,
+    inline or through a Controller catalog). OverrideControllerValueAction
+    is an EXTENSION beyond the reference (which raises on any *active*
+    override, ibid.:371-374): Throttle/Brake/ParkingBrake/SteeringWheel
+    map onto the kinematic model (see ``_ScriptedActor.step``); Clutch and
+    Gear have no kinematic meaning here and are ignored."""
+    # override scan first: an override-only ControllerAction is valid OSC
+    overrides: Dict[str, Optional[float]] = {}
     override = ctrl.find("OverrideControllerValueAction")
     if override is not None:
         for child in override:
-            if str(child.get("active", "false")).lower() in _TRUTHY:
-                raise NotImplementedError(
-                    "Controller override actions are not supported "
-                    "(the reference raises the same — "
-                    "openscenario_parser.py:371-374)")
+            name = child.tag.lower()
+            if name in ("clutch", "gear"):
+                continue
+            if str(_resolve(child.get("active", "false"),
+                            params)).lower() in _TRUTHY:
+                overrides[name] = _f(child, "value", params, 0.0)
+            else:
+                overrides[name] = None          # deactivate
+    if ctrl.find(".//AssignControllerAction") is None and overrides:
+        return XoscAction("override", overrides=overrides)
     assign = ctrl.find(".//AssignControllerAction")
     if assign is None:
         # OSC 1.1 also nests ActivateControllerAction under ControllerAction
@@ -318,8 +330,10 @@ def _parse_controller_action(ctrl: ET.Element, params: Dict[str, str],
             else:
                 args[name] = value
     if not module:
-        return None
-    return XoscAction("controller", module=module, ctrl_args=args)
+        return XoscAction("override", overrides=overrides) if overrides \
+            else None
+    return XoscAction("controller", module=module, ctrl_args=args,
+                      overrides=overrides)
 
 
 def _parse_route_action(routing: ET.Element, params: Dict[str, str],
@@ -953,6 +967,9 @@ class _ScriptedActor:
         # active SynchronizeAction, retargeted every tick by the manager
         # (only the manager can see the master entity's live state)
         self._sync: Optional[XoscAction] = None
+        # active pedal overrides (OverrideControllerValueAction):
+        # name ('throttle'|'brake'|'parkingbrake'|'steeringwheel') -> value
+        self._overrides: Dict[str, float] = {}
         for action in spec.init_actions:
             self.apply(action, lambda name: None)
 
@@ -1041,6 +1058,12 @@ class _ScriptedActor:
         elif action.kind == "visibility":
             (self.actor.visible_graphics, self.actor.visible_traffic,
              self.actor.visible_sensors) = action.visibility
+        if action.kind in ("controller", "override"):
+            for name, value in action.overrides.items():
+                if value is None:
+                    self._overrides.pop(name, None)
+                else:
+                    self._overrides[name] = value
 
     def step(self, dt: float,
              obstacles: Sequence[Obstacle] = ()) -> None:
@@ -1065,6 +1088,31 @@ class _ScriptedActor:
                 self._traj = None
                 if self.controller is not None:
                     self.controller.update_target_speed(self.target_speed)
+            return
+        if self._overrides:
+            # pedal-level overrides preempt the controller/story motion
+            # (EXTENSION — the reference raises on active overrides,
+            # openscenario_parser.py:371-374). Kinematics mirror the ego's
+            # KinematicWorld: throttle*4 m/s^2, brake*8 m/s^2, bicycle-model
+            # yaw from the steering angle (interpreted as road-wheel angle,
+            # clipped to the same 35 deg), parking brake = immediate hold.
+            if self._overrides.get("parkingbrake", 0.0) > 0.0:
+                self.speed = 0.0
+            else:
+                accel = (self._overrides.get("throttle", 0.0) * 4.0
+                         - self._overrides.get("brake", 0.0) * 8.0)
+                self.speed = float(np.clip(self.speed + accel * dt, 0.0,
+                                           30.0))
+            steer = self._overrides.get("steeringwheel")
+            if steer is not None and self.speed > 0.0:
+                steer = float(np.clip(steer, -math.radians(35.0),
+                                      math.radians(35.0)))
+                self.actor.yaw += (self.speed / 2.9) * math.tan(steer) * dt
+            heading = np.array([math.cos(self.actor.yaw),
+                                math.sin(self.actor.yaw)])
+            vel = heading * self.speed
+            self.actor.velocity = vel
+            self.actor.position = self.actor.position + vel * dt
             return
         if self.controller is not None:
             out = self.controller.run_step(

@@ -261,11 +261,22 @@ def test_xosc_external_control_leaves_default_motion(tmp_path):
     assert scripted.actor.position[0] > 20.0
 
 
-def test_xosc_active_controller_override_raises(tmp_path):
+def test_xosc_active_controller_override_preempts_controller(tmp_path):
+    """An active override riding on an AssignControllerAction (EXTENSION —
+    the reference raises here, openscenario_parser.py:371-374) preempts the
+    controller: with an active zero-value brake pedal the assigned route
+    and story speed never move the actor."""
     path = _write(tmp_path, _CONTROLLER_XOSC.format(
         module="npc_vehicle_control", override_active="true"))
-    with pytest.raises(NotImplementedError, match="override"):
-        parse_xosc(path)
+    cfg = parse_xosc(path)
+    action = cfg.entities["adversary"].init_actions[0]
+    assert action.kind == "controller"
+    assert action.overrides == {"throttle": None, "brake": 0.0}
+    mgr = OpenScenarioManager(cfg)
+    scripted = mgr.scripted["adversary"]
+    assert isinstance(scripted.controller, NpcVehicleControl)
+    _tick_many(mgr, 100)
+    assert float(np.linalg.norm(scripted.actor.position)) < 1e-9
 
 
 def test_xosc_follow_trajectory_without_trajectory_raises(tmp_path):
@@ -504,19 +515,128 @@ def _story_event_xosc(event_actions: str) -> str:
 """
 
 
-def test_xosc_override_only_controller_action_raises(tmp_path):
-    """An active override must raise even with no AssignControllerAction
-    beside it (openscenario_parser.py:371-374 scans overrides first)."""
-    xosc = _story_event_xosc("""
-          <Action name="o"><PrivateAction>
-            <ControllerAction>
-              <OverrideControllerValueAction>
-                <Brake value="1" active="true"/>
-              </OverrideControllerValueAction>
-            </ControllerAction>
-          </PrivateAction></Action>""")
-    with pytest.raises(NotImplementedError, match="override"):
-        parse_xosc(_write(tmp_path, xosc))
+_OVERRIDE_XOSC = _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="0" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+          <PrivateAction>
+            <LongitudinalAction><SpeedAction>
+              <SpeedActionDynamics dynamicsShape="step"/>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="8"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="slam" priority="overwrite">
+            <Action name="slam"><PrivateAction>
+              <ControllerAction>
+                <OverrideControllerValueAction>
+                  <Throttle value="0" active="false"/>
+                  <Brake value="1" active="true"/>
+                  <Clutch value="0" active="false"/>
+                  <ParkingBrake value="0" active="false"/>
+                  <SteeringWheel value="0" active="false"/>
+                  <Gear number="0" active="false"/>
+                </OverrideControllerValueAction>
+              </ControllerAction>
+            </PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="t1" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <SimulationTimeCondition value="1" rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="release" priority="overwrite">
+            <Action name="release"><PrivateAction>
+              <ControllerAction>
+                <OverrideControllerValueAction>
+                  <Brake value="0" active="false"/>
+                </OverrideControllerValueAction>
+              </ControllerAction>
+            </PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="t2" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <SimulationTimeCondition value="4" rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_xosc_override_brake_and_release(tmp_path):
+    """OverrideControllerValueAction (EXTENSION — the reference raises on
+    any active override, openscenario_parser.py:371-374): a full brake
+    override preempts the story speed (8 m/s -> 0 at 8 m/s^2), and an
+    ``active="false"`` override releases it so the story target resumes."""
+    cfg = parse_xosc(_write(tmp_path, _OVERRIDE_XOSC))
+    slam = cfg.events[0].actions[0]
+    assert slam.kind == "override"
+    assert slam.overrides == {"throttle": None, "brake": 1.0,
+                              "parkingbrake": None, "steeringwheel": None}
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, -50.0])
+    for _ in range(18):                         # t = 0.9: cruising at 8
+        actors = mgr.tick(ego, DT)
+    assert abs(np.linalg.norm(actors[0].velocity) - 8.0) < 1e-6
+    for _ in range(42):                         # t = 3.0: braked ~2 s at 8
+        actors = mgr.tick(ego, DT)
+    assert np.linalg.norm(actors[0].velocity) == 0.0
+    x_stopped = actors[0].position[0]
+    for _ in range(60):                         # t = 6.0: released at t=4
+        actors = mgr.tick(ego, DT)
+    assert abs(np.linalg.norm(actors[0].velocity) - 8.0) < 1e-6
+    assert actors[0].position[0] > x_stopped + 5.0
+
+
+def test_xosc_override_throttle_steering_curves(tmp_path):
+    """Throttle + SteeringWheel overrides drive the bicycle model: the
+    actor accelerates from rest and carves a curve (yaw grows with
+    traveled distance / 2.9 m wheelbase * tan(steer))."""
+    xosc = _OVERRIDE_XOSC.replace(
+        '<AbsoluteTargetSpeed value="8"/>', '<AbsoluteTargetSpeed value="0"/>'
+    ).replace(
+        '<Throttle value="0" active="false"/>',
+        '<Throttle value="0.5" active="true"/>'
+    ).replace(
+        '<Brake value="1" active="true"/>', '<Brake value="0" active="false"/>'
+    ).replace(
+        '<SteeringWheel value="0" active="false"/>',
+        '<SteeringWheel value="0.2" active="true"/>')
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].actions[0].overrides["throttle"] == 0.5
+    assert cfg.events[0].actions[0].overrides["steeringwheel"] == 0.2
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, -50.0])
+    for _ in range(60):                         # t = 3.0 (fires at t=1)
+        actors = mgr.tick(ego, DT)
+    a = actors[0]
+    speed = float(np.linalg.norm(a.velocity))
+    assert abs(speed - 0.5 * 4.0 * 2.0) < 0.2   # ~2 s at 2 m/s^2
+    assert a.yaw > 0.2                          # turned left
+    assert a.position[1] > 0.5                  # curved off the +x axis
 
 
 def test_xosc_osc11_activate_nested_in_controller_action(tmp_path):
