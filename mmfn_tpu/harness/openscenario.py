@@ -70,8 +70,9 @@ Supported subset (OpenSCENARIO 1.0):
   ``traffic=false`` from other participants' obstacle awareness; physics
   (and thus collision scoring) always stays on.
 
-Out of scope (documented in docs/PARITY.md): non-arithmetic expression
-functions.
+Expressions cover the full OSC 1.1 spec 10.8 surface: arithmetic
+operators plus the five defined functions (round/floor/ceil/sqrt/pow,
+round-half-up); anything else in an expression is a hard parse error.
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -203,12 +204,24 @@ class OpenScenarioConfig:
 _PARAM_TOKEN = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)")
 _ALLOWED_EXPR_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
                        ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod,
-                       ast.FloorDiv, ast.Pow, ast.USub, ast.UAdd)
+                       ast.FloorDiv, ast.Pow, ast.USub, ast.UAdd,
+                       ast.Call, ast.Name, ast.Load)
+
+# the functions OSC 1.1 spec 10.8 defines for expressions (round is the
+# spec's round-half-up, not banker's rounding)
+_EXPR_FUNCS = {
+    "round": lambda x: math.floor(x + 0.5),
+    "floor": math.floor,
+    "ceil": math.ceil,
+    "sqrt": math.sqrt,
+    "pow": lambda x, y: x ** y,
+}
 
 
 def _eval_expr(expr: str, params: Dict[str, str]) -> str:
     """OpenSCENARIO 1.1 ``${...}`` expression: arithmetic over numbers and
-    ``$parameter`` references (openscenario spec 10.8; srunner resolves the
+    ``$parameter`` references, plus the spec's five math functions
+    round/floor/ceil/sqrt/pow (openscenario spec 10.8; srunner resolves the
     same via its ParameterRef machinery)."""
     text = _PARAM_TOKEN.sub(lambda m: str(params.get(m.group(1), "0")), expr)
     tree = ast.parse(text, mode="eval")
@@ -218,7 +231,15 @@ def _eval_expr(expr: str, params: Dict[str, str]) -> str:
                              f"{type(node).__name__} in ${{{expr}}}")
         if isinstance(node, ast.Constant) and not isinstance(node.value, (int, float)):
             raise ValueError(f"non-numeric constant in ${{{expr}}}")
-    val = eval(compile(tree, "<xosc-expr>", "eval"))  # safe: whitelisted nodes
+        if isinstance(node, ast.Call) and not (
+                isinstance(node.func, ast.Name)
+                and node.func.id in _EXPR_FUNCS and not node.keywords):
+            raise ValueError(f"unsupported function call in ${{{expr}}} "
+                             f"(spec 10.8 defines {sorted(_EXPR_FUNCS)})")
+        if isinstance(node, ast.Name) and node.id not in _EXPR_FUNCS:
+            raise ValueError(f"unknown name '{node.id}' in ${{{expr}}}")
+    val = eval(compile(tree, "<xosc-expr>", "eval"),  # safe: whitelisted
+               {"__builtins__": {}}, dict(_EXPR_FUNCS))
     if isinstance(val, float) and val.is_integer():
         return str(int(val))
     return str(val)

@@ -487,10 +487,21 @@ def test_expression_rejects_non_arithmetic(tmp_path):
 
     assert _eval_expr("2 + 3 * 4", {}) == "14"
     assert _eval_expr("$a / 2", {"a": "9"}) == "4.5"
+    # the five OSC 1.1 spec 10.8 functions (round is round-half-up)
+    assert _eval_expr("round(2.5)", {}) == "3"
+    assert _eval_expr("round(-2.5)", {}) == "-2"
+    assert _eval_expr("floor($a / 2)", {"a": "9"}) == "4"
+    assert _eval_expr("ceil(4.01)", {}) == "5"
+    assert _eval_expr("sqrt(2) * sqrt(2)", {}) == "2.0000000000000004"
+    assert _eval_expr("pow($a, 2)", {"a": "3"}) == "9"
     with pytest.raises(ValueError):
         _eval_expr("__import__('os')", {})
     with pytest.raises(ValueError):
         _eval_expr("'str'", {})
+    with pytest.raises(ValueError):
+        _eval_expr("pow(2, exp=3)", {})
+    with pytest.raises(ValueError):
+        _eval_expr("undefined_name", {})
 
 
 def _trajectory_xosc(time_reference: str, vertices: str) -> str:
