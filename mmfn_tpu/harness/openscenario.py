@@ -74,6 +74,12 @@ Expressions cover the full OSC 1.1 spec 10.8 surface: arithmetic
 operators plus the five defined functions (round/floor/ceil/sqrt/pow,
 round-half-up); anything else in an expression is a hard parse error.
 
+Positions: ``WorldPosition``, ``RelativeWorldPosition``, and — when
+``parse_xosc(..., rough_map=...)`` is given a vectorized map —
+``LanePosition`` (roadId/laneId/s/offset resolved through the native
+vectorizer's rmap v3 id/arclength columns, with relative or absolute
+``Orientation``; srunner resolves the same through the CARLA map API).
+
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
 ``h`` headings are radians; positive relative lane values shift left
@@ -261,9 +267,17 @@ def _f(node: ET.Element, attr: str, params: Dict[str, str],
     return float(raw) if raw not in (None, "") else default
 
 
+# parse-time map context for LanePosition resolution: set by parse_xosc
+# (try/finally) when a vectorized map is supplied. Parsing happens once at
+# CLI startup on one thread, so a module-level context keeps the ten
+# _parse_position call sites signature-stable.
+_PARSE_RMAP = None
+
+
 def _parse_position(pos: ET.Element, params: Dict[str, str],
                     entities: Dict[str, EntitySpec]) -> Tuple[float, float, Optional[float]]:
-    """WorldPosition / RelativeWorldPosition -> (x, y, yaw-or-None)."""
+    """WorldPosition / RelativeWorldPosition / LanePosition ->
+    (x, y, yaw-or-None)."""
     world = pos.find("WorldPosition")
     if world is not None:
         yaw = world.get("h")
@@ -275,9 +289,33 @@ def _parse_position(pos: ET.Element, params: Dict[str, str],
         bx = ref.x if ref else 0.0
         by = ref.y if ref else 0.0
         return (bx + _f(rel, "dx", params), by + _f(rel, "dy", params), None)
+    lane = pos.find("LanePosition")
+    if lane is not None:
+        # resolved through the native vectorizer's rmap v3 ids/arclength
+        # (srunner resolves the same through the CARLA map API,
+        # openscenario_parser.py:get_position). Requires parse_xosc(...,
+        # rough_map=...) — phase0 passes its vectorized map.
+        if _PARSE_RMAP is None:
+            raise ValueError(
+                "LanePosition needs a vectorized map: pass rough_map= to "
+                "parse_xosc (phase0 does when `map:` is configured)")
+        from mmfn_tpu.mapping.rough_map import resolve_lane_position
+
+        x, y, yaw = resolve_lane_position(
+            _PARSE_RMAP, _resolve(lane.get("roadId", "0"), params),
+            int(_f(lane, "laneId", params)), _f(lane, "s", params),
+            _f(lane, "offset", params, 0.0))
+        h = lane.find("Orientation")
+        if h is not None:
+            # relative orientation adds to the lane heading (OSC default);
+            # absolute replaces it
+            dh = _f(h, "h", params, 0.0)
+            yaw = dh if h.get("type") == "absolute" else yaw + dh
+        return x, y, yaw
     raise ValueError(
         f"unsupported Position kind: {[c.tag for c in pos]} "
-        "(subset supports WorldPosition / RelativeWorldPosition)")
+        "(subset supports WorldPosition / RelativeWorldPosition / "
+        "LanePosition)")
 
 
 def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:
@@ -848,7 +886,19 @@ def _catalog_entry(obj: ET.Element, catalogs: Dict[str, Dict[str, ET.Element]],
     return entry
 
 
-def parse_xosc(path: str) -> OpenScenarioConfig:
+def parse_xosc(path: str, rough_map=None) -> OpenScenarioConfig:
+    """Parse an .xosc file. ``rough_map`` (a vectorized RoughMap with rmap
+    v3 ids) enables LanePosition resolution; without it LanePosition raises
+    at parse time."""
+    global _PARSE_RMAP
+    _PARSE_RMAP = rough_map
+    try:
+        return _parse_xosc_impl(path)
+    finally:
+        _PARSE_RMAP = None
+
+
+def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
     root = ET.parse(path).getroot()
     if root.tag != "OpenSCENARIO":
         raise ValueError(f"{path}: not an OpenSCENARIO file (root {root.tag})")

@@ -36,6 +36,11 @@ class RoughLane:
     polygon: np.ndarray      # (4, 2) bounding polygon
     nodes: np.ndarray        # (node_num, feature_num) — the 5-feature contract
     widths: np.ndarray = None  # (node_num,) lane widths, meters (rmap v2) or None
+    # rmap v3: OpenDRIVE ids + per-node road arclength, for OpenSCENARIO
+    # LanePosition (roadId, laneId, s, offset) -> world resolution
+    road_id: str = ""
+    lane_id: int = 0
+    node_s: np.ndarray = None  # (node_num,) road s of each sample or None
 
 
 def _convex_polys_intersect(poly: np.ndarray, polys: np.ndarray) -> np.ndarray:
@@ -95,18 +100,29 @@ class RoughMap:
             lane_num = int(f.readline().strip().split(" ")[1])
             self.lanes = []
             for _ in range(lane_num):
-                node_num = int(f.readline().strip().split(" ")[1])
+                head = f.readline().strip().split(" ")
+                node_num = int(head[1])
+                # v3 lane headers: "node_num N road <id> lane <id>"
+                road_id, lane_id = "", 0
+                if "road" in head:
+                    road_id = head[head.index("road") + 1]
+                if "lane" in head:
+                    lane_id = int(head[head.index("lane") + 1])
                 polygon = np.array(f.readline().strip().split(), dtype=np.float64).reshape(4, 2)
                 nodes = np.array(
                     [f.readline().strip().split(" ") for _ in range(node_num)],
                     dtype=np.float64)
-                # v2 files append a 6th per-node column (lane width); the
-                # model-facing feature contract stays the reference's 5
-                widths = None
+                # v2 files append a 6th per-node column (lane width), v3 a
+                # 7th (road arclength s); the model-facing feature contract
+                # stays the reference's 5
+                widths = node_s = None
+                if nodes.ndim == 2 and nodes.shape[1] > 6:
+                    node_s = nodes[:, 6].copy()
                 if nodes.ndim == 2 and nodes.shape[1] > 5:
                     widths = nodes[:, 5].copy()
                     nodes = nodes[:, :5]
-                self.lanes.append(RoughLane(polygon, nodes, widths))
+                self.lanes.append(RoughLane(polygon, nodes, widths,
+                                            road_id, lane_id, node_s))
         self._polys = (np.stack([l.polygon for l in self.lanes])
                        if self.lanes else np.zeros((0, 4, 2)))
         return self
@@ -154,6 +170,63 @@ class RoughMap:
         n = min(n, max_lanes)
         out[:n] = lanes[:n]
         return out, n
+
+
+def resolve_lane_position(rough_map: "RoughMap", road_id: str, lane_id: int,
+                          s: float, offset: float = 0.0
+                          ) -> Tuple[float, float, float]:
+    """OpenSCENARIO LanePosition (roadId, laneId, s, offset) -> (x, y, yaw)
+    in the CARLA world frame, through the rmap v3 ids/arclength columns.
+
+    The lane-center point at road arclength ``s`` is interpolated along the
+    matching lane polyline; ``yaw`` is the direction of travel there;
+    ``offset`` displaces laterally toward the road's +t axis (left of the
+    reference line), which in the y-flipped CARLA frame is right-of-travel
+    for right-side lanes (id < 0) and left-of-travel for left-side lanes —
+    the same convention CARLA's own map API applies.
+
+    Raises KeyError when the map has no v3 ids or no such lane, ValueError
+    when ``s`` is outside the road.
+    """
+    chunks = [l for l in rough_map.lanes
+              if l.road_id == str(road_id) and l.lane_id == int(lane_id)
+              and l.node_s is not None and len(l.node_s) >= 2]
+    if not chunks:
+        raise KeyError(f"no lane road={road_id} lane={lane_id} in the map "
+                       f"(rmap v3 ids required for LanePosition)")
+    best = None  # (clamped distance outside the chunk's s range, chunk)
+    for lane in chunks:
+        lo, hi = float(np.min(lane.node_s)), float(np.max(lane.node_s))
+        gap = max(lo - s, s - hi, 0.0)
+        if best is None or gap < best[0]:
+            best = (gap, lane)
+    gap, lane = best
+    if gap > 1e-6:
+        raise ValueError(f"s={s} outside road {road_id} lane {lane_id} "
+                         f"(off by {gap:.2f} m)")
+    # node_s runs descending for left-side lanes (polylines are emitted in
+    # direction of travel); np.interp needs ascending xp
+    s_arr, xy = lane.node_s, lane.nodes[:, :2]
+    if s_arr[0] > s_arr[-1]:
+        s_arr, xy = s_arr[::-1], xy[::-1]
+    x = float(np.interp(s, s_arr, xy[:, 0]))
+    y = float(np.interp(s, s_arr, xy[:, 1]))
+    # direction of travel at s, from the polyline in emitted (travel) order
+    travel_s = lane.node_s
+    k = int(np.clip(np.searchsorted(s_arr, s), 1, len(s_arr) - 1))
+    seg = xy[k] - xy[k - 1]               # ascending-s direction
+    if travel_s[0] > travel_s[-1]:
+        seg = -seg                        # travel runs against s
+    yaw = math.atan2(float(seg[1]), float(seg[0]))
+    if offset:
+        # +t axis in the y-flipped frame: rotate travel -90 deg for right
+        # lanes (travel == +s), +90 deg for left lanes (travel == -s)
+        n = (np.array([seg[1], -seg[0]]) if lane_id < 0
+             else np.array([-seg[1], seg[0]]))
+        n = n / (np.linalg.norm(n) + 1e-12)
+        x += float(n[0]) * offset
+        y += float(n[1]) * offset
+    return x, y, yaw
 
 
 # --------------------------------------------------------------------------- #

@@ -371,11 +371,16 @@ static std::vector<Road> parse_opendrive(const XmlNode* root) {
 // ---------------------------------------------------------------------------
 
 struct OutLane {
-  // x, y, intersection, turn, control, width — the first 5 are the
+  // x, y, intersection, turn, control, width, s — the first 5 are the
   // reference's .rmap feature contract; width (from the lane's cubic width
   // records) is the v2 extension consumed by the birdview road mask and the
-  // outside-lanes criterion. Readers of v1 files simply see 5 columns.
-  std::vector<std::array<double, 6>> nodes;
+  // outside-lanes criterion; s (road arclength of the sample) plus the
+  // road/lane ids below are the v3 extension that lets OpenSCENARIO
+  // LanePosition (roadId, laneId, s, offset) resolve to world coordinates.
+  // Readers of v1 files simply see 5 columns.
+  std::vector<std::array<double, 7>> nodes;
+  std::string road_id;
+  int lane_id = 0;
   double minx = 1e18, miny = 1e18, maxx = -1e18, maxy = -1e18;
 };
 
@@ -391,8 +396,9 @@ static double wrap_pi(double a) {
   return a;
 }
 
-static void emit_chunks(const std::vector<std::array<double, 4>>& pts,  // x, y(carla), hdg(xodr), width
+static void emit_chunks(const std::vector<std::array<double, 5>>& pts,  // x, y(carla), hdg(xodr), width, s
                         bool junction, const std::vector<char>& control,
+                        const std::string& road_id, int lane_id,
                         std::vector<OutLane>* out) {
   // consecutive chunks SHARE their boundary node (stride kMaxNodes-1): the
   // chunked polylines tile the lane seamlessly, so polyline consumers (the
@@ -406,6 +412,8 @@ static void emit_chunks(const std::vector<std::array<double, 4>>& pts,  // x, y(
       else break;
     }
     OutLane lane;
+    lane.road_id = road_id;
+    lane.lane_id = lane_id;
     // turn direction over this chunk, in the CARLA (y-flipped) frame:
     // xodr heading increase (CCW) becomes clockwise, i.e. a RIGHT turn.
     double dh = wrap_pi(pts[end - 1][2] - pts[start][2]);
@@ -415,7 +423,7 @@ static void emit_chunks(const std::vector<std::array<double, 4>>& pts,  // x, y(
     for (size_t i = start; i < end; i++) {
       double x = pts[i][0], y = pts[i][1];
       lane.nodes.push_back({x, y, junction ? 1.0 : 0.0, turn,
-                            control[i] ? 1.0 : 0.0, pts[i][3]});
+                            control[i] ? 1.0 : 0.0, pts[i][3], pts[i][4]});
       lane.minx = std::min(lane.minx, x); lane.maxx = std::max(lane.maxx, x);
       lane.miny = std::min(lane.miny, y); lane.maxy = std::max(lane.maxy, y);
     }
@@ -437,7 +445,7 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
       auto sample_side = [&](const std::vector<Lane>& side, int sign) {
         for (size_t li = 0; li < side.size(); li++) {
           if (side[li].type != "driving") continue;
-          std::vector<std::array<double, 4>> pts;
+          std::vector<std::array<double, 5>> pts;
           std::vector<char> ctrl;
           for (int k = 0; k < n_samples; k++) {
             double ds = sec_len * k / (n_samples - 1);
@@ -455,7 +463,7 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
             t += sign * 0.5 * w;
             double x = rx - t * std::sin(rh);
             double y = ry + t * std::cos(rh);
-            pts.push_back({x, -y, rh, w});  // CARLA y-flip
+            pts.push_back({x, -y, rh, w, s});  // CARLA y-flip
           }
           if (sign > 0) {
             // left lanes (positive ids) run AGAINST road s: emit their
@@ -464,7 +472,7 @@ static std::vector<OutLane> vectorize(const std::vector<Road>& roads) {
             std::reverse(pts.begin(), pts.end());
             std::reverse(ctrl.begin(), ctrl.end());
           }
-          emit_chunks(pts, road.junction, ctrl, &out);
+          emit_chunks(pts, road.junction, ctrl, road.id, side[li].id, &out);
         }
       };
       sample_side(sec.left, +1);
@@ -500,18 +508,19 @@ int main(int argc, char** argv) {
   std::ofstream outf(dir + "/a.rmap");
   outf.setf(std::ios::fixed);
   outf.precision(6);
-  outf << "rmap v2 (rough_map_node, mmfn_tpu; node cols: x y intersection "
-          "turn control width)\n";
+  outf << "rmap v3 (rough_map_node, mmfn_tpu; node cols: x y intersection "
+          "turn control width s; lane headers carry road/lane ids)\n";
   outf << "lane_num " << lanes.size() << "\n";
   for (const auto& lane : lanes) {
-    outf << "node_num " << lane.nodes.size() << "\n";
+    outf << "node_num " << lane.nodes.size() << " road " << lane.road_id
+         << " lane " << lane.lane_id << "\n";
     double x0 = lane.minx - kBoxMargin, x1 = lane.maxx + kBoxMargin;
     double y0 = lane.miny - kBoxMargin, y1 = lane.maxy + kBoxMargin;
     outf << x0 << " " << y0 << " " << x1 << " " << y0 << " "
          << x1 << " " << y1 << " " << x0 << " " << y1 << "\n";
     for (const auto& n : lane.nodes)
       outf << n[0] << " " << n[1] << " " << n[2] << " " << n[3] << " " << n[4]
-           << " " << n[5] << "\n";
+           << " " << n[5] << " " << n[6] << "\n";
   }
   outf.close();
   std::printf("lanes=%zu ok\n", lanes.size());

@@ -214,7 +214,9 @@ def main():
         from mmfn_tpu.harness.openscenario import hero_trajectory, parse_xosc
         from mmfn_tpu.harness.route import RouteConfig
 
-        xcfg = parse_xosc(cfg["routes"])
+        # rough_map (when `map:` is configured) enables LanePosition
+        # resolution through the vectorizer's rmap v3 ids
+        xcfg = parse_xosc(cfg["routes"], rough_map=rough_map)
         trajectory = [(x, y, 0.0) for x, y in hero_trajectory(xcfg, rough_map)]
         route_id = os.path.splitext(os.path.basename(cfg["routes"]))[0]
         indexer = RouteIndexer.from_configs(

@@ -247,3 +247,50 @@ def test_lane_offset_and_sections(tool, tmp_path):
     # second section (s>=50): width 2 -> t = 1 - 1 = 0 -> CARLA y = 0
     late = nodes[nodes[:, 0] >= 55.0]
     np.testing.assert_allclose(late[:, 1], 0.0, atol=0.05)
+
+
+def test_rmap_v3_ids_arclength_and_lane_position(tool, tmp_path):
+    """rmap v3: lane headers carry OpenDRIVE road/lane ids, nodes a 7th
+    road-arclength column, and resolve_lane_position maps OpenSCENARIO
+    LanePosition (roadId, laneId, s, offset) onto the CARLA world frame."""
+    from mmfn_tpu.mapping.rough_map import resolve_lane_position
+
+    rmap, _ = _run_tool(tool, tmp_path, _STRAIGHT)
+    lane = rmap.lanes[0]
+    assert lane.road_id == "0" and lane.lane_id == -1
+    np.testing.assert_allclose(lane.node_s, np.arange(10) * 5.0)
+    # model-facing node contract unchanged: still 5 features
+    assert lane.nodes.shape[1] == 5
+
+    x, y, yaw = resolve_lane_position(rmap, "0", -1, 37.0)
+    assert abs(x - 37.0) < 1e-6 and abs(y - 1.75) < 1e-6
+    assert abs(yaw) < 1e-9
+    # +offset displaces toward the road's +t axis (the reference line here:
+    # CARLA y decreases for a right-side lane)
+    x, y, _ = resolve_lane_position(rmap, "0", -1, 37.0, offset=1.0)
+    assert abs(y - 0.75) < 1e-6
+
+    import pytest
+    with pytest.raises(KeyError):
+        resolve_lane_position(rmap, "0", -2, 10.0)   # sidewalk: not emitted
+    with pytest.raises(ValueError):
+        resolve_lane_position(rmap, "0", -1, 140.0)  # past the road end
+
+
+def test_rmap_v3_left_lane_arclength_descends(tool, tmp_path):
+    """Left-side lanes travel against road s: their polylines are emitted in
+    direction of travel, so the v3 s column runs descending and the resolved
+    yaw points against the reference-line heading."""
+    from mmfn_tpu.mapping.rough_map import resolve_lane_position
+
+    rmap, _ = _run_tool(tool, tmp_path, _ARC)
+    lane = rmap.lanes[0]
+    assert lane.road_id == "1" and lane.lane_id == 1
+    assert lane.node_s[0] > lane.node_s[-1]
+
+    x, y, yaw = resolve_lane_position(rmap, "1", 1, 10.0)
+    # lane center rides radius 48 about the arc center (CARLA frame (0,-50))
+    assert abs(math.hypot(x - 0.0, y + 50.0) - 48.0) < 0.05
+    # travel direction at s=10 opposes the (flipped) reference heading 0.2
+    expect = math.atan2(math.sin(0.2), -math.cos(0.2))
+    assert abs(yaw - expect) < 0.08

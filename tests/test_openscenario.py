@@ -910,3 +910,84 @@ def test_synchronize_waits_for_parked_master(tmp_path):
     for _ in range(100):                                  # hero never moves
         actors = mgr.tick(np.array([50.0, -50.0]), 0.05)
     assert np.allclose(actors[0].position, [50.0, -40.0], atol=0.5)
+
+
+def test_lane_position_resolves_through_rmap(tool, tmp_path):
+    """LanePosition (roadId, laneId, s, offset) resolves through the native
+    vectorizer's rmap v3 ids when parse_xosc is given the map; without a map
+    it is a clear parse error. srunner resolves the same construct through
+    the CARLA map API (openscenario_parser.get_position)."""
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+
+    d = tmp_path / "map"
+    d.mkdir()
+    (d / "opstr.txt").write_text(STRAIGHT_XODR)
+    assert build_rmap([str(d)], tool_path=tool) is False
+    rmap = RoughMap().read(str(d / "a.rmap"))
+
+    xosc = _story_xosc_lane_position()
+    p = tmp_path / "lanepos.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p), rough_map=rmap)
+    spec = cfg.entities["lead"]
+    # road 0, lane -1 (center CARLA y=+1.75), s=40, offset 0.5 toward +t
+    assert abs(spec.x - 40.0) < 1e-6
+    assert abs(spec.y - 1.25) < 1e-6
+    # relative Orientation h=0.1 adds to the lane's travel heading (0)
+    assert abs(spec.yaw - 0.1) < 1e-9
+
+    with pytest.raises(ValueError, match="vectorized map"):
+        parse_xosc(str(p))
+
+
+def _story_xosc_lane_position() -> str:
+    return """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="lp" author=""/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="lead">
+          <PrivateAction>
+            <TeleportAction>
+              <Position>
+                <LanePosition roadId="0" laneId="-1" s="40" offset="0.5">
+                  <Orientation type="relative" h="0.1"/>
+                </LanePosition>
+              </Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="lead"/>
+        </Actors>
+        <Maneuver name="m"><Event name="e" priority="overwrite">
+          <Action name="go"><PrivateAction>
+            <LongitudinalAction><SpeedAction>
+              <SpeedActionDynamics dynamicsShape="step"/>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="5"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction>
+          </PrivateAction></Action>
+          <StartTrigger/>
+        </Event></Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
