@@ -289,33 +289,70 @@ def _parse_position(pos: ET.Element, params: Dict[str, str],
         bx = ref.x if ref else 0.0
         by = ref.y if ref else 0.0
         return (bx + _f(rel, "dx", params), by + _f(rel, "dy", params), None)
-    lane = pos.find("LanePosition")
-    if lane is not None:
-        # resolved through the native vectorizer's rmap v3 ids/arclength
-        # (srunner resolves the same through the CARLA map API,
-        # openscenario_parser.py:get_position). Requires parse_xosc(...,
-        # rough_map=...) — phase0 passes its vectorized map.
+    obj = pos.find("RelativeObjectPosition")
+    if obj is not None:
+        # dx forward / dy left in the referenced entity's INIT frame (the
+        # parser resolves positions once, like srunner's static conversion)
+        ref = entities.get(obj.get("entityRef", ""), None)
+        bx, by = (ref.x, ref.y) if ref else (0.0, 0.0)
+        ryaw = (ref.yaw or 0.0) if ref else 0.0
+        dx, dy = _f(obj, "dx", params), _f(obj, "dy", params)
+        c, sn = math.cos(ryaw), math.sin(ryaw)
+        return (bx + dx * c - dy * sn, by + dx * sn + dy * c, None)
+    def need_map(kind: str):
+        # lane-relative kinds resolve through the native vectorizer's rmap
+        # v3 ids/arclength (srunner resolves them through the CARLA map
+        # API, openscenario_parser.py:get_position); they need
+        # parse_xosc(..., rough_map=...) — phase0 passes its vectorized map
         if _PARSE_RMAP is None:
             raise ValueError(
-                "LanePosition needs a vectorized map: pass rough_map= to "
-                "parse_xosc (phase0 does when `map:` is configured)")
-        from mmfn_tpu.mapping.rough_map import resolve_lane_position
+                f"{kind} needs a vectorized map: pass rough_map= to "
+                f"parse_xosc (phase0 does when `map:` is configured)")
 
-        x, y, yaw = resolve_lane_position(
-            _PARSE_RMAP, _resolve(lane.get("roadId", "0"), params),
-            int(_f(lane, "laneId", params)), _f(lane, "s", params),
-            _f(lane, "offset", params, 0.0))
-        h = lane.find("Orientation")
+    def oriented(el: ET.Element, x: float, y: float, yaw: float):
+        h = el.find("Orientation")
         if h is not None:
             # relative orientation adds to the lane heading (OSC default);
             # absolute replaces it
             dh = _f(h, "h", params, 0.0)
             yaw = dh if h.get("type") == "absolute" else yaw + dh
         return x, y, yaw
+
+    lane = pos.find("LanePosition")
+    if lane is not None:
+        need_map("LanePosition")
+        from mmfn_tpu.mapping.rough_map import resolve_lane_position
+
+        x, y, yaw = resolve_lane_position(
+            _PARSE_RMAP, _resolve(lane.get("roadId", "0"), params),
+            int(_f(lane, "laneId", params)), _f(lane, "s", params),
+            _f(lane, "offset", params, 0.0))
+        return oriented(lane, x, y, yaw)
+    rlane = pos.find("RelativeLanePosition")
+    if rlane is not None:
+        need_map("RelativeLanePosition")
+        from mmfn_tpu.mapping.rough_map import (locate_on_lane,
+                                                resolve_lane_position)
+
+        ref = entities.get(rlane.get("entityRef", ""), None)
+        if ref is None:
+            raise ValueError("RelativeLanePosition needs a known entityRef")
+        road, lid, s, _ = locate_on_lane(_PARSE_RMAP, ref.x, ref.y)
+        dlane = int(_f(rlane, "dLane", params))
+        new_lane = lid + dlane
+        if dlane != 0 and lid * new_lane <= 0:
+            new_lane += 1 if dlane > 0 else -1    # no lane 0 in OpenDRIVE
+        # ds runs along the entity's direction of travel: +s for right-side
+        # lanes, -s for left-side lanes
+        s_new = s + _f(rlane, "ds", params) * (1.0 if lid < 0 else -1.0)
+        x, y, yaw = resolve_lane_position(
+            _PARSE_RMAP, road, new_lane, s_new,
+            _f(rlane, "offset", params, 0.0))
+        return oriented(rlane, x, y, yaw)
     raise ValueError(
         f"unsupported Position kind: {[c.tag for c in pos]} "
         "(subset supports WorldPosition / RelativeWorldPosition / "
-        "LanePosition)")
+        "RelativeObjectPosition / LanePosition / RelativeLanePosition)")
 
 
 def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:

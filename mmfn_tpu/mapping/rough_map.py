@@ -172,6 +172,33 @@ class RoughMap:
         return out, n
 
 
+def locate_on_lane(rough_map: "RoughMap", x: float, y: float
+                   ) -> Tuple[str, int, float, float]:
+    """Inverse of :func:`resolve_lane_position`: nearest driving lane to a
+    CARLA world point -> (road_id, lane_id, s, distance). Projects the point
+    onto every v3 lane polyline segment and interpolates the arclength.
+    Raises KeyError when the map carries no v3 ids."""
+    p = np.array([x, y], dtype=np.float64)
+    best = None
+    for lane in rough_map.lanes:
+        if lane.node_s is None or len(lane.node_s) < 2:
+            continue
+        a = lane.nodes[:-1, :2]
+        ab = lane.nodes[1:, :2] - a
+        denom = np.einsum("ij,ij->i", ab, ab)
+        denom[denom == 0.0] = 1e-12
+        t = np.clip(np.einsum("ij,ij->i", p - a, ab) / denom, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        d = np.linalg.norm(proj - p, axis=1)
+        k = int(np.argmin(d))
+        s = float(lane.node_s[k] + t[k] * (lane.node_s[k + 1] - lane.node_s[k]))
+        if best is None or d[k] < best[3]:
+            best = (lane.road_id, lane.lane_id, s, float(d[k]))
+    if best is None:
+        raise KeyError("map has no rmap v3 lanes (ids/arclength missing)")
+    return best
+
+
 def resolve_lane_position(rough_map: "RoughMap", road_id: str, lane_id: int,
                           s: float, offset: float = 0.0
                           ) -> Tuple[float, float, float]:

@@ -991,3 +991,81 @@ def _story_xosc_lane_position() -> str:
   </Storyboard>
 </OpenSCENARIO>
 """
+
+
+TWO_LANE_XODR = """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE>
+  <header revMajor="1" revMinor="4" name="two"/>
+  <road name="R0" length="200.0" id="0" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="200.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <left>
+          <lane id="1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </left>
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+</OpenDRIVE>
+"""
+
+
+def test_relative_positions_resolve(tool, tmp_path):
+    """RelativeObjectPosition rotates dx/dy into the referenced entity's
+    init frame; RelativeLanePosition locates the entity's lane through the
+    rmap v3 inverse lookup, shifts dLane lanes (skipping the nonexistent
+    lane 0) and ds meters along the entity's travel direction."""
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+
+    d = tmp_path / "map2"
+    d.mkdir()
+    (d / "opstr.txt").write_text(TWO_LANE_XODR)
+    assert build_rmap([str(d)], tool_path=tool) is False
+    rmap = RoughMap().read(str(d / "a.rmap"))
+
+    xosc = _story_xosc_lane_position().replace(
+        '<LanePosition roadId="0" laneId="-1" s="40" offset="0.5">\n'
+        '                  <Orientation type="relative" h="0.1"/>\n'
+        '                </LanePosition>',
+        '<LanePosition roadId="0" laneId="-1" s="40" offset="0"/>')
+    # second entity placed relative to the lead: 5 m ahead in the lead's
+    # frame (lead heading = lane -1 travel = +x)
+    xosc = xosc.replace(
+        "</Actions>",
+        """<Private entityRef="hero">
+          <PrivateAction><TeleportAction><Position>
+            <RelativeObjectPosition entityRef="lead" dx="5" dy="1"/>
+          </Position></TeleportAction></PrivateAction>
+        </Private>
+        </Actions>""", 1)
+    p = tmp_path / "relpos.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p), rough_map=rmap)
+    lead = cfg.entities["lead"]
+    assert abs(lead.x - 40.0) < 1e-6 and abs(lead.y - 1.75) < 1e-6
+    hero = cfg.entities["hero"]
+    assert abs(hero.x - 45.0) < 1e-6 and abs(hero.y - 2.75) < 1e-6
+
+    # RelativeLanePosition: one lane left of the lead (skips lane 0 ->
+    # oncoming lane 1 at CARLA y=-1.75), 10 m ahead along the lead's travel
+    xosc2 = xosc.replace(
+        '<RelativeObjectPosition entityRef="lead" dx="5" dy="1"/>',
+        '<RelativeLanePosition entityRef="lead" dLane="1" ds="10" offset="0"/>')
+    p2 = tmp_path / "rellane.xosc"
+    p2.write_text(xosc2)
+    cfg2 = parse_xosc(str(p2), rough_map=rmap)
+    hero2 = cfg2.entities["hero"]
+    assert abs(hero2.x - 50.0) < 1e-6
+    assert abs(hero2.y + 1.75) < 1e-6
+    # the oncoming lane travels against s: resolved heading ~ pi
+    assert abs(abs(hero2.yaw) - math.pi) < 1e-6
