@@ -1,1 +1,2 @@
-from mmfn_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from mmfn_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, replicate, shard_batch, tensor_parallel_sharding)

@@ -74,8 +74,17 @@ def main():
     engine = Engine(model, gconf, logdir, log_fn=logger.log)
 
     batch_size = int(cfg.get("batch_size", 24))
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
+    # model_parallel: M factors the devices into a ('data','model') mesh and
+    # tensor-shards the fusion transformer (Megatron layout,
+    # parallel/mesh.py) — a TPU-native option beyond the reference's DDP;
+    # the default 1 is pure data parallelism, bitwise the old behavior
+    tp = int(cfg.get("model_parallel", 1))
+    total = len(jax.devices())
+    if total % max(tp, 1):
+        raise SystemExit(f"model_parallel={tp} does not divide "
+                         f"{total} devices")
+    mesh = make_mesh(axes=("data", "model"), axis_sizes=(total // tp, tp))
+    n_dev = mesh.shape["data"]
     if batch_size % n_dev:
         batch_size = (batch_size // n_dev + 1) * n_dev
         print(f"{bc.WARNING}batch_size rounded to {batch_size} for {n_dev} devices{bc.ENDC}")
@@ -108,7 +117,14 @@ def main():
     if restored is not None:
         state = restored
         print(f"{bc.OKGREEN}resumed from epoch {engine.cur_epoch}{bc.ENDC}")
-    state = replicate(state, mesh)
+    if tp > 1:
+        from mmfn_tpu.parallel import tensor_parallel_sharding
+
+        state = tensor_parallel_sharding(state, mesh)
+        print(f"{bc.OKCYAN}mesh: data={n_dev} x model={tp} "
+              f"(fusion transformer tensor-sharded){bc.ENDC}")
+    else:
+        state = replicate(state, mesh)
 
     # the configured seed governs data order and dropout too, not just init
     seed = int(cfg.get("seed", 42))

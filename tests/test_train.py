@@ -190,3 +190,37 @@ def test_bf16_train_step_descends_params_stay_f32(tiny_setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_tensor_parallel_forward_matches_single_device(setup):
+    """Megatron-style tensor parallelism over a ('data','model') mesh
+    (parallel.tensor_parallel_sharding): the fusion transformer's QKV/fc1
+    kernels column-shard and proj/fc2 row-shard over 'model', and the
+    forward matches unsharded execution. This goes BEYOND the reference,
+    whose only parallelism is DDP (SURVEY.md 2.8)."""
+    from jax.tree_util import tree_flatten_with_path
+
+    from mmfn_tpu.parallel import tensor_parallel_sharding
+    from mmfn_tpu.parallel.mesh import _path_str
+
+    model, batch, state_host = setup
+    variables = jax.tree.map(jnp.asarray, {"params": state_host.params,
+                                           "batch_stats": state_host.batch_stats})
+    fwd = jax.jit(model.apply, static_argnums=(2,))
+    ref = np.asarray(fwd(variables, batch, False))
+
+    mesh = make_mesh(4, axes=("data", "model"), axis_sizes=(2, 2))
+    v_tp = tensor_parallel_sharding(variables, mesh)
+    # the annotation must actually take: every attn QKV kernel is split
+    # over 'model', and LayerNorm scales stay replicated
+    leaves, _ = tree_flatten_with_path(v_tp)
+    qkv = [x for p, x in leaves if "attn/query/kernel" in _path_str(p)]
+    lns = [x for p, x in leaves if "ln1/scale" in _path_str(p)]
+    assert qkv and all("model" in str(x.sharding.spec) for x in qkv)
+    assert lns and all(x.sharding.spec == () or "model" not in str(x.sharding.spec)
+                       for x in lns)
+
+    out = np.asarray(fwd(v_tp, shard_batch(batch, mesh), False))
+    # sharded matmuls change the reduction order: measured rel diff 3.4e-5
+    # on waypoint outputs of magnitude ~1e2; rtol leaves ~15x headroom
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-2)
