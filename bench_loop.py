@@ -128,11 +128,13 @@ def _relay_rtt_ms(n: int = 20) -> float:
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def _fleet_mode(pipeline, config, n: int, ticks: int):
+def _fleet_mode(pipeline, config, n: int, ticks: int, pipelined: bool):
     """Aggregate throughput of an N-vehicle lockstep fleet (harness/fleet.py):
     N fake worlds, N full host agent paths, ONE batched device forward per
-    tick. The serving-scale claim made from bench.py's batched fps (one chip
-    ~= 128 simulated 20 Hz vehicles) measured end-to-end."""
+    tick (``pipelined``: steer from the previous tick's forward while this
+    tick's is in flight). The serving-scale claim made from bench.py's
+    batched fps (one chip ~= 128 simulated 20 Hz vehicles) measured
+    end-to-end."""
     from mmfn_tpu.harness.fleet import FleetRunner
 
     def run_once(run_ticks):
@@ -145,7 +147,8 @@ def _fleet_mode(pipeline, config, n: int, ticks: int):
                    "opendrive_str": XODR, "max_ticks": run_ticks}
                   for k in range(n)]
         t0 = time.perf_counter()
-        records = FleetRunner(max_wall_seconds=3600).run(agents, routes)
+        records = FleetRunner(max_wall_seconds=3600,
+                              pipelined=pipelined).run(agents, routes)
         wall = time.perf_counter() - t0
         total_ticks = sum(a.step + 1 for a in agents)  # ticks _tick() ran
         return wall, total_ticks, records
@@ -169,6 +172,9 @@ def main():
                          "of the single-agent soak modes")
     ap.add_argument("--ticks", type=int, default=0,
                     help="override soak ticks per route")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="fleet mode: steer from the previous tick's batched "
+                         "forward while this tick's is in flight")
     args = ap.parse_args()
 
     from bench import _require_device
@@ -177,10 +183,11 @@ def main():
 
     if args.fleet > 0:
         out = _fleet_mode(agent.pipeline, agent.config, args.fleet,
-                          args.ticks or 120)
+                          args.ticks or 120, args.pipelined)
         agg = out["agg_ticks_per_sec"]
+        mode = "pipelined" if args.pipelined else "sync"
         print(json.dumps({
-            "metric": f"fleet aggregate agent ticks/sec ({args.fleet} vehicles, fake world, full MMFN-rad)",
+            "metric": f"fleet aggregate agent ticks/sec ({args.fleet} vehicles, {mode}, fake world, full MMFN-rad)",
             "value": agg,
             "unit": "ticks/s",
             "vs_baseline": round(agg / 20.0, 2),

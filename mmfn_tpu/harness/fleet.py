@@ -20,6 +20,11 @@ Agents must expose the ``prepare_step``/``finish_step`` split (the e2e
 MMFNAgent) and share one JitPipeline (same weights — fleet eval of a single
 policy). Warm-up ticks (map build, sweep buffer) return their controls
 host-side and simply skip the batch.
+
+``pipelined=True`` overlaps host and device work: each tick dispatches the
+batch without fetching and steers every vehicle from the PREVIOUS tick's
+waypoints (one-tick actuation latency — the fleet analog of the
+single-agent ``async_dispatch`` deviation in docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -42,9 +47,16 @@ class FleetRunner:
     """
 
     def __init__(self, statistics: Optional[StatisticsManager] = None,
-                 max_wall_seconds: float = 600.0):
+                 max_wall_seconds: float = 600.0, pipelined: bool = False):
         self.statistics = statistics or StatisticsManager()
         self.max_wall_seconds = max_wall_seconds
+        # pipelined: steer every vehicle from the PREVIOUS tick's batched
+        # forward while this tick's is in flight — the fleet analog of the
+        # single-agent async_dispatch (one-tick actuation latency; the
+        # deliberate deviation documented in docs/PARITY.md). The first
+        # forward tick (and any agent whose warmup ends later) primes
+        # synchronously.
+        self.pipelined = pipelined
 
     def run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
         if len(agents) != len(routes):
@@ -72,6 +84,7 @@ class FleetRunner:
                 records[i] = stop.value
 
         template = None      # zero payload filling freed batch slots
+        pending = None       # pipelined: (un-fetched dispatch, {agent: row})
         while live:
             # (per-route wall timeouts are enforced inside each drive())
             controls = {}
@@ -94,11 +107,23 @@ class FleetRunner:
                     template = _zero_like_payload(forwards[0][1])
                 batch = [p for _, p in forwards]
                 batch += [template] * (n - len(batch))
-                waypoints = np.asarray(pipeline.dispatch_fleet(batch))
-                for row, (i, payload) in enumerate(forwards):
+                fut = pipeline.dispatch_fleet(batch)   # un-fetched dispatch
+                row_of = {i: r for r, (i, _) in enumerate(forwards)}
+                if not self.pipelined or pending is None \
+                        or any(i not in pending[1] for i in row_of):
+                    # synchronous (or priming) fetch of THIS tick's result
+                    wps = np.asarray(fut)
+                    use = {i: wps[r] for i, r in row_of.items()}
+                else:
+                    # previous tick's result finished while this tick's host
+                    # work ran; this tick's dispatch is now in flight
+                    prev_wps = np.asarray(pending[0])
+                    use = {i: prev_wps[pending[1][i]] for i in row_of}
+                pending = (fut, row_of) if self.pipelined else None
+                for i, payload in forwards:
                     agent = agents[i]
                     try:
-                        controls[i] = agent.finish_step(payload, waypoints[row])
+                        controls[i] = agent.finish_step(payload, use[i])
                     except Exception as e:
                         self._finish(gens[i], i, e, records, live)
 

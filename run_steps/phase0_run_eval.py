@@ -300,9 +300,13 @@ def main():
                                  "(agent.type=e2e)")
             print(f"{bc.OKCYAN}fleet of {len(configs)}: routes "
                   f"{', '.join(c.route_id for c in configs)}{bc.ENDC}")
-            records = FleetRunner(statistics, max_wall_seconds=wall_budget).run(
-                agents, [dict(config=c, opendrive_str=map_xodr,
-                              **route_kwargs(c)) for c in configs])
+            # agent.async_dispatch=true selects the pipelined fleet (steer
+            # from the previous tick's batched forward, docs/PARITY.md)
+            records = FleetRunner(
+                statistics, max_wall_seconds=wall_budget,
+                pipelined=bool(cfg["agent"].get("async_dispatch", False)),
+            ).run(agents, [dict(config=c, opendrive_str=map_xodr,
+                                **route_kwargs(c)) for c in configs])
         else:
             config = configs[0]
             agent = build_agent(cfg, shared, route_index=config.index)

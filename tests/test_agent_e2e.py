@@ -106,9 +106,13 @@ def test_pipeline_host_bev_matches_device_bev():
     np.testing.assert_allclose(wp_fleet[1], wp_dev, rtol=1e-5, atol=1e-4)
 
 
-def test_fleet_runner_closed_loop(tool, tmp_path):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_fleet_runner_closed_loop(tool, tmp_path, pipelined):
     """Three routes in lockstep, one batched forward per tick; every route
-    ends with a scored RouteRecord and every agent ran the model + PID."""
+    ends with a scored RouteRecord and every agent ran the model + PID.
+    ``pipelined=True`` steers from the previous tick's batched forward while
+    this tick's is in flight (one-tick actuation latency, docs/PARITY.md) —
+    the scoring/record contract is identical."""
     from mmfn_tpu.harness.fleet import FleetRunner
     from mmfn_tpu.models import build_model
 
@@ -138,7 +142,8 @@ def test_fleet_runner_closed_loop(tool, tmp_path):
         routes.append({"config": config, "opendrive_str": STRAIGHT_XODR,
                        "max_ticks": 6})
 
-    records = FleetRunner(max_wall_seconds=600).run(agents, routes)
+    records = FleetRunner(max_wall_seconds=600,
+                          pipelined=pipelined).run(agents, routes)
 
     assert len(records) == 3
     for k, (agent, record) in enumerate(zip(agents, records)):
