@@ -226,6 +226,24 @@ def main():
         except Exception:
             train_fps_peak = None
 
+    # Fleet serving-scale metric (opt out: MMFN_BENCH_FLEET=0): N fake-world
+    # vehicles in lockstep, full host agent paths, ONE batched forward/tick
+    # through the pipelined FleetRunner (harness/fleet.py) — the end-to-end
+    # version of the batched-fps serving claim.
+    fleet_n = int(os.environ.get("MMFN_BENCH_FLEET", "8"))
+    fleet = None
+    if fleet_n > 0:
+        try:
+            import bench_loop
+            from mmfn_tpu.harness.agents import MMFNAgent
+
+            agent = MMFNAgent({"variant": "rad", "model": model,
+                               "variables": variables, "config": cfg})
+            fleet = bench_loop._fleet_mode(agent.pipeline, cfg, fleet_n,
+                                           ticks=120, pipelined=True)
+        except Exception:
+            fleet = None
+
     # Pallas self-check: the BEV histogram kernel vs its XLA reference,
     # on real TPU silicon (the test suite only covers interpret mode).
     pallas_ok = None
@@ -253,6 +271,9 @@ def main():
         "train_fps_peak": train_fps_peak,
         "train_peak_batch": peak_batch,
         "train_dtype": "bfloat16",
+        "fleet_vehicles": fleet_n if fleet else None,
+        "fleet_agg_ticks_per_sec": fleet and fleet["agg_ticks_per_sec"],
+        "fleet_vehicles_at_20hz": fleet and fleet["vehicles_at_20hz"],
         "pallas_ok": pallas_ok,
         "device": str(jax.devices()[0]),
     }))
