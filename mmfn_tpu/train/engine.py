@@ -16,6 +16,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Any, Callable, Iterable, Optional
@@ -195,8 +196,22 @@ class Engine:
             losses.append(loss)
             self.cur_iter += 1
             if log_every and self.cur_iter % log_every == 0:
-                self.log_fn({"loss_iter": float(loss), "iter": self.cur_iter})
+                loss_host = float(loss)
+                if not math.isfinite(loss_host):
+                    raise FloatingPointError(
+                        f"non-finite training loss at iter {self.cur_iter} "
+                        f"(epoch {self.cur_epoch + 1}); rerun with "
+                        f"JAX_DEBUG_NANS=1 to localize the op")
+                self.log_fn({"loss_iter": loss_host, "iter": self.cur_iter})
         epoch_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+        # the analog of the reference's set_detect_anomaly(True)
+        # (phase2_train_net.py:107): a poisoned epoch aborts loudly instead
+        # of silently writing NaN checkpoints; checked once per epoch so the
+        # fast path stays free of device syncs
+        if losses and not math.isfinite(epoch_loss):
+            raise FloatingPointError(
+                f"non-finite mean training loss in epoch {self.cur_epoch + 1};"
+                f" rerun with JAX_DEBUG_NANS=1 to localize the op")
         self.train_loss.append(epoch_loss)
         self.cur_epoch += 1
         self.log_fn({"loss": epoch_loss, "epoch": self.cur_epoch})

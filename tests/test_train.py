@@ -224,3 +224,14 @@ def test_tensor_parallel_forward_matches_single_device(setup):
     # sharded matmuls change the reduction order: measured rel diff 3.4e-5
     # on waypoint outputs of magnitude ~1e2; rtol leaves ~15x headroom
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-2)
+
+
+def test_nonfinite_loss_aborts_loudly(tiny_setup, tmp_path):
+    """The set_detect_anomaly analog (phase2_train_net.py:107): a poisoned
+    batch must abort the epoch with FloatingPointError instead of silently
+    writing NaN checkpoints."""
+    model, batch, state_host = tiny_setup
+    engine = Engine(model, CFG, str(tmp_path))
+    bad = batch._replace(image=jnp.full_like(batch.image, jnp.nan))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        engine.train(_device_state(state_host), [bad], jax.random.PRNGKey(0))
