@@ -50,6 +50,11 @@ class KinematicWorld:
     camera_birdview: object = None
     signals: object = None                   # harness.traffic.SignalSet
     actors: list = field(default_factory=list)  # ScenarioActors, set per tick
+    # weather preset name (harness.weather.WEATHER_PRESETS): rain degrades
+    # the lidar (range loss, return dropout, backscatter clutter) and adds
+    # radar clutter — the kinematic analog of CARLA's weather affecting the
+    # raycast sensors, so EnvironmentAction/`weather:` have physical meaning
+    weather: str = "ClearNoon"
     x: float = field(init=False)
     y: float = field(init=False)
     yaw: float = field(init=False)
@@ -62,9 +67,17 @@ class KinematicWorld:
     MAX_BRAKE = 8.0
     DRAG = 0.1
 
+    # rain intensity per preset family (0 = dry): drives the sensor
+    # degradation below. Values are modeling choices, not CARLA constants —
+    # ordered like the preset severity (Wet < SoftRain < MidRain < HardRain).
+    RAIN_LEVELS = (("HardRain", 1.0), ("MidRain", 0.6), ("SoftRain", 0.3),
+                   ("Wet", 0.15))
+
     def __post_init__(self):
         self.x, self.y, self.yaw = self.start
         self._rng = np.random.default_rng(self.seed)
+        self._rain = next((r for key, r in self.RAIN_LEVELS
+                           if key in str(self.weather)), 0.0)
 
     def tick(self, control) -> None:
         if getattr(control, "reverse", False):
@@ -111,32 +124,49 @@ class KinematicWorld:
         ground[:, 2] = self.GROUND_Z + rng.normal(0, 0.05, n_ground)
         ground[:, 3] = rng.uniform(0.2, 0.6, n_ground)         # intensity
         chunks = [ground]
+        # rain: range loss (attenuation), per-return dropout, and a
+        # backscatter cloud of weak near-range returns — the standard
+        # degradation modes of spinning lidars in rain
+        lidar_range = self.LIDAR_RANGE * (1.0 - 0.35 * self._rain)
+        keep = max(1, int(round(self.LIDAR_PER_ACTOR
+                                * (1.0 - 0.45 * self._rain))))
         for a in self.actors:
             if not a.visible_sensors:     # VisibilityAction sensors=false
                 continue
             lat, fwd = self._ego_frame(a.position)
-            if math.hypot(lat, fwd) > self.LIDAR_RANGE:
+            if math.hypot(lat, fwd) > lidar_range:
                 continue
-            ang = rng.uniform(0, 2 * math.pi, self.LIDAR_PER_ACTOR)
-            r = a.extent * rng.uniform(0.8, 1.0, self.LIDAR_PER_ACTOR)
-            pts = np.empty((self.LIDAR_PER_ACTOR, 4), np.float32)
+            ang = rng.uniform(0, 2 * math.pi, keep)
+            r = a.extent * rng.uniform(0.8, 1.0, keep)
+            pts = np.empty((keep, 4), np.float32)
             pts[:, 0] = lat + r * np.cos(ang)
             pts[:, 1] = fwd + r * np.sin(ang)
-            pts[:, 2] = rng.uniform(-1.8, -0.5, self.LIDAR_PER_ACTOR)  # body
-            pts[:, 3] = rng.uniform(0.4, 0.9, self.LIDAR_PER_ACTOR)
+            pts[:, 2] = rng.uniform(-1.8, -0.5, keep)  # body
+            pts[:, 3] = rng.uniform(0.4, 0.9, keep)
             chunks.append(pts)
+        if self._rain > 0:
+            n_rain = int(150 * self._rain)
+            rain = np.empty((n_rain, 4), np.float32)
+            rain[:, 0] = rng.uniform(-12, 12, n_rain)
+            rain[:, 1] = rng.uniform(-12, 12, n_rain)
+            rain[:, 2] = rng.uniform(-2.0, 0.0, n_rain)   # above ground
+            rain[:, 3] = rng.uniform(0.05, 0.15, n_rain)  # weak returns
+            chunks.append(rain)
         return np.concatenate(chunks, axis=0)
 
     def _synth_radar(self, rear: bool) -> np.ndarray:
         """Rows [velocity, altitude, azimuth, depth] (the parsed CARLA layout,
         sensor_interface.py:169-175); negative velocity = approaching."""
         rng = self._rng
-        clutter = np.empty((self.RADAR_CLUTTER, 4), np.float32)
-        clutter[:, 0] = rng.normal(0, 0.05, self.RADAR_CLUTTER)   # ~static
-        clutter[:, 1] = rng.normal(0, 0.02, self.RADAR_CLUTTER)
+        # radar is the weather-robust modality: actor returns are untouched,
+        # rain only thickens the clutter floor (mild, vs the lidar's losses)
+        n_clut = int(round(self.RADAR_CLUTTER * (1.0 + self._rain)))
+        clutter = np.empty((n_clut, 4), np.float32)
+        clutter[:, 0] = rng.normal(0, 0.05 * (1 + self._rain), n_clut)
+        clutter[:, 1] = rng.normal(0, 0.02, n_clut)
         clutter[:, 2] = rng.uniform(-self.RADAR_FOV / 2, self.RADAR_FOV / 2,
-                                    self.RADAR_CLUTTER)
-        clutter[:, 3] = rng.uniform(5, self.RADAR_RANGE, self.RADAR_CLUTTER)
+                                    n_clut)
+        clutter[:, 3] = rng.uniform(5, self.RADAR_RANGE, n_clut)
         rows = [clutter]
         face_yaw = self.yaw + (math.pi if rear else 0.0)
         face = np.array([math.cos(face_yaw), math.sin(face_yaw)])

@@ -269,9 +269,15 @@ def main():
                 seed=config.index, signals=signals,
                 ego_start=config.trajectory[0][:2])
         max_ticks = cfg.get("max_ticks")
+        # weather: the .xosc EnvironmentAction preset, or the eval.yaml
+        # `weather:` knob — rain degrades the fake world's lidar and adds
+        # radar clutter (KinematicWorld.RAIN_LEVELS)
+        weather = (xcfg.weather if is_xosc and xcfg.weather
+                   else cfg.get("weather")) or "ClearNoon"
         return dict(triggers=triggers, rough_map=rough_map, signals=signals,
                     background=background,
-                    world_kwargs={"camera_birdview": birdview},
+                    world_kwargs={"camera_birdview": birdview,
+                                  "weather": weather},
                     scenario_manager=scenario_manager,
                     max_ticks=None if max_ticks is None else int(max_ticks))
 

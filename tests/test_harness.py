@@ -336,3 +336,48 @@ def test_visibility_flags_gate_sensor_synthesis():
     assert not (np.abs(radar[:, 3] - 10.0) < 0.5).any()
     # ... but it still collides: drive the ego onto it
     assert check_collision(np.array([9.0, 0.0]), 0.0, [ghost])
+
+
+def test_weather_degrades_lidar_not_radar():
+    """Rain presets physically affect the synthesized sensors: lidar range
+    shrinks, per-actor returns thin out, weak backscatter appears; radar
+    keeps its actor returns (the weather-robust modality) and only gains
+    clutter. Clear weather is bit-identical to the pre-weather behavior."""
+    from mmfn_tpu.harness.replay import KinematicWorld
+    from mmfn_tpu.harness.scenarios import ScenarioActor
+
+    def world(weather):
+        w = KinematicWorld(STRAIGHT_XODR, (0.0, 0.0, 0.0), weather=weather)
+        w.v = 5.0
+        w.actors = [ScenarioActor("vehicle", np.array([25.0, 0.0]),
+                                  np.zeros(2), extent=2.2, actor_id=3)]
+        return w
+
+    clear = world("ClearNoon").sensor_frame()
+    rain = world("HardRainNoon").sensor_frame()
+
+    # clear: the actor at 25 m is inside the 30 m lidar range -> body returns
+    clear_body = clear["lidar"][1][clear["lidar"][1][:, 2] > -2.0]
+    assert len(clear_body) > 0 and clear_body[:, 3].min() > 0.3
+    # hard rain: range shrinks to ~19.5 m -> the actor vanishes from lidar;
+    # what remains above ground is only weak backscatter
+    rain_body = rain["lidar"][1][rain["lidar"][1][:, 2] > -2.0]
+    assert len(rain_body) > 0
+    assert rain_body[:, 3].max() < 0.2          # backscatter only
+    assert np.abs(rain_body[:, 1] - 25.0).min() > 5.0
+
+    # radar still sees the actor in the rain (closing velocity ~ -5)
+    hits = rain["radar_front"][1]
+    hit = hits[np.abs(hits[:, 3] - 25.0) < 0.5]
+    assert len(hit) == 1 and hit[0, 0] < -4.0
+    # ... with a thicker clutter floor than clear weather
+    assert len(rain["radar_front"][1]) > len(clear["radar_front"][1])
+
+    # a nearer actor stays visible in rain, with thinned returns
+    near_clear, near_rain = world("ClearNoon"), world("MidRainyNoon")
+    for w in (near_clear, near_rain):
+        w.actors[0].position = np.array([10.0, 0.0])
+    nb_clear = near_clear.sensor_frame()["lidar"][1]
+    nb_rain = near_rain.sensor_frame()["lidar"][1]
+    count = lambda f: ((f[:, 2] > -2.0) & (f[:, 3] > 0.3)).sum()
+    assert 0 < count(nb_rain) < count(nb_clear)
