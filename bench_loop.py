@@ -89,7 +89,10 @@ def _build_agent():
 def _soak_mode(pipeline, config, async_dispatch: bool):
     agent = MMFNAgent({"variant": "rad", "pipeline": pipeline, "config": config,
                        "async_dispatch": async_dispatch})
-    wall, timed, record = _soak(agent, SOAK_TICKS)
+    try:
+        wall, timed, record = _soak(agent, SOAK_TICKS)
+    finally:
+        agent.destroy()              # releases the async-dispatch fetcher
     return {
         "ticks_per_sec": round(timed.calls / wall, 2),
         "agent_ms_per_tick": round(timed.agent_seconds / timed.calls * 1e3, 2),
@@ -147,8 +150,12 @@ def _fleet_mode(pipeline, config, n: int, ticks: int, pipelined: bool):
                    "opendrive_str": XODR, "max_ticks": run_ticks}
                   for k in range(n)]
         t0 = time.perf_counter()
-        records = FleetRunner(max_wall_seconds=3600,
-                              pipelined=pipelined).run(agents, routes)
+        try:
+            records = FleetRunner(max_wall_seconds=3600,
+                                  pipelined=pipelined).run(agents, routes)
+        finally:
+            for a in agents:
+                a.destroy()
         wall = time.perf_counter() - t0
         total_ticks = sum(a.step + 1 for a in agents)  # ticks _tick() ran
         return wall, total_ticks, records

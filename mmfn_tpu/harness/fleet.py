@@ -84,7 +84,8 @@ class FleetRunner:
                 records[i] = stop.value
 
         template = None      # zero payload filling freed batch slots
-        pending = None       # pipelined: (un-fetched dispatch, {agent: row})
+        pending = None   # pipelined: (un-fetched dispatch, {agent: row},
+                         #             {agent: payload})
         while live:
             # (per-route wall timeouts are enforced inside each drive())
             controls = {}
@@ -109,21 +110,27 @@ class FleetRunner:
                 batch += [template] * (n - len(batch))
                 fut = pipeline.dispatch_fleet(batch)   # un-fetched dispatch
                 row_of = {i: r for r, (i, _) in enumerate(forwards)}
+                pay_of = dict(forwards)
                 if not self.pipelined or pending is None \
                         or any(i not in pending[1] for i in row_of):
                     # synchronous (or priming) fetch of THIS tick's result
                     wps = np.asarray(fut)
-                    use = {i: wps[r] for i, r in row_of.items()}
+                    use = {i: (pay_of[i], wps[r]) for i, r in row_of.items()}
                 else:
                     # previous tick's result finished while this tick's host
-                    # work ran; this tick's dispatch is now in flight
-                    prev_wps = np.asarray(pending[0])
-                    use = {i: prev_wps[pending[1][i]] for i in row_of}
-                pending = (fut, row_of) if self.pipelined else None
-                for i, payload in forwards:
+                    # work ran; this tick's dispatch is now in flight. Steer
+                    # from the previous waypoints PAIRED with the payload of
+                    # the tick whose sensors produced them (finish_step's
+                    # contract — same pairing as single-agent async_dispatch)
+                    prev_fut, prev_rows, prev_pays = pending
+                    prev_wps = np.asarray(prev_fut)
+                    use = {i: (prev_pays[i], prev_wps[prev_rows[i]])
+                           for i in row_of}
+                pending = (fut, row_of, pay_of) if self.pipelined else None
+                for i in sorted(row_of):
                     agent = agents[i]
                     try:
-                        controls[i] = agent.finish_step(payload, use[i])
+                        controls[i] = agent.finish_step(*use[i])
                     except Exception as e:
                         self._finish(gens[i], i, e, records, live)
 

@@ -89,6 +89,7 @@ Conventions: positions are CARLA world frame like the rest of the harness
 from __future__ import annotations
 
 import ast
+import copy
 import math
 import os
 import re
@@ -229,7 +230,11 @@ def _eval_expr(expr: str, params: Dict[str, str]) -> str:
     ``$parameter`` references, plus the spec's five math functions
     round/floor/ceil/sqrt/pow (openscenario spec 10.8; srunner resolves the
     same via its ParameterRef machinery)."""
-    text = _PARAM_TOKEN.sub(lambda m: str(params.get(m.group(1), "0")), expr)
+    # parenthesize each substitution: a string parameter holding "1+2" used
+    # in ${$a * 3} must evaluate as (1+2)*3 = 9, not 1+2*3 = 7 (parameters
+    # are values, not textual macros)
+    text = _PARAM_TOKEN.sub(
+        lambda m: "(%s)" % params.get(m.group(1), "0"), expr)
     tree = ast.parse(text, mode="eval")
     for node in ast.walk(tree):
         if not isinstance(node, _ALLOWED_EXPR_NODES):
@@ -339,12 +344,19 @@ def _parse_position(pos: ET.Element, params: Dict[str, str],
             raise ValueError("RelativeLanePosition needs a known entityRef")
         road, lid, s, _ = locate_on_lane(_PARSE_RMAP, ref.x, ref.y)
         dlane = int(_f(rlane, "dLane", params))
-        new_lane = lid + dlane
-        if dlane != 0 and lid * new_lane <= 0:
-            new_lane += 1 if dlane > 0 else -1    # no lane 0 in OpenDRIVE
-        # ds runs along the entity's direction of travel: +s for right-side
-        # lanes, -s for left-side lanes
-        s_new = s + _f(rlane, "ds", params) * (1.0 if lid < 0 else -1.0)
+        # srunner maps dLane=+1 to waypoint.get_right_lane() and dLane=-1 to
+        # get_left_lane() (openscenario_parser.py:509-524): "right" is
+        # relative to the entity's direction of travel. Negative-id lanes
+        # travel with +s, so their right neighbour is MORE negative; the id
+        # step therefore flips sign with the lane side.
+        step = -dlane if lid < 0 else dlane
+        new_lane = lid + step
+        if step != 0 and lid * new_lane <= 0:
+            new_lane += 1 if step > 0 else -1    # no lane 0 in OpenDRIVE
+        # ds runs along the TARGET lane's direction of travel (srunner walks
+        # wp.next(ds) on the resolved waypoint): +s for right-side lanes,
+        # -s for left-side lanes
+        s_new = s + _f(rlane, "ds", params) * (1.0 if new_lane < 0 else -1.0)
         x, y, yaw = resolve_lane_position(
             _PARSE_RMAP, road, new_lane, s_new,
             _f(rlane, "offset", params, 0.0))
@@ -531,14 +543,21 @@ def _nurbs_basis(knots: np.ndarray, order: int, u: np.ndarray) -> np.ndarray:
     span so the curve endpoint is reproduced exactly."""
     p = order - 1
     n_ctrl = len(knots) - order
-    # zeroth degree: indicator of the knot span (half-open, last span closed)
+    # zeroth degree: indicator of the knot span (half-open; the single span
+    # containing the domain end closes at it so the curve endpoint is
+    # reproduced). Spans at/after the domain end stay zero — with a
+    # non-clamped knot vector they would otherwise ALSO fire at
+    # u == domain end and double the rational denominator there.
     N = np.zeros((len(u), len(knots) - 1))
+    domain_end = knots[n_ctrl]                       # == knots[-order]
     for i in range(len(knots) - 1):
-        if knots[i + 1] > knots[i]:
+        if knots[i + 1] <= knots[i] or knots[i] >= domain_end:
+            continue
+        if domain_end <= knots[i + 1]:               # span holding the end
+            inside = (u >= knots[i]) & (u <= domain_end)
+        else:
             inside = (u >= knots[i]) & (u < knots[i + 1])
-            if knots[i + 1] >= knots[-order]:      # close the final span
-                inside = (u >= knots[i]) & (u <= knots[i + 1])
-            N[:, i] = inside
+        N[:, i] = inside
     for d in range(1, p + 1):
         nxt = np.zeros((len(u), N.shape[1] - 1))
         for i in range(nxt.shape[1]):
@@ -907,8 +926,15 @@ def _load_catalogs(root: ET.Element, base_dir: str) -> Dict[str, Dict[str, ET.El
 
 def _catalog_entry(obj: ET.Element, catalogs: Dict[str, Dict[str, ET.Element]],
                    params: Dict[str, str]) -> Optional[ET.Element]:
-    """Resolve a ScenarioObject's CatalogReference; ParameterAssignments
-    extend the active parameter scope for attributes read off the entry."""
+    """Resolve a ScenarioObject's CatalogReference.
+
+    Matches srunner's get_catalog_entry semantics: the entry is deep-copied
+    and its ``$parameter`` attribute values are substituted from a LOCAL
+    scope — the entry's own ParameterDeclarations defaults overridden by the
+    reference's ParameterAssignments (themselves resolved in the caller's
+    scope). The caller's ``params`` dict is never mutated, so an assignment
+    cannot leak into later ``$param`` references elsewhere in the scenario.
+    """
     ref = obj.find("CatalogReference")
     if ref is None:
         return None
@@ -917,9 +943,19 @@ def _catalog_entry(obj: ET.Element, catalogs: Dict[str, Dict[str, ET.Element]],
     if entry is None:
         raise ValueError(f"unresolved CatalogReference "
                          f"{ref.get('catalogName')}/{ref.get('entryName')}")
+    local = dict(params)
+    decls = entry.find("ParameterDeclarations")
+    if decls is not None:
+        for p in decls.findall("ParameterDeclaration"):
+            local[p.get("name", "")] = _resolve(p.get("value", ""), local) or ""
     for assign in ref.findall(".//ParameterAssignment"):
         pname = assign.get("parameterRef", "").lstrip("$")
-        params[pname] = _resolve(assign.get("value", ""), params) or ""
+        local[pname] = _resolve(assign.get("value", ""), params) or ""
+    entry = copy.deepcopy(entry)
+    for el in entry.iter():
+        for k, v in el.attrib.items():
+            if "$" in v:
+                el.attrib[k] = _resolve(v, local) or v
     return entry
 
 

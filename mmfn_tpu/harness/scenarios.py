@@ -106,8 +106,11 @@ def sample_scenarios(grouped: dict, seed: int = 0) -> List[ScenarioTrigger]:
             return -1
 
     def position_used(t: ScenarioTrigger, chosen) -> bool:
+        # position ONLY — compare_scenarios (route_scenario.py:134-169) never
+        # looks at the scenario type (its yaw term is even a self-subtraction,
+        # always 0), so any earlier pick within 2 m consumes the position
         return any(math.hypot(t.x - c.x, t.y - c.y) < TRIGGER_THRESHOLD
-                   and t.scenario_type == c.scenario_type for c in chosen)
+                   for c in chosen)
 
     sampled: List[ScenarioTrigger] = []
     for key in sorted(grouped):

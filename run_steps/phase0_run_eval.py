@@ -308,18 +308,25 @@ def main():
                   f"{', '.join(c.route_id for c in configs)}{bc.ENDC}")
             # agent.async_dispatch=true selects the pipelined fleet (steer
             # from the previous tick's batched forward, docs/PARITY.md)
-            records = FleetRunner(
-                statistics, max_wall_seconds=wall_budget,
-                pipelined=bool(cfg["agent"].get("async_dispatch", False)),
-            ).run(agents, [dict(config=c, opendrive_str=map_xodr,
-                                **route_kwargs(c)) for c in configs])
+            try:
+                records = FleetRunner(
+                    statistics, max_wall_seconds=wall_budget,
+                    pipelined=bool(cfg["agent"].get("async_dispatch", False)),
+                ).run(agents, [dict(config=c, opendrive_str=map_xodr,
+                                    **route_kwargs(c)) for c in configs])
+            finally:
+                for a in agents:     # release async-dispatch fetcher threads
+                    a.destroy()
         else:
             config = configs[0]
             agent = build_agent(cfg, shared, route_index=config.index)
             print(f"{bc.OKCYAN}route {config.route_id} "
                   f"({config.index + 1}/{indexer.total}){bc.ENDC}")
-            records = [runner.run_route(agent, config, map_xodr,
-                                        **route_kwargs(config))]
+            try:
+                records = [runner.run_route(agent, config, map_xodr,
+                                            **route_kwargs(config))]
+            finally:
+                agent.destroy()      # agents are per-route; free the fetcher
         for config, record in zip(configs, records):
             statistics.save_record(record, config.index, endpoint)
             print(format_route_record(record, title=f"route {config.route_id}"))

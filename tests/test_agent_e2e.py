@@ -142,8 +142,40 @@ def test_fleet_runner_closed_loop(tool, tmp_path, pipelined):
         routes.append({"config": config, "opendrive_str": STRAIGHT_XODR,
                        "max_ticks": 6})
 
+    # instrument agent 0: finish_step must receive the PAYLOAD of the tick
+    # whose forward produced the waypoints (finish_step's contract) — under
+    # pipelining that is the previous tick's payload, same pairing as the
+    # single-agent async_dispatch path.
+    import itertools
+
+    tags = []
+    a0 = agents[0]
+    orig_prepare, orig_finish = a0.prepare_step, a0.finish_step
+    counter = itertools.count()
+
+    def prepare(input_data):
+        kind, payload = orig_prepare(input_data)
+        if kind == "forward":
+            payload["_tag"] = next(counter)
+        return kind, payload
+
+    def finish(payload, wps):
+        tags.append(payload.get("_tag"))
+        return orig_finish(payload, wps)
+
+    a0.prepare_step, a0.finish_step = prepare, finish
+
     records = FleetRunner(max_wall_seconds=600,
                           pipelined=pipelined).run(agents, routes)
+
+    assert len(tags) >= 3, "model forwards never reached finish_step"
+    if pipelined:
+        # the priming tick consumes its own forward; thereafter every
+        # control is computed from the previous tick's (payload, waypoints)
+        assert tags[:2] == [0, 0]
+        assert tags[1:] == list(range(len(tags) - 1))
+    else:
+        assert tags == list(range(len(tags)))
 
     assert len(records) == 3
     for k, (agent, record) in enumerate(zip(agents, records)):

@@ -463,6 +463,80 @@ def test_catalog_reference_and_expressions(tmp_path):
     assert cfg.entities["npc"].y == 3.5
 
 
+def test_catalog_parameter_assignments_are_scoped(tmp_path):
+    """ParameterAssignments substitute into a deep copy of the catalog entry
+    under a LOCAL scope (srunner get_catalog_entry): the entry's own
+    ParameterDeclarations provide defaults, an assignment overrides them for
+    that one reference, and nothing leaks into the scenario-global params."""
+    catdir = tmp_path / "catalogs"
+    catdir.mkdir()
+    (catdir / "param_vehicles.xosc").write_text("""<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="d" description="pc" author=""/>
+  <Catalog name="VehicleCatalog">
+    <Vehicle name="param_vehicle" vehicleCategory="$category">
+      <ParameterDeclarations>
+        <ParameterDeclaration name="category" parameterType="string" value="car"/>
+      </ParameterDeclarations>
+    </Vehicle>
+  </Catalog>
+</OpenSCENARIO>
+""")
+    xosc = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="1" date="d" description="scope" author=""/>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="speed" parameterType="double" value="10"/>
+  </ParameterDeclarations>
+  <CatalogLocations>
+    <VehicleCatalog><Directory path="catalogs"/></VehicleCatalog>
+  </CatalogLocations>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="bike">
+      <CatalogReference catalogName="VehicleCatalog" entryName="param_vehicle">
+        <ParameterAssignments>
+          <ParameterAssignment parameterRef="category" value="bicycle"/>
+          <ParameterAssignment parameterRef="speed" value="99"/>
+        </ParameterAssignments>
+      </CatalogReference>
+    </ScenarioObject>
+    <ScenarioObject name="plain">
+      <CatalogReference catalogName="VehicleCatalog" entryName="param_vehicle"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="plain">
+          <PrivateAction><TeleportAction><Position>
+            <WorldPosition x="$speed" y="0" z="0" h="0"/>
+          </Position></TeleportAction></PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a"/></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    path = tmp_path / "scope.xosc"
+    path.write_text(xosc)
+    cfg = parse_xosc(str(path))
+    # assignment resolved INTO the copied entry's attributes
+    assert cfg.entities["bike"].extent == 1.0          # category=bicycle
+    # second reference sees the entry's own default, not the first
+    # reference's assignment
+    assert cfg.entities["plain"].extent != 1.0
+    # the assignment named like a global parameter did NOT leak: $speed
+    # downstream still resolves to the declared 10, not 99
+    assert cfg.entities["plain"].x == 10.0
+
+
 def test_unresolved_catalog_reference_raises(tmp_path):
     xosc = """<?xml version="1.0"?>
 <OpenSCENARIO>
@@ -487,6 +561,10 @@ def test_expression_rejects_non_arithmetic(tmp_path):
 
     assert _eval_expr("2 + 3 * 4", {}) == "14"
     assert _eval_expr("$a / 2", {"a": "9"}) == "4.5"
+    # parameters are VALUES, not textual macros: a string parameter holding
+    # an expression is parenthesized before substitution
+    assert _eval_expr("$a * 3", {"a": "1+2"}) == "9"
+    assert _eval_expr("-$a", {"a": "1-3"}) == "2"
     # the five OSC 1.1 spec 10.8 functions (round is round-half-up)
     assert _eval_expr("round(2.5)", {}) == "3"
     assert _eval_expr("round(-2.5)", {}) == "-2"
@@ -757,6 +835,36 @@ def test_follow_trajectory_nurbs_quarter_circle(tmp_path):
     assert np.all(np.diff(action.times) > 0)
 
 
+def test_follow_trajectory_nurbs_nonclamped_endpoint(tmp_path):
+    """A UNIFORM (non-clamped) knot vector: the domain-end sample must be
+    attributed to the single span containing it — zeroth-degree spans at or
+    past the domain end must stay silent, or the rational denominator
+    doubles at the endpoint and the final waypoint blends in the padding
+    column. A degree-1 uniform B-spline is linear through its control
+    points over the domain [knots[p], knots[n]] (here [1, 4] -> x: 0..3)."""
+    p = tmp_path / "nurbs_uniform.xosc"
+    p.write_text(_clothoid_xosc("""
+      <Nurbs order="2">
+        <ControlPoint time="0"><Position><WorldPosition x="0" y="0"/></Position></ControlPoint>
+        <ControlPoint time="1"><Position><WorldPosition x="1" y="0"/></Position></ControlPoint>
+        <ControlPoint time="2"><Position><WorldPosition x="2" y="0"/></Position></ControlPoint>
+        <ControlPoint time="3"><Position><WorldPosition x="3" y="0"/></Position></ControlPoint>
+        <Knot value="0"/><Knot value="1"/><Knot value="2"/>
+        <Knot value="3"/><Knot value="4"/><Knot value="5"/>
+      </Nurbs>"""))
+    cfg = parse_xosc(str(p))
+    action = cfg.events[0].actions[0]
+    assert action.kind == "trajectory"
+    pts = np.asarray(action.waypoints)
+    assert np.allclose(pts[:, 1], 0.0, atol=1e-9)
+    assert np.allclose(pts[0], [0.0, 0.0], atol=1e-9)
+    assert np.allclose(pts[-1], [3.0, 0.0], atol=1e-9)   # endpoint intact
+    u = np.linspace(0.0, 3.0, len(pts))
+    assert np.allclose(pts[:, 0], u, atol=1e-9)          # linear in u
+    assert np.all(np.diff(action.times) > 0)             # schedule monotone
+    assert abs(action.times[-1] - 3.0) < 1e-9
+
+
 def test_follow_trajectory_nurbs_validates(tmp_path):
     p = tmp_path / "nurbs_bad.xosc"
     p.write_text(_clothoid_xosc("""
@@ -1023,8 +1131,9 @@ TWO_LANE_XODR = """<?xml version="1.0" standalone="yes"?>
 def test_relative_positions_resolve(tool, tmp_path):
     """RelativeObjectPosition rotates dx/dy into the referenced entity's
     init frame; RelativeLanePosition locates the entity's lane through the
-    rmap v3 inverse lookup, shifts dLane lanes (skipping the nonexistent
-    lane 0) and ds meters along the entity's travel direction."""
+    rmap v3 inverse lookup, shifts dLane lanes travel-relative (dLane=+1 is
+    srunner's get_right_lane(), skipping the nonexistent lane 0) and ds
+    meters along the TARGET lane's travel direction."""
     from mmfn_tpu.mapping import RoughMap, build_rmap
 
     d = tmp_path / "map2"
@@ -1056,16 +1165,19 @@ def test_relative_positions_resolve(tool, tmp_path):
     hero = cfg.entities["hero"]
     assert abs(hero.x - 45.0) < 1e-6 and abs(hero.y - 2.75) < 1e-6
 
-    # RelativeLanePosition: one lane left of the lead (skips lane 0 ->
-    # oncoming lane 1 at CARLA y=-1.75), 10 m ahead along the lead's travel
+    # RelativeLanePosition: dLane=-1 is srunner's get_left_lane()
+    # (openscenario_parser.py:509-524) — from right-side lane -1 it crosses
+    # the centerline (no lane 0) to oncoming lane 1 at CARLA y=-1.75; ds=10
+    # then walks wp.next(10) along the TARGET lane's travel (-x), so
+    # x = 40 - 10
     xosc2 = xosc.replace(
         '<RelativeObjectPosition entityRef="lead" dx="5" dy="1"/>',
-        '<RelativeLanePosition entityRef="lead" dLane="1" ds="10" offset="0"/>')
+        '<RelativeLanePosition entityRef="lead" dLane="-1" ds="10" offset="0"/>')
     p2 = tmp_path / "rellane.xosc"
     p2.write_text(xosc2)
     cfg2 = parse_xosc(str(p2), rough_map=rmap)
     hero2 = cfg2.entities["hero"]
-    assert abs(hero2.x - 50.0) < 1e-6
+    assert abs(hero2.x - 30.0) < 1e-6
     assert abs(hero2.y + 1.75) < 1e-6
     # the oncoming lane travels against s: resolved heading ~ pi
     assert abs(abs(hero2.yaw) - math.pi) < 1e-6
