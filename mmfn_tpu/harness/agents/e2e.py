@@ -59,7 +59,8 @@ class MMFNAgent(AutonomousAgent):
         self.pipeline: JitPipeline = conf["pipeline"] if "pipeline" in conf else \
             JitPipeline(conf["model"], conf["variables"], self.config,
                         points_per_sweep=conf.get("points_per_sweep", 32768),
-                        host_bev=conf.get("host_bev", False))
+                        host_bev=conf.get("host_bev", False),
+                        mesh=conf.get("mesh"))
         self.controller = WaypointController(self.config)
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
                                   self.config.right, self.config.lane_node_num,

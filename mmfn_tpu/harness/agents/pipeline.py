@@ -35,17 +35,27 @@ class JitPipeline:
     dataloader.py:271-293, vs the f16-shipped cloud); choose by link: ~3x
     fewer bytes/tick on a thin host<->device link, while a colocated host
     prefers the on-device kernel.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards ``dispatch_fleet``'s batch
+    across devices: params replicate, every batch input splits on its leading
+    axis, and each chip runs the identical per-sample program on its shard —
+    collective-free data-parallel SERVING (the reference has no analog; its
+    evaluator is one GPU, one vehicle, leaderboard_evaluator.py:386-411).
+    ``shard_map`` rather than GSPMD-annotated jit so the Pallas BEV kernel
+    stays a per-device program (no custom-call partitioning needed). Batches
+    not divisible by the mesh pad with zero rows (lane_num=1) and slice back.
     """
 
     def __init__(self, model, variables, config: GlobalConfig,
                  points_per_sweep: int = MAX_SWEEP_POINTS,
-                 host_bev: bool = False):
+                 host_bev: bool = False, mesh=None):
         self.model = model
         self.variables = variables
         self.config = config
         self.variant = model.variant
         self.points_per_sweep = points_per_sweep
         self.host_bev = host_bev
+        self.mesh = mesh
 
         def apply_batched(variables, image, points, lanes, lane_num, radar,
                           map_img, target_point, velocity):
@@ -87,6 +97,24 @@ class JitPipeline:
 
         self._forward = forward
         self._forward_batched = jax.jit(apply_batched)
+        if mesh is None:
+            self._forward_fleet = self._forward_batched
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map          # jax >= 0.8
+            except ImportError:                    # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_names[0]
+            # variables replicate (P() prefix over the whole pytree); the 8
+            # batch inputs split on their leading axis. None inputs (lanes /
+            # map_img per variant) are empty pytrees — their spec applies to
+            # zero leaves.
+            self._forward_fleet = jax.jit(shard_map(
+                apply_batched, mesh=mesh,
+                in_specs=(P(),) + (P(axis),) * 8, out_specs=P(axis),
+                check_vma=False))
 
     def dispatch(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],
@@ -138,14 +166,33 @@ class JitPipeline:
     def dispatch_fleet(self, payloads) -> jax.Array:
         """One batched forward over N agents' ``prepare_step`` payloads
         (one compiled program per fleet size N; one transfer per tick for the
-        whole fleet). Returns the un-fetched (N, pred_len, 2) device array."""
+        whole fleet). Returns the un-fetched (N, pred_len, 2) device array.
+
+        With a ``mesh``, the batch splits across the mesh's devices (padded
+        to a multiple of the mesh size with zero rows; lane_num pads with 1
+        because the masked lane attention expects >= 1 valid token)."""
         rows = [self._host_args(p["image"], p["points"], p["lanes"],
                                 p["lane_num"], p["radar"], p["map_img"],
                                 p["target_point"], p["speed"])
                 for p in payloads]
         cols = list(zip(*rows))
         stacked = [None if col[0] is None else np.stack(col) for col in cols]
-        return self._forward_batched(self.variables, *stacked)
+        if self.mesh is None:
+            return self._forward_batched(self.variables, *stacked)
+        n = len(payloads)
+        pad = (-n) % self.mesh.size
+        if pad:
+            def padded(i, x):
+                if x is None:
+                    return None
+                ext = np.zeros((pad,) + x.shape[1:], x.dtype)
+                if i == 3:                       # lane_num rows
+                    ext[:] = 1
+                return np.concatenate([x, ext])
+
+            stacked = [padded(i, x) for i, x in enumerate(stacked)]
+        out = self._forward_fleet(self.variables, *stacked)
+        return out[:n] if pad else out
 
     def __call__(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],

@@ -146,6 +146,19 @@ def build_agent(cfg, shared=None, route_index=None):
             # bins lidar on host and ships the uint8 count grid (thin links)
             "async_dispatch": agent_cfg.get("async_dispatch", False),
             "host_bev": agent_cfg.get("host_bev", False)}
+    # agent.fleet_devices=N: shard the fleet's batched forward across the
+    # first N local devices (collective-free data-parallel serving; pairs
+    # with the top-level `fleet:` width — see harness/agents/pipeline.py)
+    n_dev = int(agent_cfg.get("fleet_devices", 1))
+    if n_dev > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < n_dev:
+            raise SystemExit(f"agent.fleet_devices={n_dev} but only "
+                             f"{len(devices)} devices are visible")
+        conf["mesh"] = Mesh(_np.array(devices[:n_dev]), ("fleet",))
     if "pipeline" in shared:
         conf["pipeline"] = shared["pipeline"]
     agent = MMFNAgent(conf)

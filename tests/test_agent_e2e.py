@@ -106,6 +106,52 @@ def test_pipeline_host_bev_matches_device_bev():
     np.testing.assert_allclose(wp_fleet[1], wp_dev, rtol=1e-5, atol=1e-4)
 
 
+def test_fleet_mesh_sharded_matches_unsharded():
+    """dispatch_fleet over a 1-D device mesh (shard_map: params replicated,
+    batch split on its leading axis, collective-free) must reproduce the
+    unsharded batched forward row-for-row — both when the fleet width
+    divides the mesh and when it does not (zero-row pad + slice-back)."""
+    from jax.sharding import Mesh
+    from mmfn_tpu.harness.agents.pipeline import JitPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "vec")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    plain = JitPipeline(model, variables, cfg, points_per_sweep=2048)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("fleet",))
+    sharded = JitPipeline(model, variables, cfg, points_per_sweep=2048,
+                          mesh=mesh)
+
+    rng = np.random.default_rng(3)
+
+    def payload():
+        return {
+            "image": rng.integers(0, 256, size=(256, 256, 3)).astype(np.uint8),
+            "points": rng.uniform(low=[-20, -30, -4], high=[20, 12, 2],
+                                  size=(3000, 3)).astype(np.float32),
+            "lanes": (rng.normal(size=(cfg.max_lanes, 10, 5)) * 10
+                      ).astype(np.float32),
+            "lane_num": 3, "radar": rng.normal(size=(81, 5)).astype(np.float32),
+            "map_img": None,
+            "target_point": np.array([1.0, 4.0], np.float32), "speed": 2.0,
+        }
+
+    for width in (3, 4):     # 3 pads to the mesh size; 4 divides it exactly
+        pls = [payload() for _ in range(width)]
+        wp_plain = np.asarray(plain.dispatch_fleet(pls))
+        wp_sharded = np.asarray(sharded.dispatch_fleet(pls))
+        assert wp_sharded.shape == wp_plain.shape == (width,) + wp_plain.shape[1:]
+        # rtol 2e-4: per-shard vs full-batch programs tile/reassociate f32
+        # differently and the untrained net emits O(1e3) waypoints (observed
+        # max rel diff ~5e-5 on CPU)
+        np.testing.assert_allclose(wp_sharded, wp_plain, rtol=2e-4, atol=1e-2)
+
+
 @pytest.mark.parametrize("pipelined", [False, True])
 def test_fleet_runner_closed_loop(tool, tmp_path, pipelined):
     """Three routes in lockstep, one batched forward per tick; every route
