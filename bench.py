@@ -183,7 +183,9 @@ def timed_train(model, cfg, batch_size, iters=20, compute_dtype=jnp.float32):
 def main():
     _require_device()
     rng = np.random.default_rng(0)
-    cfg = GlobalConfig()
+    # MMFN_BENCH_ATTN=pallas A/Bs the fused inference attention kernel
+    # (ops/attention.py) against the default XLA einsum path
+    cfg = GlobalConfig(attn_impl=os.environ.get("MMFN_BENCH_ATTN", "xla"))
     model = build_model(cfg, "rad")
 
     init_inp = make_inputs(1, rng)
@@ -258,6 +260,17 @@ def main():
         want = np.asarray(jax.jit(_bev_hist_xla)(pts))
         pallas_ok = bool(np.allclose(got, want, atol=1e-5))
 
+        # fused attention kernel vs the einsum reference, full-config shape
+        from mmfn_tpu.ops.attention import _fused_attention
+
+        q, k, v = (jnp.asarray(rng.normal(size=(2, 4, 256, 128))
+                               .astype(np.float32)) for _ in range(3))
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.float32(np.sqrt(128))
+        want_a = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(att, -1), v)
+        got_a = np.asarray(_fused_attention(q, k, v))
+        pallas_ok = pallas_ok and bool(
+            np.allclose(got_a, np.asarray(want_a), rtol=1e-4, atol=1e-4))
+
     print(json.dumps({
         "metric": "end-to-end frames/sec/chip (sensor->waypoints, full MMFN-rad)",
         "value": round(fps, 2),
@@ -275,6 +288,7 @@ def main():
         "fleet_agg_ticks_per_sec": fleet and fleet["agg_ticks_per_sec"],
         "fleet_vehicles_at_20hz": fleet and fleet["vehicles_at_20hz"],
         "pallas_ok": pallas_ok,
+        "attn_impl": cfg.attn_impl,
         "device": str(jax.devices()[0]),
     }))
 

@@ -40,6 +40,11 @@ class GlobalConfig:
     embd_pdrop: float = 0.1
     resid_pdrop: float = 0.1
     attn_pdrop: float = 0.1
+    # "pallas": fused on-chip attention for INFERENCE (ops/attention.py —
+    # the (T, T) matrix never touches HBM); "xla" keeps the einsum path
+    # (and its attention-weights sow for scripts/viz_attention.py). Train
+    # always uses xla (the kernel defines no VJP).
+    attn_impl: str = "xla"
 
     # ---- waypoint PID controller ----
     turn_KP: float = 1.0

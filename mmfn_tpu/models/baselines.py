@@ -119,7 +119,8 @@ class TransFuser(nn.Module):
                 vert_anchors=cfg.vert_anchors, horz_anchors=cfg.horz_anchors,
                 seq_len=cfg.seq_len, embd_pdrop=cfg.embd_pdrop,
                 attn_pdrop=cfg.attn_pdrop, resid_pdrop=cfg.resid_pdrop,
-                precision=precision, name=f"transformer{i + 1}")
+                precision=precision, attn_impl=cfg.attn_impl,
+                name=f"transformer{i + 1}")
             for i, e in enumerate((64, 128, 256, 512)))
         self.join_fc1, self.join_fc2, self.join_fc3 = _join_mlp(precision)
         self.decoder = WaypointDecoder(pred_len=cfg.pred_len, input_mode="add",

@@ -28,6 +28,7 @@ class SelfAttention(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     precision: Any = None
+    attn_impl: str = "xla"   # "pallas": fused inference kernel (ops/attention.py)
 
     def setup(self):
         kw = dict(kernel_init=gpt_kernel_init, bias_init=nn.initializers.zeros,
@@ -45,13 +46,20 @@ class SelfAttention(nn.Module):
         q = self.query(x).reshape(b, t, self.n_head, hs).transpose(0, 2, 1, 3)
         k = self.key(x).reshape(b, t, self.n_head, hs).transpose(0, 2, 1, 3)
         v = self.value(x).reshape(b, t, self.n_head, hs).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=self.precision) / jnp.sqrt(hs).astype(x.dtype)
-        att = nn.softmax(att, axis=-1)
-        # recorded only when "intermediates" is mutable/captured (viz tooling,
-        # utils/introspection.py) — free in normal jitted forwards
-        self.sow("intermediates", "attention_weights", att)
-        att = self.attn_drop(att, deterministic=not train)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v, precision=self.precision)
+        if self.attn_impl == "pallas" and not train:
+            # fused on-chip QK^T/softmax/AV (inference only: no dropout is
+            # active and the kernel defines no VJP; no weights to sow)
+            from mmfn_tpu.ops.attention import fused_attention
+
+            y = fused_attention(q, k, v)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=self.precision) / jnp.sqrt(hs).astype(x.dtype)
+            att = nn.softmax(att, axis=-1)
+            # recorded only when "intermediates" is mutable/captured (viz
+            # tooling, utils/introspection.py) — free in normal jitted forwards
+            self.sow("intermediates", "attention_weights", att)
+            att = self.attn_drop(att, deterministic=not train)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v, precision=self.precision)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
         return self.resid_drop(self.proj(y), deterministic=not train)
 
@@ -63,6 +71,7 @@ class Block(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     precision: Any = None
+    attn_impl: str = "xla"
 
     def setup(self):
         kw = dict(kernel_init=gpt_kernel_init, bias_init=nn.initializers.zeros,
@@ -70,7 +79,8 @@ class Block(nn.Module):
         self.ln1 = nn.LayerNorm(epsilon=1e-5)
         self.ln2 = nn.LayerNorm(epsilon=1e-5)
         self.attn = SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                                  self.resid_pdrop, precision=self.precision)
+                                  self.resid_pdrop, precision=self.precision,
+                                  attn_impl=self.attn_impl)
         self.fc1 = nn.Dense(self.block_exp * self.n_embd, **kw)
         self.fc2 = nn.Dense(self.n_embd, **kw)
         self.mlp_drop = nn.Dropout(self.resid_pdrop)
@@ -99,6 +109,7 @@ class FusionTransformer(nn.Module):
     attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
     precision: Any = None
+    attn_impl: str = "xla"
 
     def setup(self):
         t = self.n_groups * self.seq_len * self.vert_anchors * self.horz_anchors
@@ -107,7 +118,8 @@ class FusionTransformer(nn.Module):
                                 bias_init=nn.initializers.zeros, precision=self.precision)
         self.blocks = tuple(
             Block(self.n_embd, self.n_head, self.block_exp, self.attn_pdrop,
-                  self.resid_pdrop, precision=self.precision, name=f"block_{i}")
+                  self.resid_pdrop, precision=self.precision,
+                  attn_impl=self.attn_impl, name=f"block_{i}")
             for i in range(self.n_layer)
         )
         self.ln_f = nn.LayerNorm(epsilon=1e-5)

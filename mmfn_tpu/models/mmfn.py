@@ -72,7 +72,8 @@ class MMFNEncoder(nn.Module):
                 vert_anchors=cfg.vert_anchors, horz_anchors=cfg.horz_anchors,
                 seq_len=cfg.seq_len, embd_pdrop=cfg.embd_pdrop,
                 attn_pdrop=cfg.attn_pdrop, resid_pdrop=cfg.resid_pdrop,
-                precision=precision, name=f"transformer{i + 1}"))
+                precision=precision, attn_impl=cfg.attn_impl,
+                name=f"transformer{i + 1}"))
         self.transformers = tuple(transformers)
 
     def __call__(self, batch: Batch, train: bool = False) -> jnp.ndarray:

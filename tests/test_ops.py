@@ -215,3 +215,53 @@ def test_scale_and_crop_matches_pil():
     ref = np.asarray(Image.fromarray(img).resize((200, 150)))
     want = ref[150 // 2 - 64:150 // 2 + 64, 200 // 2 - 64:200 // 2 + 64]
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_attention_matches_einsum(rng):
+    """The Pallas fused-attention kernel (ops/attention.py) must reproduce
+    softmax(qk^T/sqrt(d))v exactly as the einsum path in
+    models/gpt.py:SelfAttention — every fusion-stage shape (T = 64*groups,
+    head dims 16..128)."""
+    import jax.numpy as jnp
+    from mmfn_tpu.ops.attention import _fused_attention
+
+    for t, d in ((128, 16), (192, 64), (256, 128)):
+        q = jnp.asarray(rng.normal(size=(2, 4, t, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 4, t, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 4, t, d)).astype(np.float32))
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d).astype(np.float32)
+        att = jax.nn.softmax(att, axis=-1)
+        want = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        got = _fused_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fusion_transformer_pallas_attention_matches_xla(rng):
+    """FusionTransformer with attn_impl='pallas' (inference) must match the
+    einsum implementation on identical variables; train=True must fall back
+    to the einsum path (the kernel has no VJP) and still differentiate."""
+    import jax.numpy as jnp
+    from mmfn_tpu.models.gpt import FusionTransformer
+
+    kw = dict(n_embd=64, n_head=4, block_exp=4, n_layer=2, n_groups=3)
+    xla = FusionTransformer(attn_impl="xla", **kw)
+    pal = FusionTransformer(attn_impl="pallas", **kw)
+    grids = [jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+             for _ in range(3)]
+    vel = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    variables = xla.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, grids, vel, False)
+    out_x = xla.apply(variables, grids, vel, False)
+    out_p = pal.apply(variables, grids, vel, False)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(params):
+        outs = pal.apply({"params": params}, grids, vel, True,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(g))
