@@ -1,0 +1,179 @@
+"""Standalone scenario runner — srunner's ``scenario_runner.py`` analog.
+
+The reference vendors CARLA scenario_runner, whose standalone entry runs ONE
+named scenario class (or an OpenSCENARIO file) outside the leaderboard route
+loop (scenario_runner/scenario_runner.py:46-500, CLI at :503-541: --scenario /
+--openscenario / --list / --repetitions / --randomize / --output / --junit).
+This is the fake-world equivalent: it places the named behavior's trigger on
+a straight route (or a supplied map), drives the chosen agent through the
+same scored closed loop phase0 uses, and writes stdout / txt / JUnit results.
+
+Examples:
+    python run_steps/scenario_run.py --list
+    python run_steps/scenario_run.py --scenario FollowLeadingVehicleWithObstacle
+    python run_steps/scenario_run.py --scenario Scenario3 --agent npc \
+        --repetitions 3 --randomize --junit /tmp/s3.xml
+    python run_steps/scenario_run.py --openscenario data/scenarios/cut_in_with_controller.xosc
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def list_scenarios() -> str:
+    from mmfn_tpu.harness.scenarios import SCENARIO_CLASSES
+
+    lines = ["supported scenarios (harness/scenarios.py; srunner sources in"
+             " each class docstring):"]
+    for name, cls in SCENARIO_CLASSES.items():
+        doc = (cls.__doc__ or "").strip().splitlines()[0]
+        lines.append(f"  {name:36s} {cls.__name__:24s} {doc}")
+    return "\n".join(lines)
+
+
+def _junit(path: str, scenario: str, records, elapsed: float) -> None:
+    """Minimal JUnit XML, one testcase per repetition (srunner --junit)."""
+    import xml.etree.ElementTree as ET
+
+    failures = sum(1 for r in records if not r.status.startswith("Completed"))
+    suite = ET.Element("testsuite", name=scenario, tests=str(len(records)),
+                       failures=str(failures), time=f"{elapsed:.2f}")
+    for i, r in enumerate(records):
+        case = ET.SubElement(suite, "testcase", classname=scenario,
+                             name=f"repetition_{i}",
+                             time=f"{r.meta.get('duration_game', 0.0):.2f}")
+        if not r.status.startswith("Completed"):
+            fail = ET.SubElement(case, "failure", message=r.status)
+            fail.text = "; ".join(
+                f"{k}: {len(v)}" for k, v in r.infractions.items() if v)
+        sc = ET.SubElement(case, "system-out")
+        sc.text = (f"score_composed={r.scores['score_composed']:.2f} "
+                   f"route_completion={r.scores['score_route']:.2f}")
+    ET.ElementTree(suite).write(path, encoding="unicode",
+                                xml_declaration=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawTextHelpFormatter)
+    ap.add_argument("--scenario", help="scenario class name (see --list)")
+    ap.add_argument("--openscenario", help="OpenSCENARIO .xosc file")
+    ap.add_argument("--list", action="store_true",
+                    help="list supported scenarios and exit")
+    ap.add_argument("--agent", default="expert",
+                    help="agent type: expert | auto | npc | e2e | aim | "
+                         "cilrs | transfuser (default expert)")
+    ap.add_argument("--repetitions", type=int, default=1)
+    ap.add_argument("--randomize", action="store_true",
+                    help="jitter the trigger position per repetition "
+                         "(srunner --randomize)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--map", default=None,
+                    help="OpenDRIVE file for the fake world (default: "
+                         "straight road)")
+    ap.add_argument("--trigger-s", type=float, default=40.0,
+                    help="trigger arclength along the route (m)")
+    ap.add_argument("--route-length", type=float, default=150.0)
+    ap.add_argument("--output", default=None,
+                    help="also write the result table to this txt file")
+    ap.add_argument("--junit", default=None, help="write JUnit XML here")
+    ap.add_argument("--timeout", type=float, default=600.0,
+                    help="wall-clock budget per repetition (s)")
+    args = ap.parse_args()
+
+    if args.list:
+        print(list_scenarios())
+        return
+
+    if args.openscenario:
+        # .xosc episodes run through phase0's OpenScenarioManager path —
+        # same storyboard engine, same scoring
+        import phase0_run_eval
+
+        sys.argv = ["phase0", f"routes={args.openscenario}",
+                    f"agent.type={args.agent}",
+                    f"repetitions={args.repetitions}",
+                    "resume=false",
+                    f"checkpoint=results/xosc_{int(time.time())}.json"]
+        if args.map:
+            sys.argv.append(f"map={args.map}")
+        phase0_run_eval.main()
+        return
+
+    if not args.scenario:
+        ap.error("one of --scenario / --openscenario / --list is required")
+
+    from phase0_run_eval import FALLBACK_XODR, build_agent
+    from mmfn_tpu.harness.replay import ClosedLoopRunner
+    from mmfn_tpu.harness.result_writer import (format_global_summary,
+                                                format_route_record)
+    from mmfn_tpu.harness.route import RouteConfig
+    from mmfn_tpu.harness.scenarios import SCENARIO_CLASSES, ScenarioTrigger
+    from mmfn_tpu.harness.statistics import StatisticsManager
+
+    if args.scenario not in SCENARIO_CLASSES:
+        raise SystemExit(f"unknown scenario '{args.scenario}' — run --list "
+                         f"({len(SCENARIO_CLASSES)} supported)")
+
+    map_xodr = FALLBACK_XODR
+    if args.map:
+        with open(args.map) as f:
+            map_xodr = f.read()
+    rough_map = None
+    try:
+        from mmfn_tpu.mapping import vectorize_xodr
+
+        rough_map, _, _ = vectorize_xodr(map_xodr)
+    except Exception:
+        pass  # lane-deviation penalty off; scenario still runs
+
+    rng = np.random.default_rng(args.seed)
+    statistics = StatisticsManager()
+    runner = ClosedLoopRunner(statistics, max_wall_seconds=args.timeout)
+    agent_conf = {"type": args.agent, "variant": "vec"}
+    if args.agent == "auto":        # AutoPilot = SimplePilot under the expert
+        agent_conf = {"type": "expert", "pilot": "auto"}
+    agent_cfg = {"agent": agent_conf, "weather": "ClearNoon"}
+
+    records = []
+    t0 = time.time()
+    for rep in range(args.repetitions):
+        s = args.trigger_s
+        if args.randomize:          # srunner --randomize analog
+            s = max(15.0, s + float(rng.uniform(-10.0, 10.0)))
+        trigger = ScenarioTrigger(x=s, y=1.75, yaw=0.0,
+                                  scenario_type=args.scenario)
+        config = RouteConfig(
+            route_id=f"{args.scenario}_{rep}", town="ScenarioWorld",
+            trajectory=[(0.0, 1.75, 0.0), (args.route_length, 1.75, 0.0)],
+            index=rep)
+        agent = build_agent(agent_cfg, shared={}, route_index=rep)
+        try:
+            record = runner.run_route(agent, config, map_xodr,
+                                      triggers=[trigger],
+                                      rough_map=rough_map)
+        finally:
+            agent.destroy()
+        records.append(record)
+        print(format_route_record(
+            record, title=f"{args.scenario} rep {rep} (trigger s={s:.1f})"))
+    elapsed = time.time() - t0
+
+    summary = format_global_summary(records)
+    print(summary)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(summary + "\n")
+    if args.junit:
+        _junit(args.junit, args.scenario, records, elapsed)
+        print(f"junit written to {args.junit}")
+
+
+if __name__ == "__main__":
+    main()

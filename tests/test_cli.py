@@ -274,3 +274,30 @@ def test_route_save_path_per_route():
     assert _route_save_path("/data/Town_short/route_00", 3) \
         == "/data/Town_short/route_00"
     assert _route_save_path(None, 3) is None
+
+
+def test_scenario_run_cli(tmp_path):
+    """Standalone scenario runner (srunner scenario_runner.py analog):
+    --list prints the catalog; --scenario runs a named behavior in the fake
+    world with repetitions + JUnit output."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "scenario_run.py"),
+         "--list"], capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Scenario1" in proc.stdout and "CutIn" in proc.stdout
+
+    junit = tmp_path / "junit.xml"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "scenario_run.py"),
+         "--scenario", "Scenario2", "--agent", "npc", "--repetitions", "2",
+         "--randomize", "--junit", str(junit),
+         "--output", str(tmp_path / "out.txt")],
+        capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.count("Scenario2 rep") == 2
+
+    import xml.etree.ElementTree as ET
+    suite = ET.parse(junit).getroot()
+    assert suite.get("tests") == "2"
+    assert len(suite.findall("testcase")) == 2
+    assert (tmp_path / "out.txt").read_text().strip()
