@@ -260,16 +260,19 @@ def main():
         want = np.asarray(jax.jit(_bev_hist_xla)(pts))
         pallas_ok = bool(np.allclose(got, want, atol=1e-5))
 
-        # fused attention kernel vs the einsum reference, full-config shape
+        # fused attention kernel vs the einsum reference at EVERY fusion-
+        # stage shape the model runs it at (head dims 16..128 — the small
+        # dims are where a Mosaic lowering quirk would hide)
         from mmfn_tpu.ops.attention import _fused_attention
 
-        q, k, v = (jnp.asarray(rng.normal(size=(2, 4, 256, 128))
-                               .astype(np.float32)) for _ in range(3))
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.float32(np.sqrt(128))
-        want_a = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(att, -1), v)
-        got_a = np.asarray(_fused_attention(q, k, v))
-        pallas_ok = pallas_ok and bool(
-            np.allclose(got_a, np.asarray(want_a), rtol=1e-4, atol=1e-4))
+        for t, d in ((128, 16), (192, 32), (256, 64), (256, 128)):
+            q, k, v = (jnp.asarray(rng.normal(size=(2, 4, t, d))
+                                   .astype(np.float32)) for _ in range(3))
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.float32(np.sqrt(d))
+            want_a = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(att, -1), v)
+            got_a = np.asarray(_fused_attention(q, k, v))
+            pallas_ok = pallas_ok and bool(
+                np.allclose(got_a, np.asarray(want_a), rtol=1e-4, atol=1e-4))
 
     print(json.dumps({
         "metric": "end-to-end frames/sec/chip (sensor->waypoints, full MMFN-rad)",

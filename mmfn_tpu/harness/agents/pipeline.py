@@ -102,19 +102,21 @@ class JitPipeline:
         else:
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map          # jax >= 0.8
-            except ImportError:                    # pragma: no cover
-                from jax.experimental.shard_map import shard_map
             axis = mesh.axis_names[0]
             # variables replicate (P() prefix over the whole pytree); the 8
             # batch inputs split on their leading axis. None inputs (lanes /
             # map_img per variant) are empty pytrees — their spec applies to
             # zero leaves.
-            self._forward_fleet = jax.jit(shard_map(
-                apply_batched, mesh=mesh,
-                in_specs=(P(),) + (P(axis),) * 8, out_specs=P(axis),
-                check_vma=False))
+            specs = dict(mesh=mesh, in_specs=(P(),) + (P(axis),) * 8,
+                         out_specs=P(axis))
+            try:
+                from jax import shard_map          # jax >= 0.8
+                smapped = shard_map(apply_batched, check_vma=False, **specs)
+            except ImportError:                    # pragma: no cover
+                # the pre-0.8 API spells the replication check 'check_rep'
+                from jax.experimental.shard_map import shard_map
+                smapped = shard_map(apply_batched, check_rep=False, **specs)
+            self._forward_fleet = jax.jit(smapped)
 
     def dispatch(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],

@@ -109,8 +109,11 @@ def build_agent(cfg, shared=None, route_index=None):
         return BaselineAgent({"kind": agent_type, "model": model,
                               "variables": variables, "config": gconf})
     # model-shape overrides so checkpoints trained at other sizes load
-    # (e.g. the examples/train_fake_world.py demo: n_layer=2 max_lanes=16)
-    overrides = {k: agent_cfg[k] for k in ("n_layer", "n_embd", "n_head")
+    # (e.g. the examples/train_fake_world.py demo: n_layer=2 max_lanes=16);
+    # attn_impl=pallas selects the fused inference attention kernel
+    # (ops/attention.py)
+    overrides = {k: agent_cfg[k]
+                 for k in ("n_layer", "n_embd", "n_head", "attn_impl")
                  if k in agent_cfg}
     gconf = GlobalConfig(max_lanes=agent_cfg.get("max_lanes", 64), **overrides)
     if "pipeline" in shared:

@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--output", default=None,
                     help="also write the result table to this txt file")
     ap.add_argument("--junit", default=None, help="write JUnit XML here")
+    ap.add_argument("--weather", default=None,
+                    help="fake-world weather preset (default ClearNoon; an "
+                         ".xosc EnvironmentAction overrides it)")
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="wall-clock budget per repetition (s)")
     args = ap.parse_args()
@@ -90,23 +93,7 @@ def main():
     if args.list:
         print(list_scenarios())
         return
-
-    if args.openscenario:
-        # .xosc episodes run through phase0's OpenScenarioManager path —
-        # same storyboard engine, same scoring
-        import phase0_run_eval
-
-        sys.argv = ["phase0", f"routes={args.openscenario}",
-                    f"agent.type={args.agent}",
-                    f"repetitions={args.repetitions}",
-                    "resume=false",
-                    f"checkpoint=results/xosc_{int(time.time())}.json"]
-        if args.map:
-            sys.argv.append(f"map={args.map}")
-        phase0_run_eval.main()
-        return
-
-    if not args.scenario:
+    if not args.scenario and not args.openscenario:
         ap.error("one of --scenario / --openscenario / --list is required")
 
     from phase0_run_eval import FALLBACK_XODR, build_agent
@@ -117,7 +104,7 @@ def main():
     from mmfn_tpu.harness.scenarios import SCENARIO_CLASSES, ScenarioTrigger
     from mmfn_tpu.harness.statistics import StatisticsManager
 
-    if args.scenario not in SCENARIO_CLASSES:
+    if args.scenario and args.scenario not in SCENARIO_CLASSES:
         raise SystemExit(f"unknown scenario '{args.scenario}' — run --list "
                          f"({len(SCENARIO_CLASSES)} supported)")
 
@@ -131,38 +118,67 @@ def main():
 
         rough_map, _, _ = vectorize_xodr(map_xodr)
     except Exception:
-        pass  # lane-deviation penalty off; scenario still runs
+        # an explicitly passed map MUST vectorize — otherwise the lane
+        # penalty silently vanishes and scores stop being comparable
+        # (same policy as phase0_run_eval.py)
+        if args.map:
+            raise
+        print("warning: map vectorization failed; lane penalty off")
 
+    xcfg = None
+    if args.openscenario:
+        from mmfn_tpu.harness.openscenario import hero_trajectory, parse_xosc
+
+        xcfg = parse_xosc(args.openscenario, rough_map=rough_map)
+        trajectory = [(x, y, 0.0) for x, y in hero_trajectory(xcfg, rough_map)]
+        name = os.path.splitext(os.path.basename(args.openscenario))[0]
+    else:
+        trajectory = [(0.0, 1.75, 0.0), (args.route_length, 1.75, 0.0)]
+        name = args.scenario
+
+    weather = (xcfg.weather if xcfg and xcfg.weather
+               else args.weather) or "ClearNoon"
     rng = np.random.default_rng(args.seed)
     statistics = StatisticsManager()
     runner = ClosedLoopRunner(statistics, max_wall_seconds=args.timeout)
     agent_conf = {"type": args.agent, "variant": "vec"}
     if args.agent == "auto":        # AutoPilot = SimplePilot under the expert
         agent_conf = {"type": "expert", "pilot": "auto"}
-    agent_cfg = {"agent": agent_conf, "weather": "ClearNoon"}
+    agent_cfg = {"agent": agent_conf}
+    shared = {}   # caches the jitted pipeline across repetitions (e2e agents)
 
     records = []
     t0 = time.time()
     for rep in range(args.repetitions):
-        s = args.trigger_s
-        if args.randomize:          # srunner --randomize analog
-            s = max(15.0, s + float(rng.uniform(-10.0, 10.0)))
-        trigger = ScenarioTrigger(x=s, y=1.75, yaw=0.0,
-                                  scenario_type=args.scenario)
-        config = RouteConfig(
-            route_id=f"{args.scenario}_{rep}", town="ScenarioWorld",
-            trajectory=[(0.0, 1.75, 0.0), (args.route_length, 1.75, 0.0)],
-            index=rep)
-        agent = build_agent(agent_cfg, shared={}, route_index=rep)
+        triggers = None
+        scenario_manager = None
+        title = f"{name} rep {rep}"
+        if xcfg is not None:
+            from mmfn_tpu.harness.openscenario import OpenScenarioManager
+
+            # fresh manager per repetition (fired-state lives on it)
+            scenario_manager = OpenScenarioManager(xcfg)
+        else:
+            s = args.trigger_s
+            if args.randomize:      # srunner --randomize analog
+                s = max(15.0, s + float(rng.uniform(-10.0, 10.0)))
+            triggers = [ScenarioTrigger(x=s, y=1.75, yaw=0.0,
+                                        scenario_type=args.scenario)]
+            title += f" (trigger s={s:.1f})"
+        config = RouteConfig(route_id=f"{name}_{rep}",
+                             town=(xcfg.town if xcfg else "") or "ScenarioWorld",
+                             trajectory=trajectory, index=rep)
+        agent = build_agent(agent_cfg, shared=shared, route_index=rep)
         try:
             record = runner.run_route(agent, config, map_xodr,
-                                      triggers=[trigger],
-                                      rough_map=rough_map)
+                                      triggers=triggers,
+                                      rough_map=rough_map,
+                                      scenario_manager=scenario_manager,
+                                      world_kwargs={"weather": weather})
         finally:
             agent.destroy()
         records.append(record)
-        print(format_route_record(
-            record, title=f"{args.scenario} rep {rep} (trigger s={s:.1f})"))
+        print(format_route_record(record, title=title))
     elapsed = time.time() - t0
 
     summary = format_global_summary(records)
@@ -171,7 +187,7 @@ def main():
         with open(args.output, "w") as f:
             f.write(summary + "\n")
     if args.junit:
-        _junit(args.junit, args.scenario, records, elapsed)
+        _junit(args.junit, name, records, elapsed)
         print(f"junit written to {args.junit}")
 
 

@@ -301,3 +301,17 @@ def test_scenario_run_cli(tmp_path):
     assert suite.get("tests") == "2"
     assert len(suite.findall("testcase")) == 2
     assert (tmp_path / "out.txt").read_text().strip()
+
+    # --openscenario runs the storyboard engine through the same loop and
+    # honors the srunner-mirror output flags
+    junit_x = tmp_path / "junit_x.xml"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "scenario_run.py"),
+         "--openscenario",
+         os.path.join(ROOT, "data", "scenarios", "follow_leading_vehicle.xosc"),
+         "--junit", str(junit_x)],
+        capture_output=True, text=True, env=_clean_env())
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    suite = ET.parse(junit_x).getroot()
+    assert suite.get("name") == "follow_leading_vehicle"
+    assert suite.get("failures") == "0"
