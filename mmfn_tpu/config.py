@@ -82,6 +82,10 @@ class GlobalConfig:
     # per step on v5e. Inference stays f32: measured flat there, the MXU
     # already rides bf16 passes under DEFAULT precision.)
     compute_dtype: str = "float32"
+    # "msgpack" mirrors the reference's rank-0 full-state files; "orbax" is
+    # async + sharded (each host writes/reads only its own shards) — the
+    # production choice at pod scale (train/engine.py)
+    checkpoint_backend: str = "msgpack"
     matmul_precision: str = "default"  # "default" (bf16 MXU passes) | "highest" (parity tests)
     mesh_axes: Tuple[str, ...] = ("data",)
 

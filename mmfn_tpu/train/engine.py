@@ -181,7 +181,27 @@ class Engine:
         self.train_loss = []
         self.val_loss = []
         self.log_fn = log_fn or (lambda d: None)
+        # "msgpack" mirrors the reference's file contract (rank-0 full-state
+        # write). "orbax" is the TPU-native production path: every host
+        # writes only its own array shards (no full gather into host RAM)
+        # and saves are ASYNC — training continues while the previous
+        # checkpoint flushes; call finalize() (fit() does) before exit.
+        self.checkpoint_backend = getattr(config, "checkpoint_backend",
+                                          "msgpack")
+        self._orbax = None
         os.makedirs(logdir, exist_ok=True)
+
+    def _orbax_ckptr(self):
+        if self._orbax is None:
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        return self._orbax
+
+    def finalize(self) -> None:
+        """Block until any in-flight async checkpoint write has committed."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
 
     # ---- epoch phases -------------------------------------------------- #
 
@@ -237,6 +257,8 @@ class Engine:
         }
 
     def save(self, state: TrainState) -> bool:
+        if self.checkpoint_backend == "orbax":
+            return self._save_orbax(state)
         if jax.process_index() != 0:
             # rank-0-only checkpointing, matching the reference's DDP gating
             # (phase2_train_net.py:319-322)
@@ -253,10 +275,39 @@ class Engine:
             json.dump(self._log_table(), f)
         return save_best
 
+    def _save_orbax(self, state: TrainState) -> bool:
+        """Multi-host-safe async checkpointing: called on EVERY process
+        (orbax coordinates the write; each host persists its own shards).
+        Directory contract mirrors the msgpack names: logdir/model.orbax and
+        logdir/best_model.orbax."""
+        import orbax.checkpoint as ocp
+
+        # val loss is a global-batch value under GSPMD, so every process
+        # takes the same save_best branch
+        save_best = bool(self.val_loss) and self.val_loss[-1] <= self.bestval
+        if save_best:
+            self.bestval = self.val_loss[-1]
+            self.bestval_epoch = self.cur_epoch
+        ckptr = self._orbax_ckptr()
+        ckptr.wait_until_finished()       # one in-flight write at a time
+        ckptr.save(os.path.abspath(os.path.join(self.logdir, "model.orbax")),
+                   args=ocp.args.StandardSave(state), force=True)
+        if save_best:
+            ckptr.wait_until_finished()
+            ckptr.save(
+                os.path.abspath(os.path.join(self.logdir, "best_model.orbax")),
+                args=ocp.args.StandardSave(state), force=True)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.logdir, "recent.log"), "w") as f:
+                json.dump(self._log_table(), f)
+        return save_best
+
     def resume(self, state_template: TrainState, best: bool = False) -> Optional[TrainState]:
         """Restore state and loss history if a checkpoint exists; else None."""
+        orbax = self.checkpoint_backend == "orbax"
+        ext = "orbax" if orbax else "msgpack"
         log_path = os.path.join(self.logdir, "recent.log")
-        name = "best_model.msgpack" if best else "model.msgpack"
+        name = f"best_model.{ext}" if best else f"model.{ext}"
         ckpt_path = os.path.join(self.logdir, name)
         if not (os.path.exists(log_path) and os.path.exists(ckpt_path)):
             return None
@@ -268,6 +319,14 @@ class Engine:
         self.bestval_epoch = table.get("bestval_epoch", 0)
         self.train_loss = table["train_loss"]
         self.val_loss = table["val_loss"]
+        if orbax:
+            import orbax.checkpoint as ocp
+
+            # restores each array with the TEMPLATE's sharding — every host
+            # reads only the shards it owns
+            return self._orbax_ckptr().restore(
+                os.path.abspath(ckpt_path),
+                args=ocp.args.StandardRestore(state_template))
         with open(ckpt_path, "rb") as f:
             return serialization.from_bytes(state_template, f.read())
 
@@ -285,4 +344,5 @@ class Engine:
                 self.validate(state, val_batches_fn(epoch))
                 if epoch % save_every == 0:
                     self.save(state)
+        self.finalize()     # commit any in-flight async checkpoint write
         return state

@@ -58,6 +58,11 @@ def main():
         lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64),
         compute_dtype=cfg.get("compute_dtype",
                               model_overrides.pop("compute_dtype", "float32")),
+        # checkpoint_backend=orbax: async sharded checkpoints (multi-host
+        # writes without a rank-0 full-state gather; train/engine.py)
+        checkpoint_backend=cfg.get(
+            "checkpoint_backend",
+            model_overrides.pop("checkpoint_backend", "msgpack")),
         **model_overrides)
     root = cfg["data_folder"]
     name = os.path.basename(os.path.normpath(root))
@@ -144,6 +149,7 @@ def main():
         rng=jax.random.fold_in(root_key, 1),
         val_every=int(cfg.get("val_every", 5)), save_every=int(cfg.get("save_every", 20)))
     engine.save(state)
+    engine.finalize()    # orbax saves are async; commit before exit
     logger.close()
 
 

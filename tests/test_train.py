@@ -235,3 +235,45 @@ def test_nonfinite_loss_aborts_loudly(tiny_setup, tmp_path):
     bad = batch._replace(image=jnp.full_like(batch.image, jnp.nan))
     with pytest.raises(FloatingPointError, match="non-finite"):
         engine.train(_device_state(state_host), [bad], jax.random.PRNGKey(0))
+
+
+def test_engine_orbax_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """checkpoint_backend="orbax": async sharded saves under the same
+    logdir contract (model.orbax / best_model.orbax / recent.log) restore
+    bit-identically through a fresh engine; a worse validation keeps the
+    best checkpoint in place."""
+    import dataclasses
+
+    model, batch, state_host = tiny_setup
+    cfg = dataclasses.replace(CFG, checkpoint_backend="orbax")
+    state = _device_state(state_host)
+    engine = Engine(model, cfg, str(tmp_path))
+    state = engine.train(state, [batch, batch], jax.random.PRNGKey(0))
+    engine.validate(state, [batch])
+    assert engine.save(state)          # first val is the best
+    engine.finalize()
+    assert os.path.isdir(tmp_path / "model.orbax")
+    assert os.path.isdir(tmp_path / "best_model.orbax")
+
+    # a worse val must not overwrite best_model (snapshot params first: the
+    # train step DONATES its input state buffers)
+    best_params = jax.tree.map(np.asarray, state.params)
+    engine.val_loss.append(engine.val_loss[-1] + 1.0)
+    state2 = engine.train(state, [batch], jax.random.PRNGKey(1))
+    assert not engine.save(state2)
+    engine.finalize()
+
+    engine2 = Engine(model, cfg, str(tmp_path))
+    template = create_train_state(model, cfg, jax.random.PRNGKey(1), batch)
+    restored = engine2.resume(template, best=True)
+    assert restored is not None
+    assert engine2.val_loss == engine.val_loss
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the non-best (most recent) checkpoint is state2, not state
+    recent = engine2.resume(template)
+    leaves_r = jax.tree.leaves(recent.params)
+    leaves_2 = jax.tree.leaves(state2.params)
+    np.testing.assert_array_equal(np.asarray(leaves_r[0]),
+                                  np.asarray(leaves_2[0]))
