@@ -40,13 +40,43 @@ ITERS = 200
 
 
 def _require_device(timeout_s: float = None):
-    """Fail fast (exit 3, stderr message, NO JSON line) if the TPU relay is
+    """Exit 3 (stderr message, NO JSON line) if the TPU relay stays
     unreachable: ``jax.devices()`` blocks forever dialing a dead relay, and a
-    silent hang is worse for the driver than a distinguishable error."""
-    import threading
+    silent hang is worse for the driver than a distinguishable error.
 
-    timeout_s = timeout_s or float(os.environ.get("MMFN_BENCH_DIAL_TIMEOUT",
-                                                  "300"))
+    A hung in-process dial cannot be retried (the stuck thread never
+    returns), so reachability is first probed in SUBPROCESSES, retrying a
+    flapping relay for up to MMFN_BENCH_DIAL_RETRY_S (default 600 s, 0
+    disables) before the main process dials under its own watchdog."""
+    import subprocess
+    import sys
+    import threading
+    import time as _time
+
+    retry_s = float(os.environ.get("MMFN_BENCH_DIAL_RETRY_S", "600"))
+    probe_timeout = float(os.environ.get("MMFN_BENCH_DIAL_TIMEOUT", "300"))
+    deadline = _time.time() + retry_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(probe_timeout, 120),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True)
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.time() >= deadline:
+            print("bench: device relay unreachable (subprocess probes timed "
+                  f"out for {retry_s:.0f}s); aborting",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
+        print("bench: relay probe failed; retrying in 30s",
+              file=sys.stderr, flush=True)
+        _time.sleep(30)
+
+    timeout_s = timeout_s or probe_timeout
     done = threading.Event()
 
     def watchdog():
