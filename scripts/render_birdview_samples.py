@@ -59,6 +59,13 @@ def main():
             render(f.read(), (30.0, 1.75, 0.0),
                    os.path.join(out_dir, "birdview_loop.png"))
 
+    # crossroads town: ego on the west approach looking into the junction
+    cross_path = os.path.join(root, "data", "maps", "fake_town_cross.xodr")
+    if os.path.exists(cross_path):
+        with open(cross_path) as f:
+            render(f.read(), (-14.0, 1.75, 0.0),
+                   os.path.join(out_dir, "birdview_cross.png"))
+
 
 if __name__ == "__main__":
     main()
