@@ -37,6 +37,23 @@ def list_scenarios() -> str:
     return "\n".join(lines)
 
 
+def _pose_along(trajectory, s: float):
+    """(x, y, yaw) at arclength ``s`` along a route's keypoint polyline."""
+    import math
+
+    acc = 0.0
+    for (x0, y0, *_), (x1, y1, *_) in zip(trajectory, trajectory[1:]):
+        seg = math.hypot(x1 - x0, y1 - y0)
+        if acc + seg >= s and seg > 0:
+            f = (s - acc) / seg
+            return (x0 + f * (x1 - x0), y0 + f * (y1 - y0),
+                    math.atan2(y1 - y0, x1 - x0))
+        acc += seg
+    x0, y0 = trajectory[-2][:2]
+    x1, y1 = trajectory[-1][:2]
+    return (x1, y1, math.atan2(y1 - y0, x1 - x0))
+
+
 def _junit(path: str, scenario: str, records, elapsed: float) -> None:
     """Minimal JUnit XML, one testcase per repetition (srunner --junit)."""
     import xml.etree.ElementTree as ET
@@ -77,6 +94,10 @@ def main():
     ap.add_argument("--map", default=None,
                     help="OpenDRIVE file for the fake world (default: "
                          "straight road)")
+    ap.add_argument("--route", default=None,
+                    help="route XML to drive instead of the synthesized "
+                         "straight route; the trigger lands --trigger-s "
+                         "meters along it (srunner --route analog)")
     ap.add_argument("--trigger-s", type=float, default=40.0,
                     help="trigger arclength along the route (m)")
     ap.add_argument("--route-length", type=float, default=150.0)
@@ -126,12 +147,19 @@ def main():
         print("warning: map vectorization failed; lane penalty off")
 
     xcfg = None
+    town = None
     if args.openscenario:
         from mmfn_tpu.harness.openscenario import hero_trajectory, parse_xosc
 
         xcfg = parse_xosc(args.openscenario, rough_map=rough_map)
         trajectory = [(x, y, 0.0) for x, y in hero_trajectory(xcfg, rough_map)]
         name = os.path.splitext(os.path.basename(args.openscenario))[0]
+    elif args.route:
+        from mmfn_tpu.harness.route import RouteIndexer
+
+        rcfg = RouteIndexer(args.route).next()
+        trajectory, town = rcfg.trajectory, rcfg.town
+        name = args.scenario
     else:
         trajectory = [(0.0, 1.75, 0.0), (args.route_length, 1.75, 0.0)]
         name = args.scenario
@@ -162,11 +190,12 @@ def main():
             s = args.trigger_s
             if args.randomize:      # srunner --randomize analog
                 s = max(15.0, s + float(rng.uniform(-10.0, 10.0)))
-            triggers = [ScenarioTrigger(x=s, y=1.75, yaw=0.0,
+            tx, ty, tyaw = _pose_along(trajectory, s)
+            triggers = [ScenarioTrigger(x=tx, y=ty, yaw=tyaw,
                                         scenario_type=args.scenario)]
             title += f" (trigger s={s:.1f})"
         config = RouteConfig(route_id=f"{name}_{rep}",
-                             town=(xcfg.town if xcfg else "") or "ScenarioWorld",
+                             town=(xcfg.town if xcfg else town) or "ScenarioWorld",
                              trajectory=trajectory, index=rep)
         agent = build_agent(agent_cfg, shared=shared, route_index=rep)
         try:

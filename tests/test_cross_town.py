@@ -68,3 +68,20 @@ def test_expert_completes_left_turn_with_traffic(tmp_path):
     rec = json.load(open(ck))["_checkpoint"]["records"][0]
     assert rec["status"] == "Completed", rec
     assert rec["scores"]["score_composed"] >= 80.0, rec["infractions"]
+
+def test_scenario_on_route_through_junction(tmp_path):
+    """scenario_run --route (srunner --route analog): the Scenario8
+    junction-left-turn behavior triggers along the cross-town route and the
+    expert still completes it."""
+    import json
+
+    junit = tmp_path / "s8.xml"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "scenario_run.py"),
+         "--scenario", "Scenario8", "--route", ROUTE, "--map", XODR,
+         "--trigger-s", "60", "--junit", str(junit)],
+        capture_output=True, text=True, env=_clean_env(), cwd=ROOT)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import xml.etree.ElementTree as ET
+    suite = ET.parse(junit).getroot()
+    assert suite.get("failures") == "0"
