@@ -56,23 +56,27 @@ def _require_device(timeout_s: float = None):
     retry_s = float(os.environ.get("MMFN_BENCH_DIAL_RETRY_S", "600"))
     probe_timeout = float(os.environ.get("MMFN_BENCH_DIAL_TIMEOUT", "300"))
     deadline = _time.time() + retry_s
-    while True:
+    while retry_s > 0:    # 0 disables probing: dial directly (old behavior)
+        reason = ""
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=min(probe_timeout, 120),
+                timeout=probe_timeout,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True)
+                capture_output=True, text=True)
             if probe.returncode == 0:
                 break
+            # a fast non-zero exit is an env problem, not a dead relay —
+            # surface the cause instead of looping silently
+            reason = (probe.stderr or "").strip().splitlines()[-1:]
+            reason = reason[0] if reason else f"exit {probe.returncode}"
         except subprocess.TimeoutExpired:
-            pass
+            reason = f"no response in {probe_timeout:.0f}s"
         if _time.time() >= deadline:
-            print("bench: device relay unreachable (subprocess probes timed "
-                  f"out for {retry_s:.0f}s); aborting",
-                  file=sys.stderr, flush=True)
+            print(f"bench: device relay unreachable ({reason}; probed for "
+                  f"{retry_s:.0f}s); aborting", file=sys.stderr, flush=True)
             sys.exit(3)
-        print("bench: relay probe failed; retrying in 30s",
+        print(f"bench: relay probe failed ({reason}); retrying in 30s",
               file=sys.stderr, flush=True)
         _time.sleep(30)
 

@@ -276,10 +276,17 @@ class Engine:
         return save_best
 
     def _save_orbax(self, state: TrainState) -> bool:
-        """Multi-host-safe async checkpointing: called on EVERY process
-        (orbax coordinates the write; each host persists its own shards).
-        Directory contract mirrors the msgpack names: logdir/model.orbax and
-        logdir/best_model.orbax."""
+        """Multi-host-safe sharded checkpointing: called on EVERY process
+        (orbax coordinates the write; each host persists only its own array
+        shards — no rank-0 full-state gather). Directory contract mirrors
+        the msgpack names: logdir/model.orbax and logdir/best_model.orbax.
+
+        recent.log is written only AFTER the checkpoint directories commit:
+        metadata must never describe a newer state than the arrays on disk,
+        or a crash mid-flush would make resume() restore old weights under
+        new bookkeeping (epoch counter ahead of the actual params). The
+        AsyncCheckpointer still overlaps the device->host copy with the disk
+        flush inside each save."""
         import orbax.checkpoint as ocp
 
         # val loss is a global-batch value under GSPMD, so every process
@@ -297,6 +304,7 @@ class Engine:
             ckptr.save(
                 os.path.abspath(os.path.join(self.logdir, "best_model.orbax")),
                 args=ocp.args.StandardSave(state), force=True)
+        ckptr.wait_until_finished()       # commit before publishing metadata
         if jax.process_index() == 0:
             with open(os.path.join(self.logdir, "recent.log"), "w") as f:
                 json.dump(self._log_table(), f)
@@ -336,13 +344,18 @@ class Engine:
             epochs: int, rng, val_every: int = 5, save_every: int = 20):
         """train_batches_fn/val_batches_fn: callables returning fresh iterables
         per epoch (mirrors DataLoader re-iteration)."""
-        for epoch in range(self.cur_epoch, epochs):
-            t0 = time.time()
-            state = self.train(state, train_batches_fn(epoch), rng)
-            self.log_fn({"epoch_minutes": (time.time() - t0) / 60, "epoch": epoch})
-            if epoch % val_every == 0:
-                self.validate(state, val_batches_fn(epoch))
-                if epoch % save_every == 0:
-                    self.save(state)
-        self.finalize()     # commit any in-flight async checkpoint write
+        try:
+            for epoch in range(self.cur_epoch, epochs):
+                t0 = time.time()
+                state = self.train(state, train_batches_fn(epoch), rng)
+                self.log_fn({"epoch_minutes": (time.time() - t0) / 60,
+                             "epoch": epoch})
+                if epoch % val_every == 0:
+                    self.validate(state, val_batches_fn(epoch))
+                    if epoch % save_every == 0:
+                        self.save(state)
+        finally:
+            # even when an epoch raises (non-finite-loss abort), any
+            # in-flight async checkpoint write must commit before unwind
+            self.finalize()
         return state

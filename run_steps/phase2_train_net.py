@@ -143,14 +143,17 @@ def main():
                 yield shard_batch(b, mesh)
         return make
 
-    state = engine.fit(
-        state, batches(train_set, True), batches(val_set, False),
-        epochs=int(cfg.get("epochs", 101)),
-        rng=jax.random.fold_in(root_key, 1),
-        val_every=int(cfg.get("val_every", 5)), save_every=int(cfg.get("save_every", 20)))
-    engine.save(state)
-    engine.finalize()    # orbax saves are async; commit before exit
-    logger.close()
+    try:
+        state = engine.fit(
+            state, batches(train_set, True), batches(val_set, False),
+            epochs=int(cfg.get("epochs", 101)),
+            rng=jax.random.fold_in(root_key, 1),
+            val_every=int(cfg.get("val_every", 5)),
+            save_every=int(cfg.get("save_every", 20)))
+        engine.save(state)
+    finally:
+        engine.finalize()    # commit any in-flight checkpoint before exit
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -41,6 +41,8 @@ def _pose_along(trajectory, s: float):
     """(x, y, yaw) at arclength ``s`` along a route's keypoint polyline."""
     import math
 
+    if len(trajectory) < 2:
+        raise ValueError("route needs >= 2 waypoints")
     acc = 0.0
     for (x0, y0, *_), (x1, y1, *_) in zip(trajectory, trajectory[1:]):
         seg = math.hypot(x1 - x0, y1 - y0)
@@ -107,6 +109,8 @@ def main():
     ap.add_argument("--weather", default=None,
                     help="fake-world weather preset (default ClearNoon; an "
                          ".xosc EnvironmentAction overrides it)")
+    ap.add_argument("--traffic", type=int, default=0,
+                    help="ambient background NPC vehicles")
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="wall-clock budget per repetition (s)")
     args = ap.parse_args()
@@ -164,6 +168,20 @@ def main():
         trajectory = [(0.0, 1.75, 0.0), (args.route_length, 1.75, 0.0)]
         name = args.scenario
 
+    if len(trajectory) < 2:
+        raise SystemExit("route needs >= 2 waypoints")
+
+    # signals + optional NPC traffic, same assembly as phase0 — scores on a
+    # signalized map stay comparable between the two entry points
+    signals = None
+    if rough_map is not None:
+        from mmfn_tpu.harness.replay import plan_from_trajectory
+        from mmfn_tpu.harness.traffic import signals_from_rough_map
+
+        _, world_plan = plan_from_trajectory(trajectory)
+        signals = signals_from_rough_map(rough_map,
+                                         [p for p, _ in world_plan])
+
     weather = (xcfg.weather if xcfg and xcfg.weather
                else args.weather) or "ClearNoon"
     rng = np.random.default_rng(args.seed)
@@ -178,6 +196,13 @@ def main():
     records = []
     t0 = time.time()
     for rep in range(args.repetitions):
+        background = None
+        if args.traffic > 0 and rough_map is not None:
+            from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
+
+            background = BackgroundTraffic(
+                [lane.nodes for lane in rough_map.lanes], args.traffic,
+                seed=rep, signals=signals, ego_start=trajectory[0][:2])
         triggers = None
         scenario_manager = None
         title = f"{name} rep {rep}"
@@ -202,6 +227,8 @@ def main():
             record = runner.run_route(agent, config, map_xodr,
                                       triggers=triggers,
                                       rough_map=rough_map,
+                                      signals=signals,
+                                      background=background,
                                       scenario_manager=scenario_manager,
                                       world_kwargs={"weather": weather})
         finally:

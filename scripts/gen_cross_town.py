@@ -16,10 +16,13 @@ CARLA mirrors y):
             road 3 (x=0, y: -120..-10)
 
 External roads are two-way (lanes +-1, 3.5 m); straight connectors are
-two-way; turn connectors are one-way (lane -1). Traffic lights sit on the
-west and south approaches 5 m before the junction (type 1000001; the
-vectorizer marks nodes within +-15 m of the signal as controlled, which is
-where signals_from_rough_map places the route's stop line).
+two-way; turn connectors are one-way (lane -1). Traffic lights (type
+1000001): on the west and south approaches 5 m before the junction, plus
+one on road 2 at s=5 gating the WESTBOUND (+1-lane, -s travel) approach —
+for that direction of travel the controlled stretch is entered from the
+east, so the derived stop line lands before the junction. The vectorizer
+marks nodes within +-15 m of a signal as controlled (road-local), which is
+where signals_from_rough_map places each route's stop line.
 
 Route-keypoint rule (see docs/PARITY.md + fake-world notes): arc keypoints
 every ~2 m — route interpolation is LINEAR between keypoints.
@@ -39,8 +42,7 @@ def _road(rid, name, geoms, lanes_xml, signals="", junction="-1"):
     g_xml = "".join(
         f'      <geometry s="{s:.7f}" x="{x:.4f}" y="{y:.4f}" '
         f'hdg="{h:.10f}" length="{l:.7f}">{kind}</geometry>\n'
-        for (s, x, y, h, l, kind) in
-        [(g[0], g[1], g[2], g[3], g[4], g[5]) for g in geoms])
+        for (s, x, y, h, l, kind) in geoms)
     sig = f"    <signals>\n{signals}    </signals>\n" if signals else ""
     return (f'  <road name="{name}" length="{length:.7f}" id="{rid}" '
             f'junction="{junction}">\n'

@@ -63,8 +63,9 @@ def main():
         _, world_plan = plan_from_trajectory(config.trajectory)
         signals = signals_from_rough_map(rough_map,
                                          [p for p, _ in world_plan])
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"warning: signal derivation failed ({e}); recording without "
+              f"traffic lights")
     background = None
     if args.traffic > 0:
         from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
