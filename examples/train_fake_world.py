@@ -87,6 +87,28 @@ def _loop_routes():
     return collect, eval_route
 
 
+# --map cross: the signalized 4-way junction (scripts/gen_cross_town.py).
+# Collection covers both straights and the RIGHT-turn arc; evaluation is the
+# held-out LEFT turn — an unseen junction movement, not just unseen road.
+CROSS_XODR_PATH = os.path.join(os.path.dirname(LOOP_XODR_PATH),
+                               "fake_town_cross.xodr")
+
+
+def _cross_routes():
+    from mmfn_tpu.harness.route import parse_routes_file
+
+    routes_dir = os.path.join(os.path.dirname(CROSS_XODR_PATH),
+                              os.pardir, "routes")
+
+    def load(name):
+        return list(parse_routes_file(
+            os.path.join(routes_dir, name))[0].trajectory)
+
+    collect = [load("cross_straight.xml"), load("cross_straight_sn.xml"),
+               load("cross_right_turn.xml")]
+    return collect, load("cross_left_turn.xml")
+
+
 def make_background(rmap_path, amount, seed, ego_start=None, signals=None):
     if amount <= 0:
         return None
@@ -192,8 +214,12 @@ def main():
                     help="collection passes over the routes; passes beyond "
                          "the first start laterally offset to record "
                          "recovery demonstrations")
-    ap.add_argument("--map", choices=["straight", "loop"], default="straight",
-                    help="fake-world map: straight road or the signalized loop")
+    ap.add_argument("--map", choices=["straight", "loop", "cross"],
+                    default="straight",
+                    help="fake-world map: straight road, the signalized "
+                         "loop, or the 4-way junction (train on straights + "
+                         "the right turn, evaluate on the held-out left "
+                         "turn)")
     ap.add_argument("--variant", choices=["img", "vec", "rad"], default="vec",
                     help="MMFN variant to train (rad = the full 4-modality graph)")
     args = ap.parse_args()
@@ -203,6 +229,10 @@ def main():
         with open(LOOP_XODR_PATH) as f:
             XODR = f.read()
         COLLECT_ROUTES, EVAL_ROUTE = _loop_routes()
+    elif args.map == "cross":
+        with open(CROSS_XODR_PATH) as f:
+            XODR = f.read()
+        COLLECT_ROUTES, EVAL_ROUTE = _cross_routes()
     cfg = GlobalConfig(n_layer=args.n_layer, max_lanes=16, lr=3e-4)
     t0 = time.time()
     rmap_path, birdview = make_map(args.out)

@@ -143,6 +143,41 @@ def left_turn_route_carla():
     return pts
 
 
+def straight_we_route_carla():
+    """West approach straight through the junction onto the east road
+    (lane -1 throughout: CARLA y=+1.75)."""
+    return [(x, 1.75) for x in range(-80, 81, 6)]
+
+
+def straight_sn_route_carla():
+    """The perpendicular movement: road 3 northbound (xodr +s) through
+    connector 11 onto road 4 — in CARLA, x=+1.75 from y=+80 to y=-80."""
+    return [(1.75, -y) for y in range(-80, 81, 6)]
+
+
+def right_turn_route_carla():
+    """W approach -> right-turn connector 13 -> southbound on road 3's +1
+    lane (CARLA: from y=+1.75 eastbound, arcing to x=-1.75, y: 10..80)."""
+    pts = [(float(x), 1.75) for x in range(-80, -11, 6)]
+    r = R - 1.75                      # lane -1 is INSIDE the right turn
+    steps = 16
+    for i in range(steps + 1):
+        phi = math.pi / 2 - (math.pi / 2) * i / steps    # +90deg .. 0
+        xo = -R + r * math.cos(phi)
+        yo = -R + r * math.sin(phi)
+        pts.append((xo, -yo))
+    pts.extend((-1.75, float(y)) for y in range(14, 81, 6))
+    return pts
+
+
+ROUTES = {
+    "cross_left_turn.xml": left_turn_route_carla,
+    "cross_straight.xml": straight_we_route_carla,
+    "cross_straight_sn.xml": straight_sn_route_carla,
+    "cross_right_turn.xml": right_turn_route_carla,
+}
+
+
 def route_xml(pts) -> str:
     wps = "".join(
         f'    <waypoint pitch="0.0" roll="0.0" x="{x:.3f}" y="{y:.3f}" '
@@ -154,12 +189,14 @@ def route_xml(pts) -> str:
 
 def main():
     xodr_path = os.path.join(ROOT, "data", "maps", "fake_town_cross.xodr")
-    route_path = os.path.join(ROOT, "data", "routes", "cross_left_turn.xml")
     with open(xodr_path, "w") as f:
         f.write(build_xodr())
-    with open(route_path, "w") as f:
-        f.write(route_xml(left_turn_route_carla()))
-    print(f"wrote {xodr_path}\nwrote {route_path}")
+    print(f"wrote {xodr_path}")
+    for name, fn in ROUTES.items():
+        route_path = os.path.join(ROOT, "data", "routes", name)
+        with open(route_path, "w") as f:
+            f.write(route_xml(fn()))
+        print(f"wrote {route_path}")
 
 
 if __name__ == "__main__":

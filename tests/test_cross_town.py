@@ -16,22 +16,25 @@ ROUTE = os.path.join(ROOT, "data", "routes", "cross_left_turn.xml")
 
 
 def test_generator_is_current(tmp_path):
-    """The checked-in town/route must match the generator's output (the
-    generator is the source of truth for the junction geometry)."""
+    """The checked-in town/route files must match the generator's output
+    (the generator is the source of truth for the junction geometry)."""
     env = dict(os.environ)
     proc = subprocess.run([sys.executable, "-c", f"""
 import sys
 sys.path.insert(0, {ROOT!r})
 import scripts.gen_cross_town as g
-import io
 print(g.build_xodr(), end="")
-print("=ROUTE=")
-print(g.route_xml(g.left_turn_route_carla()), end="")
+for name, fn in g.ROUTES.items():
+    print("=FILE=" + name)
+    print(g.route_xml(fn()), end="")
 """], capture_output=True, text=True, env=env)
     assert proc.returncode == 0, proc.stderr[-1500:]
-    xodr, route = proc.stdout.split("=ROUTE=\n")
-    assert xodr == open(XODR).read()
-    assert route == open(ROUTE).read()
+    chunks = proc.stdout.split("=FILE=")
+    assert chunks[0] == open(XODR).read()
+    for chunk in chunks[1:]:
+        name, content = chunk.split("\n", 1)
+        path = os.path.join(ROOT, "data", "routes", name)
+        assert content == open(path).read(), name
 
 
 def test_cross_town_vectorizes_with_junction_features(tool):
