@@ -240,6 +240,27 @@ def plan_from_trajectory(trajectory) -> Tuple[list, list]:
     return gps_plan, world_plan
 
 
+def route_environment(rough_map, trajectory, traffic: int = 0, seed: int = 0):
+    """(signals, background) for a route on a vectorized map — the shared
+    assembly every entry point needs (phase0, scenario_run, record_episode):
+    traffic lights derived from the map's signal-controlled nodes along the
+    route, and optional ambient NPC traffic gated by those lights."""
+    if rough_map is None:
+        return None, None
+    from mmfn_tpu.harness.traffic import signals_from_rough_map
+
+    _, world_plan = plan_from_trajectory(trajectory)
+    signals = signals_from_rough_map(rough_map, [p for p, _ in world_plan])
+    background = None
+    if traffic > 0:
+        from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
+
+        background = BackgroundTraffic(
+            [lane.nodes for lane in rough_map.lanes], traffic, seed=seed,
+            signals=signals, ego_start=trajectory[0][:2])
+    return signals, background
+
+
 class _AgentCrash(Exception):
     """Thrown into the route generator when the agent callable raised; the
     generator converts it into a scored failure (leaderboard semantics,

@@ -65,6 +65,11 @@ def build_agent(cfg, shared=None, route_index=None):
     shared = shared if shared is not None else {}
     agent_cfg = cfg["agent"]
     agent_type = agent_cfg.get("type", "e2e")
+    if agent_type == "auto":
+        # AutoPilot = the SimplePilot rule stack under the expert agent
+        # (auto_pilot.py is MMFNPilot's simpler sibling in the reference)
+        agent_type = "expert"
+        agent_cfg = {**agent_cfg, "pilot": "auto"}
     if agent_type == "expert":
         # data-collection mode (the reference's phase0 collect with MMFNPilot)
         from mmfn_tpu.harness.experts.agent import ExpertCollectionAgent

@@ -157,6 +157,7 @@ def main():
 
         xcfg = parse_xosc(args.openscenario, rough_map=rough_map)
         trajectory = [(x, y, 0.0) for x, y in hero_trajectory(xcfg, rough_map)]
+        town = xcfg.town
         name = os.path.splitext(os.path.basename(args.openscenario))[0]
     elif args.route:
         from mmfn_tpu.harness.route import RouteIndexer
@@ -171,38 +172,24 @@ def main():
     if len(trajectory) < 2:
         raise SystemExit("route needs >= 2 waypoints")
 
-    # signals + optional NPC traffic, same assembly as phase0 — scores on a
-    # signalized map stay comparable between the two entry points
-    signals = None
-    if rough_map is not None:
-        from mmfn_tpu.harness.replay import plan_from_trajectory
-        from mmfn_tpu.harness.traffic import signals_from_rough_map
-
-        _, world_plan = plan_from_trajectory(trajectory)
-        signals = signals_from_rough_map(rough_map,
-                                         [p for p, _ in world_plan])
+    from mmfn_tpu.harness.replay import route_environment
 
     weather = (xcfg.weather if xcfg and xcfg.weather
                else args.weather) or "ClearNoon"
     rng = np.random.default_rng(args.seed)
     statistics = StatisticsManager()
     runner = ClosedLoopRunner(statistics, max_wall_seconds=args.timeout)
-    agent_conf = {"type": args.agent, "variant": "vec"}
-    if args.agent == "auto":        # AutoPilot = SimplePilot under the expert
-        agent_conf = {"type": "expert", "pilot": "auto"}
-    agent_cfg = {"agent": agent_conf}
+    agent_cfg = {"agent": {"type": args.agent, "variant": "vec"}}
     shared = {}   # caches the jitted pipeline across repetitions (e2e agents)
 
     records = []
     t0 = time.time()
     for rep in range(args.repetitions):
-        background = None
-        if args.traffic > 0 and rough_map is not None:
-            from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
-
-            background = BackgroundTraffic(
-                [lane.nodes for lane in rough_map.lanes], args.traffic,
-                seed=rep, signals=signals, ego_start=trajectory[0][:2])
+        # signals + optional NPC traffic, same assembly as phase0 — scores
+        # on a signalized map stay comparable between the two entry points
+        signals, background = route_environment(rough_map, trajectory,
+                                                traffic=args.traffic,
+                                                seed=rep)
         triggers = None
         scenario_manager = None
         title = f"{name} rep {rep}"
@@ -220,7 +207,7 @@ def main():
                                         scenario_type=args.scenario)]
             title += f" (trigger s={s:.1f})"
         config = RouteConfig(route_id=f"{name}_{rep}",
-                             town=(xcfg.town if xcfg else town) or "ScenarioWorld",
+                             town=town or "ScenarioWorld",
                              trajectory=trajectory, index=rep)
         agent = build_agent(agent_cfg, shared=shared, route_index=rep)
         try:

@@ -42,7 +42,7 @@ def main():
         os.path.dirname(os.path.abspath(__file__))), "run_steps"))
     from phase0_run_eval import FALLBACK_XODR, build_agent
     from scenario_run import _pose_along
-    from mmfn_tpu.harness.replay import ClosedLoopRunner, plan_from_trajectory
+    from mmfn_tpu.harness.replay import ClosedLoopRunner, route_environment
     from mmfn_tpu.harness.result_writer import format_route_record
     from mmfn_tpu.harness.route import RouteIndexer
     from mmfn_tpu.harness.scenarios import ScenarioTrigger, actor_half_extents
@@ -56,23 +56,8 @@ def main():
     rough_map, producer, _ = vectorize_xodr(map_xodr)
 
     config = RouteIndexer(args.route).next()
-    signals = None
-    try:
-        from mmfn_tpu.harness.traffic import signals_from_rough_map
-
-        _, world_plan = plan_from_trajectory(config.trajectory)
-        signals = signals_from_rough_map(rough_map,
-                                         [p for p, _ in world_plan])
-    except Exception as e:
-        print(f"warning: signal derivation failed ({e}); recording without "
-              f"traffic lights")
-    background = None
-    if args.traffic > 0:
-        from mmfn_tpu.harness.npc_traffic import BackgroundTraffic
-
-        background = BackgroundTraffic(
-            [lane.nodes for lane in rough_map.lanes], args.traffic,
-            seed=0, signals=signals, ego_start=config.trajectory[0][:2])
+    signals, background = route_environment(rough_map, config.trajectory,
+                                            traffic=args.traffic)
     triggers = None
     if args.scenario:
         tx, ty, tyaw = _pose_along(config.trajectory, args.trigger_s)
