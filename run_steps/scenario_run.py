@@ -5,8 +5,10 @@ named scenario class (or an OpenSCENARIO file) outside the leaderboard route
 loop (scenario_runner/scenario_runner.py:46-500, CLI at :503-541: --scenario /
 --openscenario / --list / --repetitions / --randomize / --output / --junit).
 This is the fake-world equivalent: it places the named behavior's trigger on
-a straight route (or a supplied map), drives the chosen agent through the
-same scored closed loop phase0 uses, and writes stdout / txt / JUnit results.
+a straight route — or ``--trigger-s`` meters along a ``--route`` XML over a
+``--map`` OpenDRIVE world — drives the chosen agent through the same scored
+closed loop phase0 uses (signals + optional ``--traffic`` NPCs derived the
+same way), and writes stdout / txt / JUnit results.
 
 Examples:
     python run_steps/scenario_run.py --list
