@@ -348,24 +348,114 @@ class OppositeDirection(ScenarioBehavior):
 class JunctionCrossing(ScenarioBehavior):
     """A vehicle crosses the ego path perpendicularly at the trigger
     (srunner no_signal_junction_crossing.py:39-44 /
-    opposite_vehicle_taking_priority.py): the crossing actor targets
-    _other_actor_target_velocity = 15 m/s through the junction."""
+    opposite_vehicle_taking_priority.py).
+
+    Two phases, matching the srunner behavior tree
+    (no_signal_junction_crossing.py:78-118): first **SyncArrival**
+    (atomic_behaviors.py:1210-1274) — per tick the crossing vehicle's
+    throttle/brake is ``gain * (t_self - t_ego)`` where each ``t`` is
+    distance-to-collision-point over current speed, so it arrives at the
+    conflict point exactly when the ego does (and waits if the ego waits:
+    ego speed 0 makes t_ego infinite, braking the actor — the "crossing
+    negotiation"); then, once the ego is close to the junction
+    (pass_through_trigger), **KeepVelocity** at
+    _other_actor_target_velocity = 15 m/s until clear."""
 
     SPEED = 15.0             # no_signal_junction_crossing.py:44
+    START_SPEED = 0.0        # sync-arrival accelerates it from rest
+    SYNC_GAIN = 1.0          # atomic_behaviors.py:1229 (gain default)
+    ACCEL = 4.0              # kinematic full-throttle accel, m/s^2
+    BRAKE = 8.0              # kinematic full-brake decel, m/s^2
+    PASS_DIST = 8.0          # ego closer than this -> keep-velocity phase
+    SPAWN_AHEAD = 18.0
+    SPAWN_LATERAL = 25.0
+    RETIRE_DIST = 60.0
+
+    # class-level defaults so subclasses that override on_activate (the
+    # turning variants) still satisfy the inherited observe() hook
+    _ego_xy: Optional[np.ndarray] = None
+    _ego_prev: Optional[np.ndarray] = None
 
     def on_activate(self) -> None:
         t = self.trigger
         ahead = np.array([math.cos(t.yaw), math.sin(t.yaw)])
         lateral = np.array([-ahead[1], ahead[0]])
-        pos = np.array([t.x, t.y]) + ahead * 18.0 + lateral * 25.0
-        self.actors = [ScenarioActor("vehicle", pos, -lateral * self.SPEED,
+        # the crossing path intersects the ego path at trigger + ahead*18
+        self._cp = np.array([t.x, t.y]) + ahead * self.SPAWN_AHEAD
+        self._dir = -lateral
+        self._ego_xy: Optional[np.ndarray] = None
+        self._ego_prev: Optional[np.ndarray] = None
+        self._passed = False
+        pos = self._cp + lateral * self.SPAWN_LATERAL
+        self.actors = [ScenarioActor("vehicle", pos,
+                                     self._dir * self.START_SPEED,
                                      yaw=t.yaw - math.pi / 2, extent=2.2,
                                      actor_id=self.actor_id)]
 
+    def observe(self, ego_xy: np.ndarray) -> None:
+        self._ego_prev = self._ego_xy
+        self._ego_xy = np.asarray(ego_xy, dtype=float).copy()
+
+    def _sync_arrival(self, a: ScenarioActor, dt: float) -> None:
+        """SyncArrival pacing (atomic_behaviors.py:1242-1272), as an
+        acceleration command on the kinematic actor."""
+        ego_speed = 0.0
+        if self._ego_xy is not None and self._ego_prev is not None and dt > 0:
+            ego_speed = float(np.linalg.norm(self._ego_xy - self._ego_prev)) / dt
+        d_ego = (float(np.linalg.norm(self._ego_xy - self._cp))
+                 if self._ego_xy is not None else math.inf)
+        d_act = float(np.linalg.norm(a.position - self._cp))
+        speed = float(np.linalg.norm(a.velocity))
+        t_ego = d_ego / ego_speed if ego_speed > 0.1 else math.inf
+        t_act = d_act / speed if speed > 0.1 else math.inf
+        if math.isinf(t_ego):
+            control = -1.0         # ego waiting: wait too (negotiation)
+        elif math.isinf(t_act):
+            control = 1.0          # from rest: throttle toward the junction
+        else:
+            control = max(-1.0, min(1.0, self.SYNC_GAIN * (t_act - t_ego)))
+        dv = (self.ACCEL if control > 0 else self.BRAKE) * control * dt
+        speed = max(0.0, min(self.SPEED, speed + dv))
+        a.velocity = self._dir * speed
+
     def step(self, dt: float) -> None:
+        if self.actors and not self._passed:
+            d_ego = (float(np.linalg.norm(self._ego_xy - self._cp))
+                     if self._ego_xy is not None else math.inf)
+            if d_ego <= self.PASS_DIST:
+                self._passed = True   # pass_through_trigger reached
+            else:
+                self._sync_arrival(self.actors[0], dt)
+        if self.actors and self._passed:
+            self.actors[0].velocity = self._dir * self.SPEED  # KeepVelocity
         super().step(dt)
         if self.actors and np.linalg.norm(
-                self.actors[0].position - np.array([self.trigger.x, self.trigger.y])) > 60:
+                self.actors[0].position
+                - np.array([self.trigger.x, self.trigger.y])) > self.RETIRE_DIST:
+            self.actors = []
+            self.done = True
+
+
+class OppositeVehicleRunningRedLight(JunctionCrossing):
+    """An opposing vehicle 'illegally' takes priority by running its red
+    light while the ego has green (srunner
+    opposite_vehicle_taking_priority.py:37-60): sync-arrival to the
+    geometric intersection point, crosses at _other_actor_target_velocity =
+    10 m/s (line 56), and retires after driving _other_actor_distance =
+    50 m (line 58)."""
+
+    SPEED = 10.0             # opposite_vehicle_taking_priority.py:56
+    DRIVE_DIST = 50.0        # opposite_vehicle_taking_priority.py:58
+    RETIRE_DIST = math.inf   # retires on driven distance instead
+
+    def on_activate(self) -> None:
+        super().on_activate()
+        self._spawn = self.actors[0].position.copy()
+
+    def step(self, dt: float) -> None:
+        JunctionCrossing.step(self, dt)
+        if self.actors and np.linalg.norm(
+                self.actors[0].position - self._spawn) > self.DRIVE_DIST:
             self.actors = []
             self.done = True
 
@@ -410,6 +500,7 @@ class JunctionRightTurn(JunctionCrossing):
     in the ego's direction ahead of it."""
 
     SPEED = 6.9       # signalized_junction_right_turn.py:50 (_target_vel)
+    START_SPEED = 6.9  # enters the junction already moving (no sync phase)
     TURN_RATE = 0.5
     # _ego_distance = 40 (signalized_junction_right_turn.py:52) + the 40 m
     # the merged actor keeps driving ahead of the ego before it retires
@@ -650,6 +741,8 @@ SCENARIO_CLASSES = {
     "ChangeLane": ChangeLane,                           # change_lane.py
     "FollowLeadingVehicleWithObstacle": LeadVehicleWithObstacle,  # follow_leading_vehicle.py
     "FreeRide": FreeRide,                               # freeride.py
+    "NoSignalJunctionCrossing": JunctionCrossing,       # no_signal_junction_crossing.py
+    "OppositeVehicleRunningRedLight": OppositeVehicleRunningRedLight,  # opposite_vehicle_taking_priority.py
 }
 
 

@@ -105,6 +105,65 @@ def test_scenario_catalog_behaviors():
             assert np.isfinite(a.position).all()
 
 
+def test_junction_crossing_sync_arrival():
+    """Scenario7/10 SyncArrival (srunner atomic_behaviors.py:1210-1274): the
+    crossing vehicle paces itself to reach the conflict point when the ego
+    does, and holds short while the ego waits (crossing negotiation)."""
+    dt = 0.05
+    trig = ScenarioTrigger(x=10.0, y=0.0, yaw=0.0, scenario_type="Scenario7")
+    cp = np.array([28.0, 0.0])   # trigger + SPAWN_AHEAD along the route
+
+    # moving ego: both reach the conflict point at about the same time
+    mgr = ScenarioManagerLite([trig])
+    ego_x, t_ego, t_act = 0.0, None, None
+    for i in range(2000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), dt)
+        if t_ego is None and ego_x >= cp[0]:
+            t_ego = i * dt
+        if (t_act is None and actors
+                and np.linalg.norm(actors[0].position - cp) < 3.0):
+            t_act = i * dt
+        if t_ego is not None and t_act is not None:
+            break
+        ego_x += 6.0 * dt
+    assert t_ego is not None, "ego never reached the junction"
+    assert t_act is not None, "crossing vehicle never reached the junction"
+    assert abs(t_act - t_ego) < 2.0, (t_act, t_ego)
+
+    # waiting ego: the actor negotiates — it holds short of the junction
+    mgr = ScenarioManagerLite([trig])
+    for _ in range(400):   # 20 s with the ego parked at the trigger
+        actors = mgr.tick(np.array([10.0, 0.0]), dt)
+    assert actors, "actor retired while the ego was still waiting"
+    assert np.linalg.norm(actors[0].position - cp) > 10.0
+    assert np.linalg.norm(actors[0].velocity) < 0.5
+
+
+def test_opposite_vehicle_running_red_light_retires_by_distance():
+    """OppositeVehicleRunningRedLight (opposite_vehicle_taking_priority.py):
+    crosses at 10 m/s once the ego commits and retires after driving
+    _other_actor_distance = 50 m."""
+    dt = 0.05
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=10.0, y=0.0, yaw=0.0,
+        scenario_type="OppositeVehicleRunningRedLight")])
+    spawn = None
+    ego_x, max_speed, driven = 0.0, 0.0, 0.0
+    for _ in range(4000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), dt)
+        if actors:
+            if spawn is None:
+                spawn = actors[0].position.copy()
+            max_speed = max(max_speed, float(np.linalg.norm(actors[0].velocity)))
+            driven = float(np.linalg.norm(actors[0].position - spawn))
+        elif spawn is not None:
+            break
+        ego_x += 6.0 * dt
+    assert mgr.behaviors[0].done
+    assert max_speed <= 10.0 + 1e-6      # _other_actor_target_velocity
+    assert 45.0 <= driven <= 55.0        # _other_actor_distance = 50
+
+
 def test_simple_pilot_completes_and_avoids(tool, tmp_path):
     """The AutoPilot-style SimplePilot drives the route and brakes for a
     cut-in vehicle using plain distance tests."""
