@@ -299,6 +299,12 @@ def main():
         # dims are where a Mosaic lowering quirk would hide)
         from mmfn_tpu.ops.attention import _fused_attention
 
+        # apples-to-apples reference: the DEFAULT-precision einsum path the
+        # kernel replaces. On TPU both round f32 inputs through single-pass
+        # bf16 MXU multiplies (each sits ~5e-3 from a HIGHEST-precision
+        # f32 ground truth, measured), and agree with each other to ~2e-4;
+        # 1e-3 covers that rounding while a Mosaic lowering bug would miss
+        # by orders of magnitude.
         for t, d in ((128, 16), (192, 32), (256, 64), (256, 128)):
             q, k, v = (jnp.asarray(rng.normal(size=(2, 4, t, d))
                                    .astype(np.float32)) for _ in range(3))
@@ -306,7 +312,7 @@ def main():
             want_a = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(att, -1), v)
             got_a = np.asarray(_fused_attention(q, k, v))
             pallas_ok = pallas_ok and bool(
-                np.allclose(got_a, np.asarray(want_a), rtol=1e-4, atol=1e-4))
+                np.allclose(got_a, np.asarray(want_a), rtol=1e-3, atol=1e-3))
 
     print(json.dumps({
         "metric": "end-to-end frames/sec/chip (sensor->waypoints, full MMFN-rad)",
