@@ -293,7 +293,8 @@ class ClosedLoopRunner:
                   signals=None,
                   background=None,
                   world_kwargs: Optional[dict] = None,
-                  scenario_manager=None) -> RouteRecord:
+                  scenario_manager=None,
+                  recorder=None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
         rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
@@ -308,12 +309,17 @@ class ClosedLoopRunner:
         scenario_manager: optional pre-built manager (e.g.
         harness.openscenario.OpenScenarioManager) used instead of the
         trigger-list ScenarioManagerLite; if it exposes ``stop_triggered()``
-        (OpenSCENARIO storyboard stop trigger) the episode ends there."""
+        (OpenSCENARIO storyboard stop trigger) the episode ends there.
+        recorder: optional harness.recording.EpisodeRecorder -> every tick's
+        ground truth (actors, control, lights, collisions) plus the criteria
+        summary is captured for post-hoc metrics (the srunner
+        ``--record`` + metrics_manager.py analog)."""
         gen = self.drive(agent, config, opendrive_str, max_ticks=max_ticks,
                          triggers=triggers, rough_map=rough_map,
                          signals=signals, background=background,
                          world_kwargs=world_kwargs,
-                         scenario_manager=scenario_manager)
+                         scenario_manager=scenario_manager,
+                         recorder=recorder)
         try:
             game_time = next(gen)
             while True:
@@ -332,7 +338,8 @@ class ClosedLoopRunner:
               signals=None,
               background=None,
               world_kwargs: Optional[dict] = None,
-              scenario_manager=None):
+              scenario_manager=None,
+              recorder=None):
         """Generator form of :meth:`run_route` (same arguments): writes the
         tick's sensor frames into ``agent.sensor_interface``, yields the game
         time, and expects the agent's control via ``send``; its return value
@@ -376,6 +383,8 @@ class ClosedLoopRunner:
         scenario_mgr = scenario_manager or ScenarioManagerLite(triggers or [])
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
+        if recorder is not None:
+            recorder.start(opendrive_str, DT, config.route_id)
 
         self.statistics.set_route(config.route_id, config.index)
         t_start = time.time()
@@ -384,6 +393,7 @@ class ClosedLoopRunner:
         failure = ""
         for _ in range(max_ticks):
             scenario_actors = scenario_mgr.tick(np.array([world.x, world.y]), DT)
+            n_scenario = len(scenario_actors)
             if background is not None:
                 # VisibilityAction traffic=false hides an actor from other
                 # participants' obstacle awareness (physics stays on)
@@ -401,13 +411,14 @@ class ClosedLoopRunner:
             if signals is not None:
                 red_light, stop_sign = signals.gating(
                     np.array([world.x, world.y]), world.yaw, game_time)
+            light_states = (signals.light_states(game_time)
+                            if signals is not None else [])
             frame["privileged"] = (world.frame, {
                 "ego": (world.x, world.y, world.yaw, world.v),
                 "actors": scenario_actors,
                 "red_light": red_light,
                 "stop_sign": stop_sign,
-                "light_states": (signals.light_states(game_time)
-                                 if signals is not None else []),
+                "light_states": light_states,
             })
             for tag, (f, payload) in frame.items():
                 if tag not in agent.sensor_interface._sensors:
@@ -435,12 +446,18 @@ class ClosedLoopRunner:
                         np.array([world.x, world.y]), radius=15.0)
                 if signals is not None:
                     signals.force_green(game_time, duration=10.0)
+            if recorder is not None:
+                recorder.record_tick(game_time, time.time() - t_start, world,
+                                     scenario_actors, n_scenario, control,
+                                     light_states)
             world.tick(control)
             game_time += DT
             position = (world.x, world.y)
             hit = check_collision(np.asarray(position), world.yaw, scenario_actors)
             if hit is not None and hit.actor_id not in collided_ids:
                 collided_ids.add(hit.actor_id)
+                if recorder is not None:
+                    recorder.record_collision(hit.actor_id)
                 etype = (TrafficEventType.COLLISION_PEDESTRIAN if hit.kind == "walker"
                          else TrafficEventType.COLLISION_VEHICLE)
                 collision_events.append(TrafficEvent(
@@ -472,8 +489,11 @@ class ClosedLoopRunner:
             c.terminate()
             events.extend(c.events)
 
-        return self.statistics.compute_route_statistics(
+        record = self.statistics.compute_route_statistics(
             config.index, length, events,
             duration_time_system=time.time() - t_start,
             duration_time_game=game_time,
             timed_out=timed_out, failure=failure)
+        if recorder is not None:
+            recorder.finish(criteria, record)
+        return record

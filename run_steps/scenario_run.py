@@ -108,6 +108,11 @@ def main():
     ap.add_argument("--output", default=None,
                     help="also write the result table to this txt file")
     ap.add_argument("--junit", default=None, help="write JUnit XML here")
+    ap.add_argument("--record", default=None,
+                    help="record each repetition's ground truth for post-hoc "
+                         "metrics (srunner --record analog): writes "
+                         "<record>_rep<N>.json consumable by "
+                         "run_steps/metrics_run.py")
     ap.add_argument("--weather", default=None,
                     help="fake-world weather preset (default ClearNoon; an "
                          ".xosc EnvironmentAction overrides it)")
@@ -212,6 +217,11 @@ def main():
                              town=town or "ScenarioWorld",
                              trajectory=trajectory, index=rep)
         agent = build_agent(agent_cfg, shared=shared, route_index=rep)
+        recorder = None
+        if args.record:
+            from mmfn_tpu.harness.recording import EpisodeRecorder
+
+            recorder = EpisodeRecorder()
         try:
             record = runner.run_route(agent, config, map_xodr,
                                       triggers=triggers,
@@ -219,9 +229,15 @@ def main():
                                       signals=signals,
                                       background=background,
                                       scenario_manager=scenario_manager,
-                                      world_kwargs={"weather": weather})
+                                      world_kwargs={"weather": weather},
+                                      recorder=recorder)
         finally:
             agent.destroy()
+        if recorder is not None:
+            base, ext = os.path.splitext(args.record)
+            rec_path = f"{base}_rep{rep}{ext or '.json'}"
+            recorder.save(rec_path)
+            print(f"recording written to {rec_path}")
         records.append(record)
         print(format_route_record(record, title=title))
     elapsed = time.time() - t0
