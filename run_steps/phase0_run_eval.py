@@ -343,11 +343,28 @@ def main():
             agent = build_agent(cfg, shared, route_index=config.index)
             print(f"{bc.OKCYAN}route {config.route_id} "
                   f"({config.index + 1}/{indexer.total}){bc.ENDC}")
+            # record: DIR — per-route ground-truth recordings for post-hoc
+            # metrics (run_steps/metrics_run.py), named like the reference's
+            # recorder logs (leaderboard_evaluator.py:319-320:
+            # "{record}/{name}_rep{index}.log"). Sequential routes only.
+            recorder = None
+            if cfg.get("record"):
+                from mmfn_tpu.harness.recording import EpisodeRecorder
+
+                recorder = EpisodeRecorder()
             try:
                 records = [runner.run_route(agent, config, map_xodr,
+                                            recorder=recorder,
                                             **route_kwargs(config))]
             finally:
                 agent.destroy()      # agents are per-route; free the fetcher
+            if recorder is not None:
+                os.makedirs(cfg["record"], exist_ok=True)
+                rec_path = os.path.join(
+                    cfg["record"],
+                    f"{config.route_id}_rep{config.index}.json")
+                recorder.save(rec_path)
+                print(f"recording written to {rec_path}")
         for config, record in zip(configs, records):
             statistics.save_record(record, config.index, endpoint)
             print(format_route_record(record, title=f"route {config.route_id}"))
