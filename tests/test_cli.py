@@ -291,10 +291,19 @@ def test_scenario_run_cli(tmp_path):
         [sys.executable, os.path.join(ROOT, "run_steps", "scenario_run.py"),
          "--scenario", "Scenario2", "--agent", "npc", "--repetitions", "2",
          "--randomize", "--junit", str(junit),
+         "--record", str(tmp_path / "ep.json"),
          "--output", str(tmp_path / "out.txt")],
         capture_output=True, text=True, env=_clean_env())
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert proc.stdout.count("Scenario2 rep") == 2
+
+    # --record (srunner --record analog): one recording per repetition,
+    # loadable by the metrics module
+    from mmfn_tpu.harness.recording import EpisodeRecorder
+
+    for rep in range(2):
+        rec = EpisodeRecorder.load(str(tmp_path / f"ep_rep{rep}.json"))
+        assert rec["frames"] and rec["criteria"]
 
     import xml.etree.ElementTree as ET
     suite = ET.parse(junit).getroot()

@@ -163,6 +163,12 @@ def test_example_metrics(recording, tmp_path):
     assert set(cf["RouteCompletion"]) == {"test_status", "actual_value",
                                           "success_value"}
 
+    m = run_metric(os.path.join(EXAMPLES, "comfort.py"), rec.data,
+                   out_dir=out)
+    # the kinematic ego accelerates at <= 4 m/s^2 and brakes at <= 8 m/s^2
+    assert 0.0 < m.results["accel_max_mps2"] <= 8.5
+    assert (tmp_path / "Comfort.json").exists()
+
 
 def test_load_metric_class_rejects_plain_module(tmp_path):
     p = tmp_path / "not_a_metric.py"
