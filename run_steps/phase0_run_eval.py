@@ -87,6 +87,15 @@ def build_agent(cfg, shared=None, route_index=None):
         from mmfn_tpu.harness.agents.trivial import NpcAgent
 
         return NpcAgent()
+    if agent_type == "remote":
+        # external stack over the process bridge (RosAgent analog):
+        # agent.stack_cmd="python my_stack.py" (or $MMFN_STACK_CMD)
+        from mmfn_tpu.harness.agents.remote import RemoteAgent
+
+        return RemoteAgent({k: agent_cfg[k] for k in
+                            ("stack_cmd", "sensors", "stepping", "socket",
+                             "step_timeout", "connect_timeout")
+                            if k in agent_cfg})
     if agent_type in ("aim", "cilrs", "transfuser"):
         from mmfn_tpu.harness.agents.baseline import BaselineAgent
         from mmfn_tpu.models import get_entry_point as get_model
