@@ -21,7 +21,12 @@ so any external stack (a ROS bridge shim included) can drive the ego:
 - a reader thread applies incoming ``control`` messages to
   ``current_control`` (the vehicle_control_cmd subscriber + event,
   ros_agent.py:113-146); with ``stepping: true`` run_step blocks until a
-  control newer than the tick arrives (use_stepping_mode, ros_agent.py:445-448).
+  control acknowledging the current tick arrives (use_stepping_mode,
+  ros_agent.py:445-448): every tick carries a monotonically increasing
+  ``seq`` which ``serve_stack`` echoes back in the control, so a late
+  in-flight control for tick N-1 cannot unblock tick N. Stacks that do not
+  echo ``seq`` fall back to any-fresh-control semantics (the reference's
+  race).
 - a dead stack raises RuntimeError with its exit code (ros_agent.py:417-419);
   ``destroy`` SIGTERMs the stack's process group and waits
   (ros_agent.py:166-180).
@@ -144,6 +149,13 @@ class RemoteAgent(AutonomousAgent):
         self._step_timeout = float(conf.get("step_timeout", 10.0))
         self._sock_path = conf.get("socket") or os.path.join(
             tempfile.mkdtemp(prefix="mmfn_bridge_"), "agent.sock")
+        if conf.get("socket"):
+            # a user-configured path can survive a crashed run (destroy()
+            # unlinks only on clean teardown) — bind would raise EADDRINUSE
+            try:
+                os.unlink(self._sock_path)
+            except FileNotFoundError:
+                pass
 
         self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._listener.bind(self._sock_path)
@@ -165,10 +177,23 @@ class RemoteAgent(AutonomousAgent):
             self.destroy()
             raise RuntimeError("stack never connected to %s" % self._sock_path)
         self._conn.settimeout(None)
+        # Kernel-level SEND timeout only (SO_SNDTIMEO, not settimeout — that
+        # would also time out the reader thread's recv): a stack that stops
+        # READING (hung, not exited) fills the socket buffer and would block
+        # sendall forever, hanging the whole evaluation between watchdog
+        # polls. On expiry sendall raises EAGAIN and run_step reports it.
+        self._send_timeout = float(conf.get(
+            "send_timeout", max(2.0 * self._step_timeout, 10.0)))
+        sec = int(self._send_timeout)
+        usec = int((self._send_timeout - sec) * 1e6)
+        self._conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                              struct.pack("ll", sec, usec))
         self._send_lock = threading.Lock()
 
         self.current_control = VehicleControl()
         self._control_event = threading.Event()
+        self._control_seq = None   # last seq the stack acknowledged
+        self._tick_seq = -1
         self.step_mode_possible = False   # set after the first control arrives
         self._plan_published = False
         self._reader_alive = True
@@ -197,6 +222,8 @@ class RemoteAgent(AutonomousAgent):
                     brake=float(header.get("brake", 0.0)),
                     hand_brake=bool(header.get("hand_brake", False)),
                     reverse=bool(header.get("reverse", False)))
+                seq = header.get("seq")
+                self._control_seq = None if seq is None else int(seq)
                 self.step_mode_possible = True
                 self._control_event.set()
         except (ConnectionError, OSError, ValueError):
@@ -229,15 +256,32 @@ class RemoteAgent(AutonomousAgent):
                 arrays[key] = value
             else:
                 inline[key] = _jsonable(value)
-        with self._send_lock:
-            send_msg(self._conn,
-                     {"type": "tick", "t": float(timestamp),
-                      "frames": frames, "inline": inline}, arrays)
+        self._tick_seq += 1
+        try:
+            with self._send_lock:
+                send_msg(self._conn,
+                         {"type": "tick", "t": float(timestamp),
+                          "seq": self._tick_seq,
+                          "frames": frames, "inline": inline}, arrays)
+        except (socket.timeout, BlockingIOError, InterruptedError):
+            raise RuntimeError(
+                "stack stopped reading ticks (send blocked > %.1fs)"
+                % self._send_timeout)
 
         if self._stepping and self.step_mode_possible and input_data:
-            if not self._control_event.wait(self._step_timeout):
-                raise RuntimeError("stack produced no control within %.1fs"
-                                   % self._step_timeout)
+            # wait for a control ACKNOWLEDGING this tick (seq echo); stacks
+            # that don't echo seq unblock on any fresh control
+            deadline = time.time() + self._step_timeout
+            while True:
+                remaining = deadline - time.time()
+                if remaining <= 0 or not self._control_event.wait(remaining):
+                    raise RuntimeError(
+                        "stack produced no control within %.1fs"
+                        % self._step_timeout)
+                if (self._control_seq is None
+                        or self._control_seq >= self._tick_seq):
+                    break
+                self._control_event.clear()   # stale ack for an older tick
         return self.current_control
 
     def destroy(self) -> None:
@@ -250,7 +294,11 @@ class RemoteAgent(AutonomousAgent):
             try:
                 self.stack_process.wait(timeout=10)
             except subprocess.TimeoutExpired:
-                os.killpg(os.getpgid(self.stack_process.pid), signal.SIGKILL)
+                try:   # the group may exit between the wait expiry and here
+                    os.killpg(os.getpgid(self.stack_process.pid),
+                              signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
                 self.stack_process.wait()
         self.stack_process = None
         for attr in ("_conn", "_listener"):
@@ -303,7 +351,9 @@ def serve_stack(control_fn, socket_path: Optional[str] = None,
                 control_fn.on_plan(header)
             elif kind == "tick":
                 control = control_fn(header, arrays) or {}
-                send_msg(sock, dict(control, type="control"))
+                # echo the tick seq so stepping mode can match ack to tick
+                send_msg(sock, dict(control, type="control",
+                                    seq=header.get("seq")))
     finally:
         sock.close()
 

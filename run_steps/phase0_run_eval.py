@@ -94,7 +94,8 @@ def build_agent(cfg, shared=None, route_index=None):
 
         return RemoteAgent({k: agent_cfg[k] for k in
                             ("stack_cmd", "sensors", "stepping", "socket",
-                             "step_timeout", "connect_timeout")
+                             "step_timeout", "connect_timeout", "env",
+                             "send_timeout")
                             if k in agent_cfg})
     if agent_type in ("aim", "cilrs", "transfuser"):
         from mmfn_tpu.harness.agents.baseline import BaselineAgent

@@ -145,9 +145,74 @@ def test_step_timeout_raises(tmp_path):
         while not agent.step_mode_possible and time.time() < deadline:
             time.sleep(0.01)
         assert agent.step_mode_possible
-        agent._control_event.clear()   # drop any straggler from tick 1
+        # no manual _control_event.clear() needed: the seq echo means the
+        # straggler ack for tick 0 cannot satisfy tick 1's stepping wait
         with pytest.raises(RuntimeError, match="no control"):
             _feed(agent, 0.10, [0.0, 0.0, 0.0], frame=1)
+    finally:
+        agent.destroy()
+
+
+def test_stale_ack_does_not_unblock_next_tick(tmp_path):
+    """A late in-flight control for tick N-1 must not unblock tick N: the
+    stepping wait matches the echoed seq, not just 'any control arrived'."""
+    conf = _fresh_socket(tmp_path)
+
+    class _Laggard:
+        """Answers tick 0 instantly, answers tick 1 only after a delay —
+        simulating the ack for tick 0 landing while tick 1 is waiting."""
+
+        def __call__(self, header, arrays):
+            if header["seq"] >= 1:
+                time.sleep(0.4)
+                return {"steer": 0.9}
+            return {"steer": 0.1}
+
+    _thread_stack(conf, _Laggard())
+    agent = RemoteAgent(dict(conf, stepping=True, step_timeout=5.0))
+    try:
+        _feed(agent, 0.05, [0.0, 0.0, 0.0])
+        deadline = time.time() + 5
+        while not agent.step_mode_possible and time.time() < deadline:
+            time.sleep(0.01)
+        # inject a stale ack for seq 0 right before tick 1 blocks: the event
+        # fires but the wait must reject it and keep waiting for seq >= 1
+        agent._control_seq = 0
+        agent._control_event.set()
+        c1 = _feed(agent, 0.10, [0.0, 0.0, 0.0], frame=1)
+        assert c1.steer == pytest.approx(0.9)
+    finally:
+        agent.destroy()
+
+
+def test_hung_stack_send_timeout(tmp_path):
+    """A stack that stops READING (hung, not exited) must not hang run_step
+    forever: the SO_SNDTIMEO kernel send timeout converts the filled socket
+    buffer into a RuntimeError."""
+    conf = _fresh_socket(tmp_path)
+
+    def _dial_and_sleep():
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        deadline = time.time() + 10
+        while True:
+            try:
+                s.connect(conf["socket"])
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.02)
+        time.sleep(60)   # never reads a byte
+
+    threading.Thread(target=_dial_and_sleep, daemon=True).start()
+    agent = RemoteAgent(dict(conf, send_timeout=0.5))
+    try:
+        big = np.zeros((512, 512, 3), np.uint8)   # ~786 KB/tick
+        agent.sensor_interface.register_sensor("cam")
+        with pytest.raises(RuntimeError, match="stopped reading"):
+            for frame in range(64):   # buffer fills within a few ticks
+                agent.sensor_interface.update_sensor("cam", big, frame)
+                agent(0.05 * frame)
     finally:
         agent.destroy()
 
