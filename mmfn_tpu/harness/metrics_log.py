@@ -202,6 +202,11 @@ class MetricsLog:
             f -= 1
         return (frame - f) * self._dt
 
+    def get_weather(self, frame: int) -> str:
+        """Weather preset in effect at ``frame`` (animates under a
+        WeatherSim; empty for recordings made before weather capture)."""
+        return str(self._rec["frames"][frame].get("weather", ""))
+
     # -- collisions (metrics_log.py:34-50) -----------------------------------
 
     def get_actor_collisions(self, actor_id: int) -> Dict[int, int]:

@@ -93,6 +93,7 @@ import copy
 import math
 import os
 import re
+import warnings
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -104,6 +105,13 @@ from mmfn_tpu.harness.actor_controls import (BasicControl, Obstacle,
 from mmfn_tpu.harness.scenarios import ScenarioActor
 
 LANE_WIDTH = 3.5
+
+
+class UnsupportedOsc(UserWarning):
+    """An OpenSCENARIO construct outside the engine's subset was parsed as
+    never-holding. Filterable: ``warnings.filterwarnings('error',
+    category=UnsupportedOsc)`` turns silent scenario truncation into a
+    parse failure."""
 
 
 # --------------------------------------------------------------------------- #
@@ -129,18 +137,26 @@ class EntitySpec:
 
 @dataclass
 class XoscCondition:
-    # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill' | 'unsupported'
+    # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill' | 'distance'
+    # | 'ttc' | 'headway' | 'speed' | 'signal' | 'unsupported'
     # ('unsupported' records a construct outside the subset; it never holds,
-    # so a gated event stays gated instead of firing on the first tick)
+    # so a gated event stays gated instead of firing on the first tick — and
+    # the parser warns loudly, once per construct kind, because a silently
+    # never-holding condition means the scenario "passes" while never
+    # exercising its maneuver)
     kind: str
     value: float = 0.0
     rule: str = "greaterThan"
-    entity: str = ""                 # the referenced entity (reldist target)
+    entity: str = ""                 # referenced entity (reldist/ttc/headway
+    #                                  target; signal name for 'signal')
     triggering: Tuple[str, ...] = () # TriggeringEntities refs
     x: float = 0.0
     y: float = 0.0
     tolerance: float = 3.0
     name: str = ""
+    along_route: bool = False        # 'distance': measure along the ego route
+    #                                  (srunner InTriggerDistanceToLocationAlongRoute)
+    state: str = ""                  # 'signal': required light state
 
 
 @dataclass
@@ -800,29 +816,55 @@ def _parse_private_action(act: ET.Element, params: Dict[str, str],
     return None
 
 
+def _unsupported_condition(name: str, container: Optional[ET.Element]) -> XoscCondition:
+    """Record (and WARN about) a condition outside the subset. The warning is
+    per construct kind: an unsupported condition parses as never-holding, so
+    the event it gates silently never fires — scenario authors must hear
+    about that at parse time, not discover it from a maneuver that never ran
+    (the reference's srunner would instead raise at conversion,
+    openscenario_parser.py convert_condition_to_atomic)."""
+    tags = [c.tag for c in container] if container is not None else []
+    construct = "/".join(tags) or (container.tag if container is not None
+                                   else "<empty Condition>")
+    warnings.warn(
+        f"OpenSCENARIO condition construct '{construct}' is outside the "
+        f"supported subset: it will NEVER hold, so any event it gates stays "
+        f"gated forever (first seen at condition name={name!r})",
+        UnsupportedOsc, stacklevel=3)
+    return XoscCondition("unsupported", name=name)
+
+
 def _parse_condition(cond: ET.Element, params: Dict[str, str],
                      entities: Dict[str, EntitySpec]) -> XoscCondition:
     """Parse one <Condition>. Constructs outside the subset yield an
     'unsupported' condition that never holds — the gated event then stays
-    gated (firing it immediately would silently corrupt the story)."""
+    gated (firing it immediately would silently corrupt the story) — and a
+    loud ``UnsupportedOsc`` warning at parse time."""
     name = cond.get("name", "")
-    unsupported = XoscCondition("unsupported", name=name)
     byval = cond.find("ByValueCondition")
     if byval is not None:
         sim = byval.find("SimulationTimeCondition")
         if sim is not None:
             return XoscCondition("time", value=_f(sim, "value", params),
                                  rule=sim.get("rule", "greaterThan"), name=name)
-        return unsupported
+        sig = byval.find("TrafficSignalCondition")
+        if sig is not None:
+            # srunner WaitForTrafficLightState: holds while the named light
+            # shows the required state (atomic_trigger_conditions.py)
+            return XoscCondition(
+                "signal", entity=_resolve(sig.get("name"), params) or "",
+                state=(_resolve(sig.get("state"), params) or "green").lower(),
+                name=name)
+        return _unsupported_condition(name, byval)
     byent = cond.find("ByEntityCondition")
     if byent is None:
-        return unsupported
+        return _unsupported_condition(name, cond)
     triggering = tuple(
         ref.get("entityRef", "")
         for ref in byent.findall(".//TriggeringEntities/EntityRef"))
     ec = byent.find("EntityCondition")
     if ec is None:
-        return unsupported
+        return _unsupported_condition(name, byent)
     rel = ec.find("RelativeDistanceCondition")
     if rel is not None:
         return XoscCondition("reldist", value=_f(rel, "value", params),
@@ -843,7 +885,47 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
     if still is not None:
         return XoscCondition("standstill", value=_f(still, "duration", params),
                              triggering=triggering, name=name)
-    return unsupported
+    dist = ec.find("DistanceCondition")
+    if dist is not None:
+        # srunner InTriggerDistanceToLocation(AlongRoute): with
+        # alongRoute="true" the distance is measured along the ego's route
+        # polyline, not as the crow flies (atomic_trigger_conditions.py
+        # InTriggerDistanceToLocationAlongRoute)
+        x, y, _ = _parse_position(dist.find("Position"), params, entities)
+        return XoscCondition(
+            "distance", value=_f(dist, "value", params),
+            rule=dist.get("rule", "lessThan"), x=x, y=y,
+            along_route=(_resolve(dist.get("alongRoute"), params)
+                         or "false").lower() in ("true", "1"),
+            triggering=triggering, name=name)
+    ttc = ec.find("TimeToCollisionCondition")
+    if ttc is not None:
+        # srunner InTimeToArrivalToVehicle/ToLocation: time to close the gap
+        # to a moving entity or a fixed point at the current closing speed
+        target = ttc.find("TimeToCollisionConditionTarget")
+        entity_ref = target.find("EntityRef") if target is not None else None
+        x = y = 0.0
+        ent = ""
+        if entity_ref is not None:
+            ent = entity_ref.get("entityRef", "")
+        elif target is not None and target.find("Position") is not None:
+            x, y, _ = _parse_position(target.find("Position"), params, entities)
+        return XoscCondition("ttc", value=_f(ttc, "value", params),
+                             rule=ttc.get("rule", "lessThan"),
+                             entity=ent, x=x, y=y,
+                             triggering=triggering, name=name)
+    headway = ec.find("TimeHeadwayCondition")
+    if headway is not None:
+        return XoscCondition("headway", value=_f(headway, "value", params),
+                             rule=headway.get("rule", "lessThan"),
+                             entity=headway.get("entityRef", ""),
+                             triggering=triggering, name=name)
+    speed = ec.find("SpeedCondition")
+    if speed is not None:
+        return XoscCondition("speed", value=_f(speed, "value", params),
+                             rule=speed.get("rule", "greaterThan"),
+                             triggering=triggering, name=name)
+    return _unsupported_condition(name, ec)
 
 
 def _parse_trigger(trigger_el: Optional[ET.Element], params: Dict[str, str],
@@ -1314,7 +1396,8 @@ class OpenScenarioManager:
     against the live ego state.
     """
 
-    def __init__(self, config: OpenScenarioConfig, actor_id_base: int = 2000):
+    def __init__(self, config: OpenScenarioConfig, actor_id_base: int = 2000,
+                 signals=None, route_xy=None):
         self.config = config
         hero = config.hero
         self.hero_name = hero.name if hero else "hero"
@@ -1326,11 +1409,16 @@ class OpenScenarioManager:
         self.ego_traveled = 0.0
         self._last_ego: Optional[np.ndarray] = None
         self._ego_speed = 0.0
+        self._ego_vel = np.zeros(2)
         self._standstill_since: Dict[str, float] = {}
         self._stop = False
         # fired-state lives here, NOT on the (shareable) parsed config:
         # several managers can run the same OpenScenarioConfig independently
         self._fired: set = set()
+        # world context for 'signal' and alongRoute 'distance' conditions;
+        # ClosedLoopRunner.drive auto-wires both when left None
+        self.signals = signals            # harness.traffic.SignalSet
+        self.route_xy = route_xy          # [(x, y)] ego route polyline
 
     @property
     def fired_events(self) -> Tuple[str, ...]:
@@ -1349,6 +1437,24 @@ class OpenScenarioManager:
             return self._ego_speed
         sa = self.scripted.get(name)
         return sa.speed if sa is not None else None
+
+    def _entity_vel(self, name: str) -> Optional[np.ndarray]:
+        if name == self.hero_name:
+            return self._ego_vel
+        sa = self.scripted.get(name)
+        return sa.actor.velocity if sa is not None else None
+
+    def _route_arclength(self, xy: np.ndarray) -> float:
+        """Arclength of ``xy``'s projection onto the ego route polyline."""
+        pts = np.asarray(self.route_xy, dtype=np.float64)
+        a, b = pts[:-1], pts[1:]
+        seg = b - a
+        seg_len = np.linalg.norm(seg, axis=1)
+        safe = np.where(seg_len > 1e-9, seg_len, 1.0)
+        t = np.clip(np.einsum("ij,ij->i", xy - a, seg) / safe**2, 0.0, 1.0)
+        proj = a + seg * t[:, None]
+        i = int(np.argmin(np.linalg.norm(proj - xy, axis=1)))
+        return float(np.sum(seg_len[:i]) + t[i] * seg_len[i])
 
     @staticmethod
     def _cmp(value: float, rule: str, threshold: float) -> bool:
@@ -1392,6 +1498,70 @@ class OpenScenarioManager:
                 if self.time - since >= cond.value:
                     return True
             return False
+        if cond.kind == "speed":
+            return any(s is not None and self._cmp(s, cond.rule, cond.value)
+                       for s in (self._entity_speed(r) for r in refs))
+        if cond.kind == "distance":
+            goal = np.array([cond.x, cond.y])
+            for ref in refs:
+                pos = self._entity_pos(ref, ego_xy)
+                if pos is None:
+                    continue
+                if cond.along_route and self.route_xy is not None \
+                        and len(self.route_xy) >= 2:
+                    d = abs(self._route_arclength(np.asarray(goal, float))
+                            - self._route_arclength(np.asarray(pos, float)))
+                else:   # no route known: fall back to euclidean
+                    d = float(np.linalg.norm(pos - goal))
+                if self._cmp(d, cond.rule, cond.value):
+                    return True
+            return False
+        if cond.kind in ("ttc", "headway"):
+            # closing-speed time-to-arrival: t = gap / (-d gap/dt); a gap
+            # that is opening (closing <= 0) never arrives. For 'headway'
+            # the denominator is the triggering entity's own speed
+            # (srunner InTimeToArrivalToVehicle vs TimeHeadwayCondition).
+            if cond.entity:
+                target = self._entity_pos(cond.entity, ego_xy)
+                target_vel = self._entity_vel(cond.entity)
+            else:
+                target = np.array([cond.x, cond.y])
+                target_vel = np.zeros(2)
+            if target is None or target_vel is None:
+                return False
+            for ref in refs:
+                pos = self._entity_pos(ref, ego_xy)
+                vel = self._entity_vel(ref)
+                if pos is None or vel is None:
+                    continue
+                gap = target - pos
+                dist = float(np.linalg.norm(gap))
+                if dist < 1e-6:
+                    t = 0.0
+                elif cond.kind == "headway":
+                    speed = self._entity_speed(ref) or 0.0
+                    if speed <= 1e-6:
+                        continue
+                    t = dist / speed
+                else:
+                    closing = float((vel - target_vel) @ (gap / dist))
+                    if closing <= 1e-6:
+                        continue
+                    t = dist / closing
+                if self._cmp(t, cond.rule, cond.value):
+                    return True
+            return False
+        if cond.kind == "signal":
+            if self.signals is None:
+                return False
+            m = re.search(r"\d+", cond.entity)
+            want_id = int(m.group()) if m else None
+            for light in self.signals.lights:
+                if want_id is not None and light.light_id != want_id:
+                    continue
+                if light.state(self.time) == cond.state:
+                    return True
+            return False
         return False   # 'unsupported' (and anything unknown) never holds
 
     def _trigger_holds(self, trigger: Trigger, ego_xy: np.ndarray) -> bool:
@@ -1413,6 +1583,7 @@ class OpenScenarioManager:
             self.ego_traveled += step
             self._ego_speed = step / dt if dt > 0 else 0.0
             ego_vel = delta / dt if dt > 0 else ego_vel
+        self._ego_vel = ego_vel
         self._last_ego = ego_xy.copy()
         self.time += dt
 

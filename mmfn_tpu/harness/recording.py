@@ -127,6 +127,10 @@ class EpisodeRecorder:
                         float(control.brake)],
             "lights": [s for _, _, s in light_states],
             "collisions": [],
+            # live preset (animates under a WeatherSim — weather_sim.py
+            # analog); CARLA's recorder captures weather implicitly in
+            # the replay, here it is explicit per frame
+            "weather": str(getattr(world, "weather", "")),
         })
 
     def record_collision(self, other_id: int) -> None:

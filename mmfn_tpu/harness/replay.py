@@ -76,8 +76,27 @@ class KinematicWorld:
     def __post_init__(self):
         self.x, self.y, self.yaw = self.start
         self._rng = np.random.default_rng(self.seed)
+        self.sun_altitude_deg = 70.0
+        self.set_weather(self.weather)
+
+    def set_weather(self, preset: str, sun_altitude_deg: float = None) -> None:
+        """Apply a (possibly animated) weather preset mid-route: rain level
+        re-derives from the preset name; a low sun dims the camera (the
+        kinematic analog of CARLA's sun_altitude_angle lighting)."""
+        self.weather = preset
         self._rain = next((r for key, r in self.RAIN_LEVELS
-                           if key in str(self.weather)), 0.0)
+                           if key in str(preset)), 0.0)
+        if sun_altitude_deg is not None:
+            self.sun_altitude_deg = float(sun_altitude_deg)
+        elif "Sunset" in str(preset):
+            self.sun_altitude_deg = min(self.sun_altitude_deg, 10.0)
+
+    def _camera_brightness(self) -> float:
+        """1.0 at high sun, dimming toward dusk (floor keeps frames usable)."""
+        return max(0.25, min(1.0, 0.25 + 0.75
+                             * math.sin(math.radians(
+                                 max(0.0, self.sun_altitude_deg)))
+                             / math.sin(math.radians(35.0))))
 
     def tick(self, control) -> None:
         if getattr(control, "reverse", False):
@@ -211,10 +230,12 @@ class KinematicWorld:
                 self.camera_birdview.produce([self.x, self.y, self.yaw],
                                              actors=boxes, lights=lights,
                                              walkers=walker_boxes))
+            raster = (raster * self._camera_brightness()).astype(np.uint8)
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
         else:
             rgb = rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)
+            rgb = (rgb * self._camera_brightness()).astype(np.uint8)
         data = {
             "rgb": (f, rgb),
             "lidar": (f, lidar),
@@ -294,7 +315,8 @@ class ClosedLoopRunner:
                   background=None,
                   world_kwargs: Optional[dict] = None,
                   scenario_manager=None,
-                  recorder=None) -> RouteRecord:
+                  recorder=None,
+                  weather_sim=None) -> RouteRecord:
         """triggers: optional ScenarioTrigger list -> adversarial events are
         activated along the route and collisions are scored.
         rough_map: optional mmfn_tpu.mapping.RoughMap -> enables the
@@ -313,13 +335,16 @@ class ClosedLoopRunner:
         recorder: optional harness.recording.EpisodeRecorder -> every tick's
         ground truth (actors, control, lights, collisions) plus the criteria
         summary is captured for post-hoc metrics (the srunner
-        ``--record`` + metrics_manager.py analog)."""
+        ``--record`` + metrics_manager.py analog).
+        weather_sim: optional harness.weather.WeatherSim -> the sun position
+        evolves over game time and the live preset drives the fake world's
+        sensor synthesis (srunner WeatherBehavior, weather_sim.py:91-152)."""
         gen = self.drive(agent, config, opendrive_str, max_ticks=max_ticks,
                          triggers=triggers, rough_map=rough_map,
                          signals=signals, background=background,
                          world_kwargs=world_kwargs,
                          scenario_manager=scenario_manager,
-                         recorder=recorder)
+                         recorder=recorder, weather_sim=weather_sim)
         try:
             game_time = next(gen)
             while True:
@@ -339,7 +364,8 @@ class ClosedLoopRunner:
               background=None,
               world_kwargs: Optional[dict] = None,
               scenario_manager=None,
-              recorder=None):
+              recorder=None,
+              weather_sim=None):
         """Generator form of :meth:`run_route` (same arguments): writes the
         tick's sensor frames into ``agent.sensor_interface``, yields the game
         time, and expects the agent's control via ``send``; its return value
@@ -381,6 +407,13 @@ class ClosedLoopRunner:
             raise ValueError("pass either scenario_manager or triggers, not "
                              "both — the manager replaces the trigger list")
         scenario_mgr = scenario_manager or ScenarioManagerLite(triggers or [])
+        # auto-wire world context into an OpenScenarioManager left unwired:
+        # 'signal' conditions need the SignalSet, alongRoute 'distance'
+        # conditions need the ego route polyline
+        if getattr(scenario_mgr, "signals", "absent") is None:
+            scenario_mgr.signals = signals
+        if getattr(scenario_mgr, "route_xy", "absent") is None:
+            scenario_mgr.route_xy = route_xy
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
         if recorder is not None:
@@ -392,6 +425,9 @@ class ClosedLoopRunner:
         timed_out = False
         failure = ""
         for _ in range(max_ticks):
+            if weather_sim is not None:   # WeatherBehavior per-tick update
+                world.set_weather(weather_sim.update(game_time),
+                                  weather_sim.sun_altitude_deg)
             scenario_actors = scenario_mgr.tick(np.array([world.x, world.y]), DT)
             n_scenario = len(scenario_actors)
             if background is not None:

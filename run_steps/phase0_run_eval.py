@@ -305,11 +305,25 @@ def main():
         # radar clutter (KinematicWorld.RAIN_LEVELS)
         weather = (xcfg.weather if is_xosc and xcfg.weather
                    else cfg.get("weather")) or "ClearNoon"
+        # weather_animation: sun position evolves over game time (srunner
+        # weather_sim.py analog); value = time compression factor (true/1
+        # = real-time like the reference, 60 = a minute of route per hour
+        # of sun) — the live preset re-derives from the sun altitude
+        weather_sim = None
+        anim = cfg.get("weather_animation")
+        if anim:
+            from mmfn_tpu.harness.weather import WeatherSim
+
+            weather_sim = WeatherSim(
+                preset=weather,
+                time_scale=1.0 if anim is True else float(anim),
+                start_hour=float(cfg.get("weather_start_hour", 11.0)))
         return dict(triggers=triggers, rough_map=rough_map, signals=signals,
                     background=background,
                     world_kwargs={"camera_birdview": birdview,
                                   "weather": weather},
                     scenario_manager=scenario_manager,
+                    weather_sim=weather_sim,
                     max_ticks=None if max_ticks is None else int(max_ticks))
 
     shared = {}

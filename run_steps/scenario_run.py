@@ -116,6 +116,15 @@ def main():
     ap.add_argument("--weather", default=None,
                     help="fake-world weather preset (default ClearNoon; an "
                          ".xosc EnvironmentAction overrides it)")
+    ap.add_argument("--weather-animation", type=float, default=0.0,
+                    metavar="SCALE",
+                    help="animate the sun over game time (srunner "
+                         "weather_sim analog): SCALE = weather-clock seconds "
+                         "per sim second (1 = real-time like the reference; "
+                         "0 = static)")
+    ap.add_argument("--weather-start-hour", type=float, default=11.0,
+                    help="local solar hour at route start (with "
+                         "--weather-animation)")
     ap.add_argument("--traffic", type=int, default=0,
                     help="ambient background NPC vehicles")
     ap.add_argument("--timeout", type=float, default=600.0,
@@ -183,6 +192,13 @@ def main():
 
     weather = (xcfg.weather if xcfg and xcfg.weather
                else args.weather) or "ClearNoon"
+    weather_sim = None
+    if args.weather_animation:
+        from mmfn_tpu.harness.weather import WeatherSim
+
+        weather_sim = WeatherSim(preset=weather,
+                                 time_scale=args.weather_animation,
+                                 start_hour=args.weather_start_hour)
     rng = np.random.default_rng(args.seed)
     statistics = StatisticsManager()
     runner = ClosedLoopRunner(statistics, max_wall_seconds=args.timeout)
@@ -230,7 +246,8 @@ def main():
                                       background=background,
                                       scenario_manager=scenario_manager,
                                       world_kwargs={"weather": weather},
-                                      recorder=recorder)
+                                      recorder=recorder,
+                                      weather_sim=weather_sim)
         finally:
             agent.destroy()
         if recorder is not None:

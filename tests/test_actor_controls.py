@@ -785,3 +785,184 @@ def test_lane_change_rides_on_controller_motion(tmp_path):
     assert scripted._shift_left == 0.0
     assert scripted.actor.position[1] - y0 > 2.5   # moved ~a lane width left
     assert float(np.linalg.norm(scripted.actor.velocity)) > 4.0  # kept driving
+
+
+# --------------------------------------------------------------------------- #
+# trigger-condition atoms (srunner atomic_trigger_conditions parity subset)
+# --------------------------------------------------------------------------- #
+
+def _condition_xosc(condition_xml):
+    """An event that sets the adversary moving, gated by `condition_xml`."""
+    return _HEADER.format(catalogs="") + """
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="adversary">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="50" y="0" z="0" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="g" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="adversary"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="Go" priority="overwrite">
+            <Action name="Speed">
+              <PrivateAction><LongitudinalAction><SpeedAction>
+                <SpeedActionDynamics dynamicsShape="step" value="0"
+                                     dynamicsDimension="time"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="5"/></SpeedActionTarget>
+              </SpeedAction></LongitudinalAction></PrivateAction>
+            </Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="gate" delay="0" conditionEdge="rising">
+""" + condition_xml + """
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def _by_hero(entity_condition_xml):
+    return ("<ByEntityCondition><TriggeringEntities "
+            "triggeringEntitiesRule=\"any\">"
+            "<EntityRef entityRef=\"hero\"/></TriggeringEntities>"
+            "<EntityCondition>" + entity_condition_xml +
+            "</EntityCondition></ByEntityCondition>")
+
+
+def test_unsupported_condition_warns_at_parse(tmp_path):
+    """An out-of-subset condition must be LOUD: it parses as never-holding,
+    which silently disables the event it gates (VERDICT r2 weak #6)."""
+    from mmfn_tpu.harness.openscenario import UnsupportedOsc
+
+    xosc = _condition_xosc(_by_hero(
+        '<AccelerationCondition value="1" rule="greaterThan"/>'))
+    with pytest.warns(UnsupportedOsc, match="AccelerationCondition"):
+        cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].trigger[0][0].kind == "unsupported"
+    # and the event indeed never fires
+    mgr = OpenScenarioManager(cfg)
+    _tick_many(mgr, 100, ego=(0.0, 0.0))
+    assert mgr.fired_events == ()
+
+
+def test_distance_along_route_condition(tmp_path):
+    """InTriggerDistanceToLocationAlongRoute analog: along an L-shaped route
+    the arc distance gates later than the crow-flies distance would."""
+    xosc = _condition_xosc(_by_hero(
+        '<DistanceCondition value="80" freespace="false" alongRoute="true"'
+        ' rule="lessThan"><Position>'
+        '<WorldPosition x="50" y="50" z="0"/></Position></DistanceCondition>'))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    cond = cfg.events[0].trigger[0][0]
+    assert cond.kind == "distance" and cond.along_route
+
+    route = [(float(x), 0.0) for x in range(0, 51, 5)] + \
+            [(50.0, float(y)) for y in range(5, 51, 5)]
+    mgr = OpenScenarioManager(cfg, route_xy=route)
+    # ego at origin: euclidean distance to (50,50) is ~70.7 < 80, but the
+    # along-route distance is 100 — must NOT fire
+    mgr.tick(np.array([0.0, 0.0]), DT)
+    assert mgr.fired_events == ()
+    # ego at (30,0): along-route distance 70 < 80 -> fires
+    mgr.tick(np.array([30.0, 0.0]), DT)
+    assert mgr.fired_events == ("Go",)
+    # without a route the same condition falls back to euclidean
+    mgr2 = OpenScenarioManager(cfg)
+    mgr2.tick(np.array([0.0, 0.0]), DT)
+    assert mgr2.fired_events == ("Go",)
+
+
+def test_time_to_collision_condition(tmp_path):
+    """InTimeToArrivalToVehicle analog: fires when the closing-speed time to
+    the adversary drops under the threshold; never fires while stationary."""
+    xosc = _condition_xosc(_by_hero(
+        '<TimeToCollisionCondition value="3" rule="lessThan">'
+        '<TimeToCollisionConditionTarget>'
+        '<EntityRef entityRef="adversary"/>'
+        '</TimeToCollisionConditionTarget></TimeToCollisionCondition>'))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].trigger[0][0].kind == "ttc"
+
+    mgr = OpenScenarioManager(cfg)
+    # stationary ego 40 m from the adversary (at x=50): gap never closes
+    for _ in range(20):
+        mgr.tick(np.array([10.0, 0.0]), DT)
+    assert mgr.fired_events == ()
+    # ego approaching at 10 m/s: ttc crosses 3 s at gap < 30 m
+    x = 10.0
+    fired_at_gap = None
+    for _ in range(100):
+        x += 10.0 * DT
+        mgr.tick(np.array([x, 0.0]), DT)
+        if mgr.fired_events and fired_at_gap is None:
+            fired_at_gap = 50.0 - x
+            break
+    assert fired_at_gap is not None and 28.0 < fired_at_gap < 31.0
+
+
+def test_traffic_signal_condition(tmp_path):
+    """WaitForTrafficLightState analog: the event opens only once the named
+    light reaches the required state."""
+    from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
+
+    xosc = _condition_xosc(
+        '<ByValueCondition>'
+        '<TrafficSignalCondition name="id=7" state="red"/>'
+        '</ByValueCondition>')
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    cond = cfg.events[0].trigger[0][0]
+    assert cond.kind == "signal" and cond.state == "red"
+
+    light = TrafficLight(position=np.array([50.0, 0.0]), yaw=0.0,
+                         green=10.0, yellow=3.0, red=10.0, light_id=7)
+    mgr = OpenScenarioManager(cfg, signals=SignalSet(lights=[light]))
+    _tick_many(mgr, 100, ego=(0.0, 0.0))   # t = 5 s: still green
+    assert mgr.fired_events == ()
+    _tick_many(mgr, 180, ego=(0.0, 0.0))   # t = 14 s: red (>13 s)
+    assert mgr.fired_events == ("Go",)
+
+
+def test_speed_condition(tmp_path):
+    xosc = _condition_xosc(_by_hero(
+        '<SpeedCondition value="5" rule="greaterThan"/>'))
+    mgr = OpenScenarioManager(parse_xosc(_write(tmp_path, xosc)))
+    for _ in range(20):                    # ego parked
+        mgr.tick(np.array([0.0, 0.0]), DT)
+    assert mgr.fired_events == ()
+    x = 0.0
+    for _ in range(5):                     # ego at 8 m/s > 5
+        x += 8.0 * DT
+        mgr.tick(np.array([x, 0.0]), DT)
+    assert mgr.fired_events == ("Go",)
+
+
+def test_time_headway_condition(tmp_path):
+    """TimeHeadwayCondition: gap to the adversary over OWN speed."""
+    xosc = _condition_xosc(_by_hero(
+        '<TimeHeadwayCondition entityRef="adversary" value="2"'
+        ' rule="lessThan"/>'))
+    mgr = OpenScenarioManager(parse_xosc(_write(tmp_path, xosc)))
+    x = 0.0
+    fired_at_gap = None
+    for _ in range(200):                   # ego at 10 m/s toward x=50
+        x += 10.0 * DT
+        mgr.tick(np.array([x, 0.0]), DT)
+        if mgr.fired_events:
+            fired_at_gap = 50.0 - x
+            break
+    # headway < 2 s at 10 m/s -> gap < 20 m
+    assert fired_at_gap is not None and 18.5 < fired_at_gap < 21.0

@@ -381,3 +381,75 @@ def test_weather_degrades_lidar_not_radar():
     nb_rain = near_rain.sensor_frame()["lidar"][1]
     count = lambda f: ((f[:, 2] > -2.0) & (f[:, 3] > 0.3)).sum()
     assert 0 < count(nb_rain) < count(nb_clear)
+
+
+def test_weather_sim_sun_evolution_and_presets():
+    """WeatherSim (srunner weather_sim.py:33-89 analog): the sun altitude
+    falls through the afternoon, and the live preset's time-of-day suffix
+    follows it (Noon -> Sunset), keeping the family."""
+    from mmfn_tpu.harness.weather import WEATHER_PRESETS, WeatherSim
+
+    sim = WeatherSim(preset="HardRainNoon", start_hour=12.0,
+                     time_scale=3600.0)   # 1 sim second = 1 weather hour
+    assert sim.update(0.0) == "HardRainNoon"
+    alt_noon = sim.sun_altitude_deg
+    assert alt_noon > 45.0
+    # 6 weather-hours later (18:00 local): sun below the 15-degree sunset
+    # threshold, preset flips to the same-family Sunset entry
+    late = sim.update(6.0)
+    assert sim.sun_altitude_deg < alt_noon - 20.0
+    assert late == "HardRainSunset"
+    # midnight: altitude below horizon; table has no Night -> Sunset clamp
+    assert sim.update(12.0) == "HardRainSunset"
+    assert sim.sun_altitude_deg < 0.0
+    # the CARLA table quirk (MidRainyNoon / MidRainSunset) round-trips
+    quirk = WeatherSim(preset="MidRainyNoon", start_hour=12.0,
+                       time_scale=3600.0)
+    assert quirk.update(0.0) == "MidRainyNoon"
+    assert quirk.update(6.0) == "MidRainSunset"
+    assert quirk.update(6.0) in WEATHER_PRESETS
+    # animation off: static preset, like the reference without a datetime
+    static = WeatherSim(preset="ClearNoon", animation=False)
+    assert static.update(1e6) == "ClearNoon"
+
+
+def test_weather_sim_couples_to_sensor_synthesis():
+    """A sunset dims the synthesized camera and a rain preset flip mid-route
+    re-derives the lidar degradation — the WeatherBehavior-in-CARLA effect,
+    explicit in the fake world."""
+    from mmfn_tpu.harness.replay import KinematicWorld
+
+    world = KinematicWorld(STRAIGHT_XODR, (0.0, 0.0, 0.0),
+                           weather="ClearNoon")
+    noon_rgb = world.sensor_frame()["rgb"][1]
+    assert world._rain == 0.0
+    world.set_weather("HardRainSunset", sun_altitude_deg=5.0)
+    assert world._rain == 1.0                       # rain level re-derived
+    dusk_rgb = world.sensor_frame()["rgb"][1]
+    assert float(dusk_rgb.mean()) < 0.6 * float(noon_rgb.mean())
+
+
+def test_closed_loop_recording_shows_weather_evolving(tmp_path):
+    """End-to-end: a route driven under an animated WeatherSim records an
+    evolving weather preset, queryable via MetricsLog.get_weather."""
+    from mmfn_tpu.harness.agents.trivial import NpcAgent
+    from mmfn_tpu.harness.metrics_log import MetricsLog
+    from mmfn_tpu.harness.recording import EpisodeRecorder
+    from mmfn_tpu.harness.replay import ClosedLoopRunner
+    from mmfn_tpu.harness.route import RouteConfig
+    from mmfn_tpu.harness.weather import WeatherSim
+
+    recorder = EpisodeRecorder()
+    sim = WeatherSim(preset="ClearNoon", start_hour=13.0,
+                     time_scale=3600.0)   # hours pass in seconds of route
+    config = RouteConfig(route_id="w", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (120.0, 1.75, 0.0)],
+                         index=0)
+    agent = NpcAgent()
+    record = ClosedLoopRunner(max_wall_seconds=120).run_route(
+        agent, config, STRAIGHT_XODR, recorder=recorder, weather_sim=sim)
+    assert record.scores["score_route"] > 95.0
+    log = MetricsLog(recorder.data)
+    n = log.get_total_frame_count()
+    assert log.get_weather(0) == "ClearNoon"
+    assert log.get_weather(n - 1) == "ClearSunset"   # the sun set en route
