@@ -13,3 +13,8 @@ from mmfn_tpu.harness.route import parse_routes_file, downsample_route, route_le
 from mmfn_tpu.harness.watchdog import Watchdog  # noqa: F401
 from mmfn_tpu.harness.sensor_interface import SensorInterface, SensorReceivedNoData  # noqa: F401
 from mmfn_tpu.harness.fleet import FleetRunner  # noqa: F401
+# registers the atom-composed scenario types into scenarios.SCENARIO_CLASSES
+# (atoms imports scenarios, so the registration lives in atoms to avoid a
+# circular import; loading it here makes the catalog complete for any
+# mmfn_tpu.harness.* import)
+from mmfn_tpu.harness import atoms  # noqa: F401,E402  (registration side effect)

@@ -1,0 +1,639 @@
+"""Composable behavior atoms — the srunner atomic-behavior vocabulary.
+
+srunner builds every scenario out of ~40 reusable py_trees atoms
+(scenario_runner/srunner/scenariomanager/scenarioatomics/atomic_behaviors.py
+and atomic_trigger_conditions.py) composed with Sequence/Parallel operators;
+adding a scenario type there means wiring atoms, not writing tick logic.
+This module is the kinematic fake-world analog: an :class:`Atom` ticks
+against a :class:`BehaviorContext` and returns RUNNING / SUCCESS / FAILURE,
+:class:`Sequence` and :class:`Parallel` mirror the py_trees composition
+semantics (Parallel's SUCCESS_ON_ONE / SUCCESS_ON_ALL policies), and
+:class:`AtomBehavior` adapts a composed tree onto the ScenarioBehavior
+protocol that ScenarioManagerLite drives — so new scenario types compose
+instead of forking bespoke step() methods (harness/scenarios.py keeps the
+original hand-written classes; the two catalogs interoperate).
+
+Atom names follow their srunner sources so a scenario author can port a
+behavior tree by transliteration:
+
+- ActorTransformSetter   (atomic_behaviors.py:1849)
+- KeepVelocity           (atomic_behaviors.py:1006)
+- StopVehicle            (atomic_behaviors.py:1164)
+- AccelerateToVelocity   (atomic_behaviors.py:874)
+- AccelerateToCatchUp    (atomic_behaviors.py:927)
+- LaneChange             (atomic_behaviors.py:1676)
+- SyncArrival            (atomic_behaviors.py:1210)
+- WaypointFollower       (atomic_behaviors.py:1456)
+- Idle                   (atomic_behaviors.py:1416)
+- HandBrakeVehicle       (atomic_behaviors.py:1780)
+- ActorDestroy           (atomic_behaviors.py:1820)
+- InTriggerDistanceToVehicle   (atomic_trigger_conditions.py)
+- InTriggerDistanceToLocation  (atomic_trigger_conditions.py)
+- DriveDistance / EgoDriveDistance (atomic_trigger_conditions.py DriveDistance)
+- StandStill             (atomic_trigger_conditions.py)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence as Seq, Tuple
+
+import numpy as np
+
+from mmfn_tpu.harness.scenarios import (ScenarioActor, ScenarioBehavior,
+                                        ScenarioTrigger)
+
+RUNNING, SUCCESS, FAILURE = "running", "success", "failure"
+
+EGO = "ego"   # reserved actor name resolving to the live ego state
+
+
+@dataclass
+class BehaviorContext:
+    """World state the atoms read and write: the trigger frame, the live ego,
+    and the scenario's actors by name (py_trees atoms carry carla.Actor
+    handles; here names key a dict so composition sites stay readable)."""
+
+    trigger: ScenarioTrigger
+    actor_id_base: int = 1000
+    actors: Dict[str, ScenarioActor] = field(default_factory=dict)
+    ego_xy: Optional[np.ndarray] = None
+    ego_prev: Optional[np.ndarray] = None
+    ego_speed: float = 0.0
+    time: float = 0.0
+
+    def __post_init__(self):
+        yaw = self.trigger.yaw
+        self.ahead = np.array([math.cos(yaw), math.sin(yaw)])
+        self.lateral = np.array([-self.ahead[1], self.ahead[0]])
+
+    def observe(self, ego_xy: np.ndarray, dt: float) -> None:
+        self.ego_prev = self.ego_xy
+        self.ego_xy = np.asarray(ego_xy, dtype=np.float64).copy()
+        if self.ego_prev is not None and dt > 0:
+            self.ego_speed = float(
+                np.linalg.norm(self.ego_xy - self.ego_prev)) / dt
+
+    def position_of(self, name: str) -> Optional[np.ndarray]:
+        if name == EGO:
+            return self.ego_xy
+        a = self.actors.get(name)
+        return a.position if a is not None else None
+
+    def speed_of(self, name: str) -> float:
+        if name == EGO:
+            return self.ego_speed
+        a = self.actors.get(name)
+        return float(np.linalg.norm(a.velocity)) if a is not None else 0.0
+
+    def world_point(self, ahead: float, lateral: float) -> np.ndarray:
+        """Trigger-frame offsets -> world coordinates."""
+        return (np.array([self.trigger.x, self.trigger.y])
+                + self.ahead * ahead + self.lateral * lateral)
+
+
+class Atom:
+    """One behavior-tree leaf/composite. tick() is called every world tick
+    while the atom is active; initialise() runs on the first tick (py_trees'
+    initialise contract), so Sequence children set up lazily in order."""
+
+    def tick(self, ctx: BehaviorContext, dt: float) -> str:
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        """Return to the never-ticked state (Sequence reuse)."""
+
+
+# --------------------------------------------------------------------------- #
+# composites (py_trees.composites analog)
+# --------------------------------------------------------------------------- #
+
+
+class Sequence(Atom):
+    """Children run one after another; SUCCESS when the last one succeeds,
+    FAILURE aborts (py_trees.composites.Sequence)."""
+
+    def __init__(self, *children: Atom):
+        self.children = list(children)
+        self._i = 0
+
+    def tick(self, ctx, dt):
+        while self._i < len(self.children):
+            status = self.children[self._i].tick(ctx, dt)
+            if status == RUNNING:
+                return RUNNING
+            if status == FAILURE:
+                return FAILURE
+            self._i += 1
+            # a freshly-succeeded child yields the tick to its successor only
+            # if that successor is instantaneous; motion atoms consume the
+            # tick they were reached on (matches py_trees' one-tick cascade)
+        return SUCCESS
+
+    def reset(self):
+        self._i = 0
+        for c in self.children:
+            c.reset()
+
+
+class Parallel(Atom):
+    """Children tick together every cycle. policy='one': SUCCESS as soon as
+    any child succeeds (py_trees SUCCESS_ON_ONE — srunner's usual "behavior
+    races its end condition" shape); policy='all': all must succeed."""
+
+    def __init__(self, *children: Atom, policy: str = "one"):
+        assert policy in ("one", "all"), policy
+        self.children = list(children)
+        self.policy = policy
+        self._done: List[bool] = [False] * len(children)
+
+    def tick(self, ctx, dt):
+        any_success = False
+        for i, child in enumerate(self.children):
+            if self._done[i]:
+                continue
+            status = child.tick(ctx, dt)
+            if status == FAILURE:
+                return FAILURE
+            if status == SUCCESS:
+                self._done[i] = True
+                any_success = True
+        if self.policy == "one" and any_success:
+            return SUCCESS
+        if self.policy == "all" and all(self._done):
+            return SUCCESS
+        return RUNNING
+
+    def reset(self):
+        self._done = [False] * len(self.children)
+        for c in self.children:
+            c.reset()
+
+
+# --------------------------------------------------------------------------- #
+# motion atoms (atomic_behaviors.py analogs)
+# --------------------------------------------------------------------------- #
+
+
+class ActorTransformSetter(Atom):
+    """Spawn (or teleport) an actor at trigger-frame offsets
+    (atomic_behaviors.py:1849 ActorTransformSetter — there it sets an
+    existing carla.Actor's transform; here first use creates the actor).
+    heading_deg is relative to the trigger yaw. Succeeds immediately."""
+
+    def __init__(self, name: str, ahead: float, lateral: float = 0.0,
+                 heading_deg: float = 0.0, kind: str = "vehicle",
+                 extent: float = 2.2, speed: float = 0.0):
+        self.name, self.ahead, self.lateral = name, ahead, lateral
+        self.heading_deg, self.kind, self.extent = heading_deg, kind, extent
+        self.speed = speed
+
+    def tick(self, ctx, dt):
+        yaw = ctx.trigger.yaw + math.radians(self.heading_deg)
+        direction = np.array([math.cos(yaw), math.sin(yaw)])
+        pos = ctx.world_point(self.ahead, self.lateral)
+        actor = ctx.actors.get(self.name)
+        if actor is None:
+            actor = ScenarioActor(self.kind, pos, direction * self.speed,
+                                  yaw=yaw, extent=self.extent,
+                                  actor_id=ctx.actor_id_base
+                                  + len(ctx.actors) * 500)
+            ctx.actors[self.name] = actor
+        else:
+            actor.position = pos
+            actor.velocity = direction * self.speed
+            actor.yaw = yaw
+        return SUCCESS
+
+
+class KeepVelocity(Atom):
+    """Hold a target speed along the actor's current heading
+    (atomic_behaviors.py:1006). Bounded by duration and/or distance like the
+    source (whichever first); unbounded -> RUNNING forever, meant to race an
+    end condition inside a Parallel."""
+
+    def __init__(self, name: str, speed: float,
+                 duration: Optional[float] = None,
+                 distance: Optional[float] = None):
+        self.name, self.speed = name, speed
+        self.duration, self.distance = duration, distance
+        self._t = 0.0
+        self._start: Optional[np.ndarray] = None
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        if self._start is None:
+            self._start = a.position.copy()
+        heading = np.array([math.cos(a.yaw), math.sin(a.yaw)])
+        a.velocity = heading * self.speed
+        self._t += dt
+        if self.duration is not None and self._t >= self.duration:
+            return SUCCESS
+        if self.distance is not None and float(
+                np.linalg.norm(a.position - self._start)) >= self.distance:
+            return SUCCESS
+        return RUNNING
+
+    def reset(self):
+        self._t, self._start = 0.0, None
+
+
+class StopVehicle(Atom):
+    """Full-brake to standstill (atomic_behaviors.py:1164): brake_value
+    scales the kinematic max decel like CARLA's brake pedal."""
+
+    MAX_DECEL = 8.0   # KinematicWorld full-brake decel, m/s^2
+
+    def __init__(self, name: str, brake_value: float = 1.0):
+        self.name = name
+        self.decel = brake_value * self.MAX_DECEL
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        speed = float(np.linalg.norm(a.velocity))
+        if speed <= 1e-3:
+            a.velocity = np.zeros(2)
+            return SUCCESS
+        new_speed = max(0.0, speed - self.decel * dt)
+        a.velocity = a.velocity * (new_speed / speed)
+        return RUNNING
+
+
+class AccelerateToVelocity(Atom):
+    """Throttle until the target speed (atomic_behaviors.py:874)."""
+
+    MAX_ACCEL = 4.0   # kinematic full-throttle accel, m/s^2
+
+    def __init__(self, name: str, target_speed: float,
+                 throttle_value: float = 1.0):
+        self.name, self.target = name, target_speed
+        self.accel = throttle_value * self.MAX_ACCEL
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        speed = float(np.linalg.norm(a.velocity))
+        if speed >= self.target - 1e-3:
+            return SUCCESS
+        heading = (a.velocity / speed if speed > 1e-6
+                   else np.array([math.cos(a.yaw), math.sin(a.yaw)]))
+        a.velocity = heading * min(self.target, speed + self.accel * dt)
+        return RUNNING
+
+
+class AccelerateToCatchUp(Atom):
+    """Accelerate up to (reference speed + delta) until the actor sits
+    trigger_distance AHEAD of the reference along the trigger direction
+    (atomic_behaviors.py:927: throttle_value/delta_velocity/trigger_distance/
+    max_distance); FAILURE if it burns max_distance without catching up."""
+
+    MAX_ACCEL = 4.0
+
+    def __init__(self, name: str, reference: str = EGO,
+                 delta_velocity: float = 10.0, trigger_distance: float = 5.0,
+                 max_distance: float = 500.0, throttle_value: float = 1.0):
+        self.name, self.reference = name, reference
+        self.delta, self.trigger_distance = delta_velocity, trigger_distance
+        self.max_distance = max_distance
+        self.accel = throttle_value * self.MAX_ACCEL
+        self._start: Optional[np.ndarray] = None
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        ref_pos = ctx.position_of(self.reference)
+        if a is None:
+            return FAILURE
+        if self._start is None:
+            self._start = a.position.copy()
+        target_speed = ctx.speed_of(self.reference) + self.delta
+        speed = float(np.linalg.norm(a.velocity))
+        heading = (a.velocity / speed if speed > 1e-6
+                   else np.array([math.cos(a.yaw), math.sin(a.yaw)]))
+        a.velocity = heading * min(target_speed, speed + self.accel * dt)
+        if ref_pos is not None and float(
+                (a.position - ref_pos) @ ctx.ahead) >= self.trigger_distance:
+            return SUCCESS
+        if float(np.linalg.norm(a.position - self._start)) > self.max_distance:
+            return FAILURE
+        return RUNNING
+
+    def reset(self):
+        self._start = None
+
+
+class LaneChange(Atom):
+    """Slide one lane over while keeping the longitudinal speed
+    (atomic_behaviors.py:1676 LaneChange / :681 ChangeActorLateralMotion).
+    direction follows the srunner convention: 'left' is +lateral in the
+    trigger frame."""
+
+    def __init__(self, name: str, direction: str = "left",
+                 lane_width: float = 3.5, seconds: float = 1.5):
+        self.name = name
+        self.sign = 1.0 if direction == "left" else -1.0
+        self.lane_width, self.seconds = lane_width, seconds
+        self._t = 0.0
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        forward_speed = abs(float(a.velocity @ ctx.ahead))
+        rate = self.lane_width / self.seconds
+        a.velocity = (ctx.ahead * forward_speed
+                      + ctx.lateral * self.sign * rate)
+        self._t += dt
+        if self._t >= self.seconds:
+            a.velocity = ctx.ahead * forward_speed
+            return SUCCESS
+        return RUNNING
+
+    def reset(self):
+        self._t = 0.0
+
+
+class SyncArrival(Atom):
+    """Pace the actor so it reaches a conflict point exactly when the ego
+    does (atomic_behaviors.py:1210-1274): per tick the control is
+    ``gain * (t_actor - t_ego)`` where each t is distance-over-speed; an ego
+    at rest makes t_ego infinite, braking the actor (the crossing
+    negotiation). RUNNING forever — race it against a distance condition in
+    a Parallel, like srunner does."""
+
+    def __init__(self, name: str, conflict_ahead: float,
+                 conflict_lateral: float = 0.0, target_speed: float = 15.0,
+                 gain: float = 1.0, accel: float = 4.0, brake: float = 8.0):
+        self.name = name
+        self.conflict = (conflict_ahead, conflict_lateral)
+        self.target_speed, self.gain = target_speed, gain
+        self.accel, self.brake = accel, brake
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        cp = ctx.world_point(*self.conflict)
+        d_ego = (float(np.linalg.norm(ctx.ego_xy - cp))
+                 if ctx.ego_xy is not None else math.inf)
+        d_act = float(np.linalg.norm(a.position - cp))
+        speed = float(np.linalg.norm(a.velocity))
+        t_ego = d_ego / ctx.ego_speed if ctx.ego_speed > 0.1 else math.inf
+        t_act = d_act / speed if speed > 0.1 else math.inf
+        if math.isinf(t_ego):
+            control = -1.0        # ego waiting: wait too
+        elif math.isinf(t_act):
+            control = 1.0         # from rest: throttle toward the junction
+        else:
+            control = max(-1.0, min(1.0, self.gain * (t_act - t_ego)))
+        dv = (self.accel if control > 0 else self.brake) * control * dt
+        new_speed = max(0.0, min(self.target_speed, speed + dv))
+        heading = ((cp - a.position) / d_act if d_act > 1e-6
+                   else np.array([math.cos(a.yaw), math.sin(a.yaw)]))
+        a.velocity = heading * new_speed
+        return RUNNING
+
+
+class WaypointFollower(Atom):
+    """Drive through trigger-frame waypoints at a fixed speed
+    (atomic_behaviors.py:1456, kinematic reduction). SUCCESS at the last
+    waypoint."""
+
+    def __init__(self, name: str, waypoints: Seq[Tuple[float, float]],
+                 speed: float = 10.0, tolerance: float = 1.0):
+        self.name = name
+        self.waypoints = list(waypoints)
+        self.speed, self.tolerance = speed, tolerance
+        self._i = 0
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        while self._i < len(self.waypoints):
+            target = ctx.world_point(*self.waypoints[self._i])
+            gap = target - a.position
+            d = float(np.linalg.norm(gap))
+            if d > self.tolerance:
+                a.velocity = gap / d * self.speed
+                a.yaw = math.atan2(gap[1], gap[0])
+                return RUNNING
+            self._i += 1
+        a.velocity = np.zeros(2)
+        return SUCCESS
+
+    def reset(self):
+        self._i = 0
+
+
+class Idle(Atom):
+    """Do nothing for a duration (atomic_behaviors.py:1416)."""
+
+    def __init__(self, duration: float):
+        self.duration = duration
+        self._t = 0.0
+
+    def tick(self, ctx, dt):
+        self._t += dt
+        return SUCCESS if self._t >= self.duration else RUNNING
+
+    def reset(self):
+        self._t = 0.0
+
+
+class HandBrakeVehicle(Atom):
+    """Lock the actor in place (atomic_behaviors.py:1780)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        a.velocity = np.zeros(2)
+        return SUCCESS
+
+
+class ActorDestroy(Atom):
+    """Remove the actor from the world (atomic_behaviors.py:1820)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def tick(self, ctx, dt):
+        ctx.actors.pop(self.name, None)
+        return SUCCESS
+
+
+# --------------------------------------------------------------------------- #
+# condition atoms (atomic_trigger_conditions.py analogs: RUNNING until the
+# condition holds, then SUCCESS — srunner races these against motion atoms)
+# --------------------------------------------------------------------------- #
+
+
+class InTriggerDistanceToVehicle(Atom):
+    def __init__(self, name: str, other: str = EGO, distance: float = 10.0):
+        self.name, self.other, self.distance = name, other, distance
+
+    def tick(self, ctx, dt):
+        a, b = ctx.position_of(self.name), ctx.position_of(self.other)
+        if a is None or b is None:
+            return RUNNING
+        return SUCCESS if float(np.linalg.norm(a - b)) < self.distance \
+            else RUNNING
+
+
+class InTriggerDistanceToLocation(Atom):
+    def __init__(self, name: str, ahead: float, lateral: float = 0.0,
+                 distance: float = 5.0):
+        self.name = name
+        self.loc = (ahead, lateral)
+        self.distance = distance
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        if pos is None:
+            return RUNNING
+        return SUCCESS if float(np.linalg.norm(
+            pos - ctx.world_point(*self.loc))) < self.distance else RUNNING
+
+
+class DriveDistance(Atom):
+    """SUCCESS once the actor has accumulated `distance` of travel."""
+
+    def __init__(self, name: str, distance: float):
+        self.name, self.distance = name, distance
+        self._driven = 0.0
+        self._last: Optional[np.ndarray] = None
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        if pos is None:
+            return RUNNING
+        if self._last is not None:
+            self._driven += float(np.linalg.norm(pos - self._last))
+        self._last = np.asarray(pos, dtype=np.float64).copy()
+        return SUCCESS if self._driven >= self.distance else RUNNING
+
+    def reset(self):
+        self._driven, self._last = 0.0, None
+
+
+def EgoDriveDistance(distance: float) -> DriveDistance:
+    """srunner's scenario-ending DriveDistance(ego) shorthand."""
+    return DriveDistance(EGO, distance)
+
+
+class StandStill(Atom):
+    """SUCCESS once the actor has been stationary for `duration` seconds."""
+
+    def __init__(self, name: str, duration: float = 1.0):
+        self.name, self.duration = name, duration
+        self._still = 0.0
+
+    def tick(self, ctx, dt):
+        self._still = self._still + dt if ctx.speed_of(self.name) < 0.1 \
+            else 0.0
+        return SUCCESS if self._still >= self.duration else RUNNING
+
+    def reset(self):
+        self._still = 0.0
+
+
+# --------------------------------------------------------------------------- #
+# the ScenarioBehavior adapter + atom-composed scenario types
+# --------------------------------------------------------------------------- #
+
+
+class AtomBehavior(ScenarioBehavior):
+    """Adapts a composed atom tree onto the ScenarioBehavior protocol
+    ScenarioManagerLite drives. Subclasses implement build_tree(ctx); the
+    behavior retires (actors cleared, done=True) when the tree finishes."""
+
+    def build_tree(self, ctx: BehaviorContext) -> Atom:
+        raise NotImplementedError
+
+    def on_activate(self) -> None:
+        self._ctx = BehaviorContext(self.trigger, actor_id_base=self.actor_id)
+        self._tree = self.build_tree(self._ctx)
+
+    def observe(self, ego_xy: np.ndarray) -> None:
+        self._pending_ego = np.asarray(ego_xy, dtype=np.float64)
+
+    def step(self, dt: float) -> None:
+        if getattr(self, "_pending_ego", None) is not None:
+            self._ctx.observe(self._pending_ego, dt)
+            self._pending_ego = None
+        self._ctx.time += dt
+        status = self._tree.tick(self._ctx, dt)
+        for a in self._ctx.actors.values():
+            a.step(dt)
+        self.actors = list(self._ctx.actors.values())
+        if status != RUNNING:
+            self._ctx.actors.clear()
+            self.actors = []
+            self.done = True
+
+
+class OccludedObjectCrossing(AtomBehavior):
+    """DynamicObjectCrossing WITH the occluding prop
+    (object_crash_vehicle.py:166-230 `_spawn_blocker`: a static vendor
+    prop/vehicle stands between the walker and the road, hiding the walker
+    until it steps out) — the harder variant of Scenario3; our catalog's
+    CrossingWalker is the unoccluded one. Composed purely from atoms:
+    spawn blocker + hidden walker -> when the ego closes to 18 m the walker
+    crosses at the source's 3.4 m/s -> scenario ends after the ego drives
+    40 m clear (the source's _ego_vehicle_distance_driven)."""
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("blocker", ahead=14.0, lateral=4.2,
+                                 kind="vehicle", extent=2.2),
+            ActorTransformSetter("walker", ahead=15.5, lateral=6.5,
+                                 heading_deg=-90.0, kind="walker",
+                                 extent=0.5),
+            InTriggerDistanceToVehicle("walker", EGO, distance=18.0),
+            Parallel(
+                KeepVelocity("walker", speed=3.4, distance=10.0),
+                EgoDriveDistance(60.0),          # walker blocked: don't hang
+            ),
+            ActorDestroy("walker"),
+            EgoDriveDistance(40.0),              # blocker persists meanwhile
+            ActorDestroy("blocker"),
+        )
+
+
+class CutInFromLeftLane(AtomBehavior):
+    """srunner cut_in.py with its REAL behavior tree (the catalog's CutIn is
+    the simplified merge-from-ahead): the cut-in vehicle starts BEHIND the
+    ego in the left-adjacent lane, accelerates to ego speed + delta
+    (AccelerateToCatchUp, delta_velocity=10), swerves into the ego lane over
+    ~1.5 s once it sits 10 m ahead, then keeps its speed until the scenario
+    ends 50 m later."""
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("cutin", ahead=-16.0, lateral=3.5,
+                                 speed=8.0),
+            AccelerateToCatchUp("cutin", EGO, delta_velocity=10.0,
+                                trigger_distance=10.0, max_distance=300.0),
+            LaneChange("cutin", direction="right", seconds=1.5),
+            KeepVelocity("cutin", speed=40.0 / 3.6, distance=50.0),
+            ActorDestroy("cutin"),
+        )
+
+
+# scenario-catalog registration (route_scenario.py NUMBER_CLASS_TRANSLATION
+# extras); lives here, not in scenarios.py, because atoms imports scenarios
+from mmfn_tpu.harness import scenarios as _scenarios  # noqa: E402
+
+_scenarios.SCENARIO_CLASSES.update({
+    "OccludedObjectCrossing": OccludedObjectCrossing,
+    "CutInFromLeftLane": CutInFromLeftLane,
+})

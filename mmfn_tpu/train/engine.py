@@ -63,6 +63,49 @@ def create_train_state(model, config: GlobalConfig, rng, sample_batch: Batch,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def fast_init_train_state(model, config: GlobalConfig, rng,
+                          sample_batch: Batch,
+                          tx: Optional[optax.GradientTransformation] = None
+                          ) -> TrainState:
+    """A TrainState with the exact structure/shapes/dtypes of
+    :func:`create_train_state` but WITHOUT compiling the model's forward:
+    the param tree comes from ``jax.eval_shape`` (pure tracing, no XLA) and
+    the leaves are filled host-side by name. For smoke/dryrun paths where a
+    full init compile costs minutes (the 8-virtual-device CPU dryrun spends
+    ~110 s in the two jitted inits alone) and the VALUES only need to drive
+    one finite training step, not train well.
+
+    Fill rules cover every leaf name the model zoo produces (verified by
+    test_fast_init_matches_real_init_structure): zeros for biases and BN
+    means, ones for norm scales and BN vars (so normalizing layers stay
+    finite), N(0, 0.02) for everything else (kernels, GAT W/a, LSTM weights,
+    positional embeddings).
+    """
+    args = _model_args(model, sample_batch, True)
+    shapes = jax.eval_shape(
+        lambda r, *a: model.init(r, *a, True),
+        {"params": rng, "dropout": jax.random.PRNGKey(0)}, *args[:-1])
+    host = np.random.default_rng(int(np.asarray(jax.random.bits(rng))))
+
+    def fill(path, leaf):
+        name = path[-1].key
+        if name in ("bias", "bias_ih", "bias_hh", "mean"):
+            arr = np.zeros(leaf.shape, leaf.dtype)
+        elif name in ("scale", "var"):
+            arr = np.ones(leaf.shape, leaf.dtype)
+        else:
+            arr = host.normal(0.0, 0.02, leaf.shape).astype(leaf.dtype)
+        return jnp.asarray(arr)
+
+    variables = jax.tree_util.tree_map_with_path(fill, shapes)
+    params = variables["params"]
+    tx = tx or create_optimizer(config)
+    return TrainState(params=params,
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
 def waypoint_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean L1 over all waypoint coordinates (phase2_train_net.py:104)."""
     return jnp.abs(pred - target).mean()

@@ -1,0 +1,266 @@
+"""Composable behavior atoms (mmfn_tpu/harness/atoms.py — the srunner
+atomic_behaviors.py / atomic_trigger_conditions.py analog vocabulary)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mmfn_tpu.harness.atoms import (EGO, FAILURE, RUNNING, SUCCESS,
+                                    AccelerateToCatchUp, AccelerateToVelocity,
+                                    ActorDestroy, ActorTransformSetter,
+                                    BehaviorContext, DriveDistance,
+                                    EgoDriveDistance, HandBrakeVehicle, Idle,
+                                    InTriggerDistanceToVehicle, KeepVelocity,
+                                    LaneChange, Parallel, Sequence,
+                                    StandStill, StopVehicle, SyncArrival,
+                                    WaypointFollower)
+from mmfn_tpu.harness.scenarios import (SCENARIO_CLASSES, ScenarioManagerLite,
+                                        ScenarioTrigger)
+
+DT = 0.05
+
+
+def _ctx(x=0.0, y=0.0, yaw=0.0):
+    return BehaviorContext(ScenarioTrigger(x=x, y=y, yaw=yaw))
+
+
+def _step_world(ctx, dt=DT):
+    for a in ctx.actors.values():
+        a.step(dt)
+
+
+def test_transform_setter_spawns_in_trigger_frame():
+    ctx = _ctx(x=10.0, y=5.0, yaw=math.pi / 2)   # trigger faces +y
+    atom = ActorTransformSetter("v", ahead=20.0, lateral=3.5, speed=4.0)
+    assert atom.tick(ctx, DT) == SUCCESS
+    a = ctx.actors["v"]
+    # ahead is +y, lateral (left) is -x
+    np.testing.assert_allclose(a.position, [10.0 - 3.5, 25.0], atol=1e-9)
+    np.testing.assert_allclose(a.velocity, [0.0, 4.0], atol=1e-9)
+
+
+def test_keep_velocity_bounds_and_stop_vehicle():
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0).tick(ctx, DT)
+    keep = KeepVelocity("v", speed=10.0, distance=5.0)
+    t = 0.0
+    while keep.tick(ctx, DT) == RUNNING:
+        _step_world(ctx)
+        t += DT
+        assert t < 5.0, "KeepVelocity distance bound never hit"
+    assert np.linalg.norm(ctx.actors["v"].position) >= 5.0
+    stop = StopVehicle("v", brake_value=1.0)   # 8 m/s^2 from 10 m/s
+    ticks = 0
+    while stop.tick(ctx, DT) == RUNNING:
+        _step_world(ctx)
+        ticks += 1
+    assert ticks * DT == pytest.approx(10.0 / 8.0, abs=3 * DT)
+    assert float(np.linalg.norm(ctx.actors["v"].velocity)) == 0.0
+
+
+def test_accelerate_to_velocity_ramps():
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0, speed=2.0).tick(ctx, DT)
+    acc = AccelerateToVelocity("v", target_speed=10.0)   # 4 m/s^2
+    ticks = 0
+    while acc.tick(ctx, DT) == RUNNING:
+        _step_world(ctx)
+        ticks += 1
+    assert ticks * DT == pytest.approx(8.0 / 4.0, abs=3 * DT)
+
+
+def test_sequence_cascades_instantaneous_children():
+    """Spawn + handbrake + idle compose: the two instantaneous atoms resolve
+    on the same tick, then Idle holds the sequence RUNNING."""
+    ctx = _ctx()
+    seq = Sequence(ActorTransformSetter("v", ahead=5.0, speed=3.0),
+                   HandBrakeVehicle("v"),
+                   Idle(0.5),
+                   ActorDestroy("v"))
+    assert seq.tick(ctx, DT) == RUNNING          # spawned + braked, idling
+    assert "v" in ctx.actors
+    assert float(np.linalg.norm(ctx.actors["v"].velocity)) == 0.0
+    for _ in range(20):
+        if seq.tick(ctx, DT) == SUCCESS:
+            break
+    assert "v" not in ctx.actors                 # destroyed at the end
+
+
+def test_parallel_policies():
+    ctx = _ctx()
+    one = Parallel(Idle(0.2), Idle(10.0), policy="one")
+    ticks = 0
+    while one.tick(ctx, DT) == RUNNING:
+        ticks += 1
+    assert ticks * DT <= 0.25
+    both = Parallel(Idle(0.1), Idle(0.3), policy="all")
+    ticks = 0
+    while both.tick(ctx, DT) == RUNNING:
+        ticks += 1
+    assert ticks * DT == pytest.approx(0.3, abs=2 * DT)
+
+
+def test_missing_actor_is_failure():
+    ctx = _ctx()
+    assert KeepVelocity("ghost", 5.0).tick(ctx, DT) == FAILURE
+    assert Sequence(KeepVelocity("ghost", 5.0)).tick(ctx, DT) == FAILURE
+
+
+def test_condition_atoms():
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=30.0).tick(ctx, DT)
+    near = InTriggerDistanceToVehicle("v", EGO, distance=10.0)
+    ctx.observe(np.array([0.0, 0.0]), DT)
+    assert near.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([25.0, 0.0]), DT)
+    assert near.tick(ctx, DT) == SUCCESS
+
+    drive = EgoDriveDistance(5.0)
+    ctx.observe(np.array([0.0, 0.0]), DT)
+    assert drive.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([3.0, 0.0]), DT)
+    assert drive.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([6.0, 0.0]), DT)
+    assert drive.tick(ctx, DT) == SUCCESS
+
+    still = StandStill("v", duration=0.2)
+    for _ in range(3):
+        assert still.tick(ctx, DT) == RUNNING
+    assert still.tick(ctx, DT) == SUCCESS        # stationary 0.2 s
+
+
+def test_lane_change_shifts_one_lane():
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0, speed=10.0).tick(ctx, DT)
+    lc = LaneChange("v", direction="left", lane_width=3.5, seconds=1.0)
+    while lc.tick(ctx, DT) == RUNNING:
+        _step_world(ctx)
+    _step_world(ctx)
+    a = ctx.actors["v"]
+    assert a.position[1] == pytest.approx(3.5, abs=0.3)   # one lane left
+    assert a.velocity[1] == 0.0                           # shift finished
+    assert a.velocity[0] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_waypoint_follower_traces_polyline():
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0).tick(ctx, DT)
+    wf = WaypointFollower("v", [(10.0, 0.0), (10.0, 10.0)], speed=20.0)
+    seen_corner = False
+    for _ in range(200):
+        status = wf.tick(ctx, DT)
+        _step_world(ctx)
+        pos = ctx.actors["v"].position
+        if np.linalg.norm(pos - np.array([10.0, 0.0])) < 1.5:
+            seen_corner = True
+        if status == SUCCESS:
+            break
+    assert status == SUCCESS and seen_corner
+    assert np.linalg.norm(ctx.actors["v"].position
+                          - np.array([10.0, 10.0])) < 1.5
+
+
+def test_sync_arrival_paces_to_conflict_point():
+    """SyncArrival (atomic_behaviors.py:1210): actor and ego arrive together;
+    a parked ego holds the actor short (negotiation)."""
+    ctx = _ctx(x=10.0, yaw=0.0)
+    cp = ctx.world_point(18.0, 0.0)
+    ActorTransformSetter("v", ahead=18.0, lateral=25.0,
+                         heading_deg=-90.0).tick(ctx, DT)
+    sync = SyncArrival("v", conflict_ahead=18.0, target_speed=15.0)
+    ego_x, t_ego, t_act = 0.0, None, None
+    for i in range(2000):
+        ctx.observe(np.array([ego_x, 0.0]), DT)
+        sync.tick(ctx, DT)
+        _step_world(ctx)
+        if t_ego is None and ego_x >= cp[0]:
+            t_ego = i * DT
+        if t_act is None and np.linalg.norm(
+                ctx.actors["v"].position - cp) < 3.0:
+            t_act = i * DT
+        if t_ego is not None and t_act is not None:
+            break
+        ego_x += 6.0 * DT
+    assert t_ego is not None and t_act is not None
+    assert abs(t_act - t_ego) < 2.0
+
+    # parked ego: actor waits
+    ctx2 = _ctx(x=10.0, yaw=0.0)
+    ActorTransformSetter("v", ahead=18.0, lateral=25.0,
+                         heading_deg=-90.0).tick(ctx2, DT)
+    sync2 = SyncArrival("v", conflict_ahead=18.0, target_speed=15.0)
+    for _ in range(400):
+        ctx2.observe(np.array([10.0, 0.0]), DT)
+        sync2.tick(ctx2, DT)
+        _step_world(ctx2)
+    assert np.linalg.norm(ctx2.actors["v"].position - cp) > 10.0
+    assert float(np.linalg.norm(ctx2.actors["v"].velocity)) < 0.5
+
+
+# --------------------------------------------------------------------------- #
+# atom-composed scenario types, end to end through ScenarioManagerLite
+# --------------------------------------------------------------------------- #
+
+
+def test_atom_scenarios_registered():
+    assert SCENARIO_CLASSES["OccludedObjectCrossing"].__name__ \
+        == "OccludedObjectCrossing"
+    assert SCENARIO_CLASSES["CutInFromLeftLane"].__name__ \
+        == "CutInFromLeftLane"
+
+
+def test_occluded_object_crossing_hides_then_crosses():
+    """The walker holds behind the blocker until the ego closes to 18 m,
+    then crosses the road at 3.4 m/s (object_crash_vehicle.py blocker
+    variant); everything retires after the ego drives clear."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=20.0, y=0.0, yaw=0.0, scenario_type="OccludedObjectCrossing")])
+    ego_x = 0.0
+    walker_start_y = None
+    walker_moved_before_trigger = False
+    crossed = False
+    for _ in range(3000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+        walkers = [a for a in actors if a.kind == "walker"]
+        if walkers:
+            w = walkers[0]
+            if walker_start_y is None:
+                walker_start_y = float(w.position[1])
+            gap = float(np.linalg.norm(w.position - np.array([ego_x, 0.0])))
+            if gap > 19.0 and abs(w.position[1] - walker_start_y) > 0.1:
+                walker_moved_before_trigger = True
+            if w.position[1] < walker_start_y - 8.0:
+                crossed = True
+        if mgr.behaviors[0].done:
+            break
+        ego_x += 6.0 * DT
+    assert walker_start_y is not None, "walker never spawned"
+    assert not walker_moved_before_trigger, "walker crossed before the ego was near"
+    assert crossed, "walker never crossed the road"
+    assert mgr.behaviors[0].done
+
+
+def test_cut_in_from_left_lane_catches_up_then_merges():
+    """The cut-in car starts behind the ego in the adjacent lane, catches up
+    (AccelerateToCatchUp), then merges into the ego lane ahead of it."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=10.0, y=0.0, yaw=0.0, scenario_type="CutInFromLeftLane")])
+    ego_x = 0.0
+    spawned_behind = False
+    merged_ahead = False
+    for _ in range(4000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+        if actors:
+            a = actors[0]
+            if a.position[0] < ego_x and abs(a.position[1] - 3.5) < 0.5:
+                spawned_behind = True
+            if (a.position[0] > ego_x + 5.0 and abs(a.position[1]) < 0.8
+                    and spawned_behind):
+                merged_ahead = True
+        if mgr.behaviors[0].done:
+            break
+        ego_x += 6.0 * DT
+    assert spawned_behind, "cut-in car never appeared behind the ego in the left lane"
+    assert merged_ahead, "cut-in car never merged into the ego lane ahead"
+    assert mgr.behaviors[0].done

@@ -277,3 +277,27 @@ def test_engine_orbax_checkpoint_roundtrip(tiny_setup, tmp_path):
     leaves_2 = jax.tree.leaves(state2.params)
     np.testing.assert_array_equal(np.asarray(leaves_r[0]),
                                   np.asarray(leaves_2[0]))
+
+
+def test_fast_init_matches_real_init_structure(setup):
+    """fast_init_train_state (eval_shape + host-side fill, zero compiles)
+    must agree with create_train_state on tree structure, shapes and dtypes
+    — it substitutes for the real init in the multichip dryrun — and its
+    values must carry one finite, descending train step."""
+    from mmfn_tpu.train import fast_init_train_state
+
+    model, batch, state_host = setup
+    fast = fast_init_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    real_leaves = jax.tree_util.tree_flatten_with_path(state_host)[0]
+    fast_leaves = jax.tree_util.tree_flatten_with_path(fast)[0]
+    assert len(real_leaves) == len(fast_leaves)
+    for (pr, lr_), (pf, lf) in zip(real_leaves, fast_leaves):
+        assert pr == pf
+        assert np.shape(lr_) == np.shape(lf), pr
+        assert np.asarray(lr_).dtype == np.asarray(lf).dtype, pr
+    # norm denominators got ones, not zeros: one step stays finite
+    step = make_train_step(model, __import__(
+        "mmfn_tpu.train.engine", fromlist=["create_optimizer"]
+    ).create_optimizer(CFG))
+    _, loss = step(fast, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
