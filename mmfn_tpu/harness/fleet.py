@@ -29,6 +29,8 @@ single-agent ``async_dispatch`` deviation in docs/PARITY.md).
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
@@ -47,7 +49,8 @@ class FleetRunner:
     """
 
     def __init__(self, statistics: Optional[StatisticsManager] = None,
-                 max_wall_seconds: float = 600.0, pipelined: bool = False):
+                 max_wall_seconds: float = 600.0, pipelined: bool = False,
+                 prep_workers: Optional[int] = None):
         self.statistics = statistics or StatisticsManager()
         self.max_wall_seconds = max_wall_seconds
         # pipelined: steer every vehicle from the PREVIOUS tick's batched
@@ -57,6 +60,13 @@ class FleetRunner:
         # forward tick (and any agent whose warmup ends later) primes
         # synchronously.
         self.pipelined = pipelined
+        # per-vehicle host prep (sensor mux + crops + radar fit + SAT lane
+        # crop) is ~1 ms of mostly GIL-releasing numpy per agent: serial it
+        # caps the fleet at ~1000/N ticks/s regardless of the chip, so fan it
+        # over a thread pool (0/None on a 1-core host degrades to serial)
+        workers = (prep_workers if prep_workers is not None
+                   else min(8, os.cpu_count() or 1))
+        self._pool = ThreadPoolExecutor(workers) if workers > 1 else None
 
     def run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
         if len(agents) != len(routes):
@@ -90,11 +100,19 @@ class FleetRunner:
             # (per-route wall timeouts are enforced inside each drive())
             controls = {}
             forwards = []    # (agent index, payload)
-            for i in sorted(live):
+
+            def prep(i):
                 agent = agents[i]
+                return agent.prepare_step(agent.sensor_interface.get_data())
+
+            order = sorted(live)
+            if self._pool is not None and len(order) > 1:
+                results = [(i, self._pool.submit(prep, i)) for i in order]
+            else:
+                results = [(i, None) for i in order]
+            for i, fut in results:
                 try:
-                    input_data = agent.sensor_interface.get_data()
-                    kind, payload = agent.prepare_step(input_data)
+                    kind, payload = fut.result() if fut is not None else prep(i)
                 except Exception as e:      # agent crash -> scored failure
                     self._finish(gens[i], i, e, records, live)
                     continue
