@@ -56,11 +56,20 @@ class MMFNAgent(AutonomousAgent):
         self.track = Track.MAP
         self.config: GlobalConfig = conf.get("config") or GlobalConfig()
         self.variant = conf.get("variant", "vec")
+        pps = conf.get("points_per_sweep", 32768)
+        host_bev = conf.get("host_bev")
+        if host_bev is None:
+            # auto: ship whichever transport is smaller — the padded f16
+            # cloud ((2*pps, 4) f16 = 16*pps bytes) or the 131 KB uint8 BEV
+            # count grid (bit-identical bin math, ops/lidar.py:bev_counts_np;
+            # the reference also bins on host, dataloader.py:271-293). At the
+            # default 32768 points/sweep that is 524 KB -> 131 KB per tick.
+            host_bev = 16 * pps > 256 * 256 * 2
         self.pipeline: JitPipeline = conf["pipeline"] if "pipeline" in conf else \
             JitPipeline(conf["model"], conf["variables"], self.config,
-                        points_per_sweep=conf.get("points_per_sweep", 32768),
-                        host_bev=conf.get("host_bev", False),
-                        mesh=conf.get("mesh"))
+                        points_per_sweep=pps, host_bev=host_bev,
+                        mesh=conf.get("mesh"),
+                        packed=conf.get("packed", True))
         self.controller = WaypointController(self.config)
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,
                                   self.config.right, self.config.lane_node_num,

@@ -25,6 +25,54 @@ from mmfn_tpu.ops.radar import radar_adjacency
 MAX_SWEEP_POINTS = 32768  # one 64-ch sweep at 600k pts/s / 20 Hz, padded
 
 
+def _pack_columns(cols):
+    """Stacked transport arrays -> ONE uint8 buffer per row.
+
+    ``cols``: per-input arrays of shape (N, ...) (or None). Returns
+    ``(bufs, spec)`` where ``bufs`` is uint8 (N, total_bytes) — every row is
+    the byte-concatenation of that sample's inputs — and ``spec`` is the
+    hashable per-input ((row_shape, dtype_str) | None) layout key
+    ``_unpack_columns`` inverts on device. Bit-exact by construction
+    (raw byte views, no casts)."""
+    spec = []
+    parts = []
+    n = next(c.shape[0] for c in cols if c is not None)
+    for c in cols:
+        if c is None:
+            spec.append(None)
+            continue
+        c = np.ascontiguousarray(c)
+        spec.append((c.shape[1:], c.dtype.str))
+        parts.append(c.view(np.uint8).reshape(n, -1))
+    return np.concatenate(parts, axis=1), tuple(spec)
+
+
+def _unpack_columns(bufs, spec):
+    """Inverse of :func:`_pack_columns`, traced on device: slice each input's
+    byte range out of the (N, L) uint8 buffer and bitcast it back to its
+    transport dtype/shape (free at the XLA level — bitcast + reshape)."""
+    n = bufs.shape[0]
+    out = []
+    off = 0
+    for item in spec:
+        if item is None:
+            out.append(None)
+            continue
+        shape, dstr = item
+        dt = np.dtype(dstr)
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        seg = bufs[:, off:off + nbytes]
+        if dt == np.uint8:
+            arr = seg.reshape((n,) + shape)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(n, -1, dt.itemsize),
+                jnp.dtype(dt)).reshape((n,) + shape)
+        out.append(arr)
+        off += nbytes
+    return out
+
+
 class JitPipeline:
     """Wraps (model, variables) into a single jitted sensor->waypoints call.
 
@@ -35,6 +83,13 @@ class JitPipeline:
     dataloader.py:271-293, vs the f16-shipped cloud); choose by link: ~3x
     fewer bytes/tick on a thin host<->device link, while a colocated host
     prefers the on-device kernel.
+
+    ``packed=True`` (default) byte-concatenates every per-tick input into ONE
+    uint8 host buffer and bitcasts it apart inside the jitted program: one
+    host->device transfer per tick instead of eight. Bit-exact (raw byte
+    views); measured 1.30x per tick through this environment's TPU relay
+    (scripts/_packed_transfer_probe.py). ``packed=False`` restores per-array
+    transfers.
 
     ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards ``dispatch_fleet``'s batch
     across devices: params replicate, every batch input splits on its leading
@@ -48,7 +103,7 @@ class JitPipeline:
 
     def __init__(self, model, variables, config: GlobalConfig,
                  points_per_sweep: int = MAX_SWEEP_POINTS,
-                 host_bev: bool = False, mesh=None):
+                 host_bev: bool = False, mesh=None, packed: bool = True):
         self.model = model
         self.variables = variables
         self.config = config
@@ -56,6 +111,15 @@ class JitPipeline:
         self.points_per_sweep = points_per_sweep
         self.host_bev = host_bev
         self.mesh = mesh
+        # packed: ship each sample's inputs as ONE uint8 byte buffer and
+        # bitcast them back inside the jitted program — one host->device
+        # transfer per tick instead of eight. Bit-exact (raw byte views), so
+        # on by default; measured 1.30x per-tick on this environment's relay
+        # link (14.0 -> 10.8 ms at a 330 KB payload) and neutral-or-better on
+        # a colocated host (fewer, larger copies).
+        self.packed = packed
+        self._packed_jit = {}        # spec -> jit(variables, bufs) -> out
+        self._packed_fleet_jit = {}  # spec -> mesh-sharded variant
 
         def apply_batched(variables, image, points, lanes, lane_num, radar,
                           map_img, target_point, velocity):
@@ -96,27 +160,51 @@ class JitPipeline:
                                  up(target_point), up(velocity))[0]
 
         self._forward = forward
+        self._apply_batched = apply_batched
         self._forward_batched = jax.jit(apply_batched)
         if mesh is None:
             self._forward_fleet = self._forward_batched
         else:
-            from jax.sharding import PartitionSpec as P
+            self._forward_fleet = jax.jit(self._shard_over_mesh(
+                apply_batched, n_batch_inputs=8))
 
-            axis = mesh.axis_names[0]
-            # variables replicate (P() prefix over the whole pytree); the 8
-            # batch inputs split on their leading axis. None inputs (lanes /
-            # map_img per variant) are empty pytrees — their spec applies to
-            # zero leaves.
-            specs = dict(mesh=mesh, in_specs=(P(),) + (P(axis),) * 8,
-                         out_specs=P(axis))
-            try:
-                from jax import shard_map          # jax >= 0.8
-                smapped = shard_map(apply_batched, check_vma=False, **specs)
-            except ImportError:                    # pragma: no cover
-                # the pre-0.8 API spells the replication check 'check_rep'
-                from jax.experimental.shard_map import shard_map
-                smapped = shard_map(apply_batched, check_rep=False, **specs)
-            self._forward_fleet = jax.jit(smapped)
+    def _shard_over_mesh(self, fn, n_batch_inputs: int):
+        """shard_map ``fn(variables, *batch_inputs)`` over the 1-D mesh:
+        variables replicate (P() prefix over the whole pytree); batch inputs
+        split on their leading axis. None inputs (lanes / map_img per
+        variant) are empty pytrees — their spec applies to zero leaves."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        specs = dict(mesh=self.mesh,
+                     in_specs=(P(),) + (P(axis),) * n_batch_inputs,
+                     out_specs=P(axis))
+        try:
+            from jax import shard_map              # jax >= 0.8
+            return shard_map(fn, check_vma=False, **specs)
+        except ImportError:                        # pragma: no cover
+            # the pre-0.8 API spells the replication check 'check_rep'
+            from jax.experimental.shard_map import shard_map
+            return shard_map(fn, check_rep=False, **specs)
+
+    def _packed_call(self, spec, fleet: bool = False):
+        """The jitted (variables, uint8[N, L]) -> waypoints program for one
+        packed layout ``spec`` (cached — layouts are stable within a run)."""
+        cache = self._packed_fleet_jit if fleet else self._packed_jit
+        fn = cache.get(spec)
+        if fn is None:
+            apply_batched = self._apply_batched
+
+            def packed_apply(variables, bufs):
+                return apply_batched(variables, *_unpack_columns(bufs, spec))
+
+            if fleet and self.mesh is not None:
+                fn = jax.jit(self._shard_over_mesh(packed_apply,
+                                                   n_batch_inputs=1))
+            else:
+                fn = jax.jit(packed_apply)
+            cache[spec] = fn
+        return fn
 
     def dispatch(self, image: np.ndarray, points: np.ndarray,
                  lanes: Optional[np.ndarray], lane_num: Optional[int],
@@ -133,11 +221,15 @@ class JitPipeline:
         dispatch — explicit per-array jnp.asarray costs a round-trip each on
         remote-device links). The camera ships as uint8 and the padded cloud
         as float16 (or, with host_bev, the uint8 BEV count grid); the device
-        casts back (see ``forward``)."""
-        return self._forward(
-            self.variables,
-            *self._host_args(image, points, lanes, lane_num, radar, map_img,
-                             target_point, velocity))
+        casts back (see ``forward``). With ``packed`` (default) the whole
+        tick ships as ONE uint8 buffer, bitcast apart on device."""
+        args = self._host_args(image, points, lanes, lane_num, radar, map_img,
+                               target_point, velocity)
+        if not self.packed:
+            return self._forward(self.variables, *args)
+        bufs, spec = _pack_columns(
+            [None if a is None else np.asarray(a)[None] for a in args])
+        return self._packed_call(spec)(self.variables, bufs)[0]
 
     def _host_args(self, image, points, lanes, lane_num, radar, map_img,
                    target_point, velocity):
@@ -179,10 +271,8 @@ class JitPipeline:
                 for p in payloads]
         cols = list(zip(*rows))
         stacked = [None if col[0] is None else np.stack(col) for col in cols]
-        if self.mesh is None:
-            return self._forward_batched(self.variables, *stacked)
         n = len(payloads)
-        pad = (-n) % self.mesh.size
+        pad = 0 if self.mesh is None else (-n) % self.mesh.size
         if pad:
             def padded(i, x):
                 if x is None:
@@ -193,7 +283,14 @@ class JitPipeline:
                 return np.concatenate([x, ext])
 
             stacked = [padded(i, x) for i, x in enumerate(stacked)]
-        out = self._forward_fleet(self.variables, *stacked)
+        if self.packed:
+            bufs, spec = _pack_columns(stacked)
+            out = self._packed_call(spec, fleet=self.mesh is not None)(
+                self.variables, bufs)
+        elif self.mesh is None:
+            out = self._forward_batched(self.variables, *stacked)
+        else:
+            out = self._forward_fleet(self.variables, *stacked)
         return out[:n] if pad else out
 
     def __call__(self, image: np.ndarray, points: np.ndarray,

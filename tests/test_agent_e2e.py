@@ -106,6 +106,100 @@ def test_pipeline_host_bev_matches_device_bev():
     np.testing.assert_allclose(wp_fleet[1], wp_dev, rtol=1e-5, atol=1e-4)
 
 
+def test_pack_columns_roundtrip_bit_exact():
+    """_pack_columns -> device _unpack_columns is a bit-exact identity for
+    every transport dtype the pipeline ships (u8 tensors, f16 clouds, f32
+    features, i32 counts, per-row scalars) with None slots preserved."""
+    from mmfn_tpu.harness.agents.pipeline import _pack_columns, _unpack_columns
+
+    rng = np.random.default_rng(11)
+    cols = [
+        rng.integers(0, 256, size=(3, 4, 5, 2)).astype(np.uint8),
+        rng.normal(size=(3, 7, 4)).astype(np.float16),
+        None,
+        (rng.normal(size=(3, 6)) * 1e3).astype(np.float32),
+        rng.integers(-5, 99, size=(3,)).astype(np.int32),   # per-row scalar
+        rng.normal(size=(3,)).astype(np.float32),
+    ]
+    bufs, spec = _pack_columns(cols)
+    assert bufs.dtype == np.uint8 and bufs.shape[0] == 3
+    assert spec[2] is None
+    out = jax.jit(lambda b: _unpack_columns(b, spec))(bufs)
+    assert out[2] is None
+    for got, want in zip(out, cols):
+        if want is None:
+            continue
+        got = np.asarray(got)
+        assert got.dtype == want.dtype and got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_packed_matches_unpacked():
+    """packed=True (one uint8 buffer per tick, VERDICT r2 #3) must reproduce
+    the per-array-transfer pipeline: same transport dtypes reach the same
+    apply_batched, so only jit-fusion reassociation noise may differ."""
+    from mmfn_tpu.harness.agents.pipeline import JitPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "vec")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    packed = JitPipeline(model, variables, cfg, points_per_sweep=2048)
+    plain = JitPipeline(model, variables, cfg, points_per_sweep=2048,
+                        packed=False)
+    assert packed.packed and not plain.packed
+
+    rng = np.random.default_rng(5)
+    image = rng.integers(0, 256, size=(256, 256, 3)).astype(np.uint8)
+    points = rng.uniform(low=[-20, -30, -4], high=[20, 12, 2],
+                         size=(3000, 3)).astype(np.float32)
+    lanes = (rng.normal(size=(cfg.max_lanes, 10, 5)) * 10).astype(np.float32)
+    radar = rng.normal(size=(81, 5)).astype(np.float32)
+    tp = np.array([1.0, 4.0], np.float32)
+
+    wp_packed = packed(image, points, lanes, 3, radar, None, tp, 2.0)
+    wp_plain = plain(image, points, lanes, 3, radar, None, tp, 2.0)
+    np.testing.assert_allclose(wp_packed, wp_plain, rtol=1e-5, atol=1e-4)
+
+    payload = {"image": image, "points": points, "lanes": lanes,
+               "lane_num": 3, "radar": radar, "map_img": None,
+               "target_point": tp, "speed": 2.0}
+    fp = np.asarray(packed.dispatch_fleet([payload, dict(payload)]))
+    fu = np.asarray(plain.dispatch_fleet([payload, dict(payload)]))
+    np.testing.assert_allclose(fp, fu, rtol=1e-5, atol=1e-4)
+
+
+def test_agent_auto_host_bev_threshold():
+    """MMFNAgent auto-picks host_bev by transport size: the 131 KB uint8 BEV
+    count grid beats the padded f16 cloud above 8192 points/sweep (the
+    default 32768 ships 524 KB -> 131 KB per tick)."""
+    from mmfn_tpu.harness.agents.pipeline import JitPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "vec")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    def make(**kw):
+        a = MMFNAgent({"variant": "vec", "model": model,
+                       "variables": variables, "config": cfg, **kw})
+        hb = a.pipeline.host_bev
+        a.destroy()
+        return hb
+
+    assert make() is True                               # default 32768 pts
+    assert make(points_per_sweep=2048) is False         # small cloud: ship it
+    assert make(host_bev=False) is False                # explicit wins
+    assert make(points_per_sweep=2048, host_bev=True) is True
+
+
 def test_fleet_mesh_sharded_matches_unsharded():
     """dispatch_fleet over a 1-D device mesh (shard_map: params replicated,
     batch split on its leading axis, collective-free) must reproduce the
