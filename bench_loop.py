@@ -172,11 +172,44 @@ def _fleet_mode(pipeline, config, n: int, ticks: int, pipelined: bool):
     }
 
 
+def _fleet_device_side(n: int, iters: int = 50):
+    """Device-side fleet ticks/s at width ``n``: the batched sensor->waypoints
+    pipeline chained in a jitted ``lax.fori_loop`` (relay RTT and host prep
+    amortized away — bench.py's methodology). This is what the CHIP sustains
+    when the host feeds it; the host-fleet numbers above it show what this
+    2-vCPU host + relay actually deliver."""
+    import bench
+
+    rng = np.random.default_rng(0)
+    cfg = GlobalConfig()
+    model = build_model(cfg, "rad")
+    inp = bench.make_inputs(1, rng)
+    from mmfn_tpu.data.batch import Batch
+    from mmfn_tpu.ops.radar import radar_adjacency
+
+    init_batch = Batch(
+        image=inp["image"], lidar_bev=np.zeros((1, 256, 256, 2), np.float32),
+        lanes=inp["lanes"], lane_num=inp["lane_num"], radar=inp["radar"],
+        radar_adj=radar_adjacency(inp["radar"]),
+        target_point=inp["target_point"], velocity=inp["velocity"])
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_batch, False)
+    step_s = bench.timed_loop(bench.pipeline_fn(model), variables,
+                              bench.make_inputs(n, rng), iters)
+    ticks = n / step_s
+    return {"width": n, "agg_ticks_per_sec": round(ticks, 2),
+            "vehicles_at_20hz": round(ticks / 20.0, 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fleet", type=int, default=0,
                     help="N>0: measure an N-vehicle lockstep fleet instead "
                          "of the single-agent soak modes")
+    ap.add_argument("--fleet-sweep", type=str, default="",
+                    help="comma list of fleet widths, e.g. 8,16,32,64: "
+                         "host-fleet scaling curve + a device-side point")
     ap.add_argument("--ticks", type=int, default=0,
                     help="override soak ticks per route")
     ap.add_argument("--pipelined", action="store_true",
@@ -186,6 +219,28 @@ def main():
 
     from bench import _require_device
     _require_device()
+
+    if args.fleet_sweep:
+        widths = [int(w) for w in args.fleet_sweep.split(",") if w]
+        agent = _build_agent()
+        curve = [dict(_fleet_mode(agent.pipeline, agent.config, w,
+                                  args.ticks or 120, pipelined=True),
+                      fleet=w) for w in widths]
+        device_side = _fleet_device_side(max(widths))
+        best = max(c["vehicles_at_20hz"] for c in curve)
+        print(json.dumps({
+            "metric": "fleet scaling sweep (host fleet ticks/s by width + "
+                      "device-side ceiling, full MMFN-rad)",
+            "value": best,
+            "unit": "vehicles@20Hz (host fleet, best width)",
+            "vs_baseline": best,   # reference serves exactly 1 vehicle
+            "host_fleet": curve,
+            "device_side": device_side,
+            "relay_rtt_ms": round(_relay_rtt_ms(), 2),
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
     agent = _build_agent()
 
     if args.fleet > 0:
@@ -206,25 +261,29 @@ def main():
     # warmup run compiles the jit pipeline + builds the map
     _soak(agent, WARMUP_TICKS)
 
-    # fresh agent state but shared (warm) pipeline, like phase0's route loop
+    # fresh agent state but shared (warm) pipeline, like phase0's route loop.
+    # The default transport is packed single-buffer + auto host_bev (both
+    # lossless, docs/PERFORMANCE.md) — sync IS parity mode: the same blocking
+    # forward per tick as the reference, the bytes just ride in one buffer.
     sync = _soak_mode(agent.pipeline, agent.config, async_dispatch=False)
     # pipelined mode: enqueue tick N, steer from tick N-1 (one 50 ms sim tick
     # of actuation latency, docs/PARITY.md) — hides the host<->device RTT
     pipelined = _soak_mode(agent.pipeline, agent.config, async_dispatch=True)
 
-    # + host-side BEV binning: ship the 131 KB uint8 count grid instead of the
-    # 393 KB padded f16 cloud (lossless; the reference also bins on host)
+    # round-2 transport for the A/B: eight per-array transfers, padded f16
+    # cloud shipped instead of the uint8 count grid
     from mmfn_tpu.harness.agents.pipeline import JitPipeline
 
-    hb_pipeline = JitPipeline(agent.pipeline.model, agent.pipeline.variables,
-                              agent.config, host_bev=True)
-    hb_warm = MMFNAgent({"variant": "rad", "pipeline": hb_pipeline,
-                         "config": agent.config})
-    _soak(hb_warm, WARMUP_TICKS)
-    pipelined_hb = _soak_mode(hb_pipeline, agent.config, async_dispatch=True)
+    legacy_pipeline = JitPipeline(agent.pipeline.model,
+                                  agent.pipeline.variables, agent.config,
+                                  host_bev=False, packed=False)
+    legacy_warm = MMFNAgent({"variant": "rad", "pipeline": legacy_pipeline,
+                             "config": agent.config})
+    _soak(legacy_warm, WARMUP_TICKS)
+    sync_legacy = _soak_mode(legacy_pipeline, agent.config,
+                             async_dispatch=False)
 
-    best = max(sync["ticks_per_sec"], pipelined["ticks_per_sec"],
-               pipelined_hb["ticks_per_sec"])
+    best = max(sync["ticks_per_sec"], pipelined["ticks_per_sec"])
     print(json.dumps({
         "metric": "closed-loop agent ticks/sec (fake world, full MMFN-rad)",
         "value": best,
@@ -232,7 +291,7 @@ def main():
         "vs_baseline": round(best / 20.0, 2),
         "sync": sync,
         "pipelined": pipelined,
-        "pipelined_host_bev": pipelined_hb,
+        "sync_per_array_transport": sync_legacy,
         "ticks": SOAK_TICKS,
         "relay_rtt_ms": round(_relay_rtt_ms(), 2),
         "device": str(jax.devices()[0]),
