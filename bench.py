@@ -20,6 +20,7 @@ tick the reference serves, leaderboard_evaluator.py:61,203-205 — the repo
 publishes no model-throughput numbers, see BASELINE.md).
 """
 
+import functools
 import json
 import os
 import time
@@ -214,6 +215,104 @@ def timed_train(model, cfg, batch_size, iters=20, compute_dtype=jnp.float32):
     return min(ts) / iters
 
 
+def disk_train_bench(model, cfg, batch_size=24, n_samples=192,
+                     compute_dtype=jnp.bfloat16):
+    """From-disk training throughput (VERDICT r2 #5): write a phase-1-format
+    pickle dataset once (cached under /tmp), then measure (a) loader-only
+    samples/s (unpickle + radar_adj + static-pad collate, the threaded
+    data_loader exactly as train uses it) and (b) train fps with the loader
+    feeding the jitted step — vs the synthetic in-memory number. Reference:
+    DataLoader(num_workers=8), phase2_train_net.py:267-273. Pickles carry
+    f32 image/bev/map (~2.1 MB/sample), matching phase1's writer."""
+    import pickle
+    import shutil
+
+    from mmfn_tpu.data.collate import data_loader
+    from mmfn_tpu.data.dataset import PreprocessedDataset
+    from mmfn_tpu.data.synthetic import synthetic_samples
+    from mmfn_tpu.train import create_train_state
+    from mmfn_tpu.train.engine import create_optimizer, make_train_step
+
+    root = "/tmp/mmfn_bench_disk"
+    marker = os.path.join(root, f"ok_{n_samples}")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        for i, s in enumerate(synthetic_samples(n_samples, cfg.max_lanes)):
+            with open(os.path.join(root, f"{i:06d}.pkl"), "wb") as f:
+                pickle.dump(s, f)
+        open(marker, "w").close()
+    ds = PreprocessedDataset(root, use_preload=False)
+
+    def epoch(n_threads):
+        t0 = time.perf_counter()
+        seen = 0
+        for b in data_loader(ds, batch_size, cfg.max_lanes,
+                             num_threads=n_threads):
+            seen += b.image.shape[0]
+        return seen / (time.perf_counter() - t0)
+
+    epoch(1)                       # warm the page cache
+    # n_threads=None adapts to the host core count (collate.py:data_loader);
+    # measure the serial path too — on a 1-core host threads are a slowdown
+    loader_fps = max(epoch(1), epoch(None))
+
+    # loader-fed train fps: per-batch dispatch (no fori_loop chain — batches
+    # genuinely differ), relay RTT amortized by async dispatch: enqueue every
+    # step, fetch one loss at the end. Two transports are measured:
+    #   raw      — the f32 Batch as collated (~50 MB/batch): on a thin
+    #              host<->device link this is BANDWIDTH-bound, not loader- or
+    #              step-bound (measured ~44 MB/s through the relay).
+    #   u8       — camera/map rasters as their raw uint8 bytes and the BEV
+    #              grid as uint8 counts, cast back inside the jitted step
+    #              (f32(k)/5 reproduces the stored counts/5 BIT-EXACTLY;
+    #              ~13 MB/batch, same step math).
+    batch0 = next(iter(data_loader(ds, batch_size, cfg.max_lanes)))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch0)
+    step = make_train_step(model, create_optimizer(cfg),
+                           compute_dtype=compute_dtype)
+    rng = jax.random.PRNGKey(1)
+    state, loss = step(state, batch0, rng)     # compile
+    float(loss)
+
+    def fed_epoch(step_fn, to_transport):
+        nonlocal state
+        t0 = time.perf_counter()
+        seen = 0
+        loss = None
+        for b in data_loader(ds, batch_size, cfg.max_lanes):
+            state, loss = step_fn(state, *to_transport(b), rng)
+            seen += b.image.shape[0]
+        assert np.isfinite(float(loss))        # drains the dispatch queue
+        return seen / (time.perf_counter() - t0)
+
+    fed_raw = fed_epoch(lambda st, b, r: step(st, b, r), lambda b: (b,))
+
+    from mmfn_tpu.ops.lidar import HIST_MAX_PER_PIXEL
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_u8(state, image_u8, bev_u8, map_u8, rest, rng):
+        b = rest._replace(
+            image=image_u8.astype(jnp.float32),
+            lidar_bev=bev_u8.astype(jnp.float32) / HIST_MAX_PER_PIXEL,
+            map_img=map_u8.astype(jnp.float32))
+        return step(state, b, rng)
+
+    def u8_transport(b):
+        return (b.image.astype(np.uint8),
+                np.rint(b.lidar_bev * HIST_MAX_PER_PIXEL).astype(np.uint8),
+                b.map_img.astype(np.uint8),
+                b._replace(image=None, lidar_bev=None, map_img=None))
+
+    state, loss = step_u8(state, *u8_transport(batch0), rng)   # compile
+    float(loss)
+    fed_u8 = fed_epoch(step_u8, u8_transport)
+    return {"loader_fps": round(loader_fps, 1),
+            "loader_fed_train_fps": round(fed_u8, 1),
+            "loader_fed_train_fps_raw_f32": round(fed_raw, 1),
+            "samples": n_samples}
+
+
 def main():
     _require_device()
     rng = np.random.default_rng(0)
@@ -246,6 +345,11 @@ def main():
     train_fps = None
     peak_batch = 96   # largest batch fitting 16 GB HBM (docs/PERFORMANCE.md)
     train_fps_peak = None
+    disk = None
+    if os.environ.get("MMFN_BENCH_TRAIN", "1") == "disk":
+        # from-disk input pipeline: loader-only samples/s + loader-fed train
+        # fps (VERDICT r2 #5) — slow (writes a ~400 MB pickle set once)
+        disk = disk_train_bench(model, cfg, batch_size=train_batch)
     if os.environ.get("MMFN_BENCH_TRAIN", "1") != "0":
         try:
             train_step_s = timed_train(model, cfg, train_batch,
@@ -279,6 +383,18 @@ def main():
                                            ticks=120, pipelined=True)
         except Exception:
             fleet = None
+    # device-side fleet ceiling: the batched pipeline at width 128 in a
+    # fori_loop chain (host prep + relay RTT amortized away) — what the CHIP
+    # sustains; the host-fleet number above shows what this host delivers
+    fleet_dev = None
+    if fleet_n > 0:
+        try:
+            dev_width = 128
+            dev_s = timed_loop(pipeline, variables,
+                               make_inputs(dev_width, rng), 25)
+            fleet_dev = round(dev_width / dev_s / 20.0, 1)
+        except Exception:
+            fleet_dev = None
 
     # Pallas self-check: the BEV histogram kernel vs its XLA reference,
     # on real TPU silicon (the test suite only covers interpret mode).
@@ -330,6 +446,9 @@ def main():
         "fleet_vehicles": fleet_n if fleet else None,
         "fleet_agg_ticks_per_sec": fleet and fleet["agg_ticks_per_sec"],
         "fleet_vehicles_at_20hz": fleet and fleet["vehicles_at_20hz"],
+        "fleet_vehicles_at_20hz_device": fleet_dev,
+        "disk_loader_fps": disk and disk["loader_fps"],
+        "disk_loader_fed_train_fps": disk and disk["loader_fed_train_fps"],
         "pallas_ok": pallas_ok,
         "attn_impl": cfg.attn_impl,
         "device": str(jax.devices()[0]),

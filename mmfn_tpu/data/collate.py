@@ -10,6 +10,7 @@ reference's PRE_Data.__getitem__ (dataloader.py:376-385).
 
 from __future__ import annotations
 
+import os
 import threading
 import queue as queue_mod
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -32,18 +33,25 @@ def collate_samples(samples: Sequence[Dict[str, np.ndarray]], max_lanes: int) ->
         lanes[i, :k] = s["lanes"][:k]
         lane_num[i] = max(k, 1)
 
-    radar = np.stack([s["radar"] for s in samples]).astype(np.float32)
+    # astype(copy=False): the rasters are ~50 MB/batch — a second copy after
+    # np.stack costs more than the unpickle itself (measured,
+    # scripts/_loader_profile.py); stack of already-f32 samples is the copy.
+    def stack_f32(key):
+        return np.stack([s[key] for s in samples]).astype(np.float32,
+                                                          copy=False)
+
+    radar = stack_f32("radar")
     return Batch(
-        image=np.stack([s["image"] for s in samples]).astype(np.float32),
-        lidar_bev=np.stack([s["lidar_bev"] for s in samples]).astype(np.float32),
-        map_img=np.stack([s["map_img"] for s in samples]).astype(np.float32),
+        image=stack_f32("image"),
+        lidar_bev=stack_f32("lidar_bev"),
+        map_img=stack_f32("map_img"),
         lanes=lanes,
         lane_num=lane_num,
         radar=radar,
         radar_adj=np.stack([radar_adjacency_np(r) for r in radar]),
-        target_point=np.stack([s["target_point"] for s in samples]).astype(np.float32),
+        target_point=stack_f32("target_point"),
         velocity=np.asarray([s["velocity"] for s in samples], dtype=np.float32),
-        waypoints=np.stack([s["waypoints"] for s in samples]).astype(np.float32),
+        waypoints=stack_f32("waypoints"),
         # action/command labels for the CILRS-style baselines (the reference
         # reads them from the same measurement dicts, cilrs/train.py:81-96)
         command=(np.asarray([s["command"] for s in samples], dtype=np.int32)
@@ -56,14 +64,22 @@ def collate_samples(samples: Sequence[Dict[str, np.ndarray]], max_lanes: int) ->
 
 def data_loader(dataset, batch_size: int, max_lanes: int, *,
                 shuffle: bool = False, seed: int = 0, drop_last: bool = True,
-                num_threads: int = 4, prefetch: int = 4,
+                num_threads: Optional[int] = None, prefetch: int = 4,
                 shard_index: int = 0, shard_count: int = 1) -> Iterator[Batch]:
     """Threaded batch iterator.
+
+    ``num_threads=None`` adapts to the host: decode threads only help when
+    cores are free to run them (measured on a 1-core host: 1 thread 243
+    samples/s, 4 threads 125 — GIL + context thrash make extra threads a
+    SLOWDOWN), so the default is ``min(4, cpu_count - 1)`` and the
+    single-thread path when that is zero.
 
     ``shard_index``/``shard_count`` give each host its own slice of the index
     space — the TPU-native replacement for DistributedSampler
     (phase2_train_net.py:265-266).
     """
+    if num_threads is None:
+        num_threads = min(4, (os.cpu_count() or 1) - 1)
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(indices)
