@@ -27,10 +27,15 @@ behavior tree by transliteration:
 - Idle                   (atomic_behaviors.py:1416)
 - HandBrakeVehicle       (atomic_behaviors.py:1780)
 - ActorDestroy           (atomic_behaviors.py:1820)
+- ChangeAutoPilot        (atomic_behaviors.py:760)
+- KeepLongitudinalGap    (atomic_behaviors.py KeepLongitudinalGap)
+- ActorSource            (atomic_behaviors.py:2119)
+- ActorSink              (atomic_behaviors.py:2192)
 - InTriggerDistanceToVehicle   (atomic_trigger_conditions.py)
 - InTriggerDistanceToLocation  (atomic_trigger_conditions.py)
 - DriveDistance / EgoDriveDistance (atomic_trigger_conditions.py DriveDistance)
 - StandStill             (atomic_trigger_conditions.py)
+- InTimeToArrivalToVehicle     (atomic_trigger_conditions.py)
 """
 
 from __future__ import annotations
@@ -471,6 +476,118 @@ class ActorDestroy(Atom):
         return SUCCESS
 
 
+class ChangeAutoPilot(Atom):
+    """Hand the actor to 'traffic-manager autopilot' at a target speed
+    (atomic_behaviors.py:760 ChangeAutoPilot with its max_speed parameter).
+    The kinematic analog of TM cruise is straight-line travel along the
+    actor's heading at that speed — set it and SUCCEED immediately; the
+    world integrates it thereafter (ScenarioActor.step)."""
+
+    def __init__(self, name: str, target_speed: float):
+        self.name, self.target_speed = name, target_speed
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        heading = np.array([math.cos(a.yaw), math.sin(a.yaw)])
+        a.velocity = heading * self.target_speed
+        return SUCCESS
+
+
+class KeepLongitudinalGap(Atom):
+    """Regulate the actor's speed to hold ``gap`` metres behind a reference
+    along the trigger direction (atomic_behaviors.py KeepLongitudinalGap —
+    srunner's TM distance_to_leading_vehicle analog). Proportional control
+    bounded by kinematic accel/brake; RUNNING forever unless
+    ``stop_on_reach`` (then SUCCESS inside ``tolerance``)."""
+
+    ACCEL, BRAKE = 4.0, 8.0
+
+    def __init__(self, name: str, reference: str = EGO, gap: float = 8.0,
+                 gain: float = 0.5, max_speed: float = 25.0,
+                 stop_on_reach: bool = False, tolerance: float = 1.0):
+        self.name, self.reference, self.gap = name, reference, gap
+        self.gain, self.max_speed = gain, max_speed
+        self.stop_on_reach, self.tolerance = stop_on_reach, tolerance
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        ref = ctx.position_of(self.reference)
+        if a is None:
+            return FAILURE
+        if ref is None:
+            return RUNNING
+        actual = float((ref - a.position) @ ctx.ahead)   # + = actor behind
+        err = actual - self.gap                          # + = too far back
+        speed = float(np.linalg.norm(a.velocity))
+        target = ctx.speed_of(self.reference) + self.gain * err
+        target = max(0.0, min(self.max_speed, target))
+        dv = target - speed
+        dv = max(-self.BRAKE * dt, min(self.ACCEL * dt, dv))
+        heading = (a.velocity / speed if speed > 1e-6
+                   else np.array([math.cos(a.yaw), math.sin(a.yaw)]))
+        a.velocity = heading * (speed + dv)
+        if self.stop_on_reach and abs(err) <= self.tolerance:
+            return SUCCESS
+        return RUNNING
+
+
+class ActorSource(Atom):
+    """Stream actors into the world from a spawn transform
+    (atomic_behaviors.py:2119 ActorSource): a new one appears whenever the
+    previous spawn has cleared ``gap`` metres of the spawn point, each
+    driving straight at ``speed`` along its heading. RUNNING forever —
+    compose under a Parallel raced by the scenario's end condition."""
+
+    def __init__(self, prefix: str, ahead: float, lateral: float = 0.0,
+                 heading_deg: float = 0.0, speed: float = 10.0,
+                 gap: float = 20.0, kind: str = "vehicle",
+                 extent: float = 2.2, max_actors: int = 16):
+        self.prefix = prefix
+        self.ahead, self.lateral = ahead, lateral
+        self.heading_deg, self.speed = heading_deg, speed
+        self.gap, self.kind, self.extent = gap, kind, extent
+        self.max_actors = max_actors
+        self._count = 0
+
+    def tick(self, ctx, dt):
+        spawn = ctx.world_point(self.ahead, self.lateral)
+        clear = all(
+            float(np.linalg.norm(a.position - spawn)) >= self.gap
+            for n, a in ctx.actors.items() if n.startswith(self.prefix))
+        if clear and self._count < self.max_actors:
+            ActorTransformSetter(
+                f"{self.prefix}_{self._count}", self.ahead, self.lateral,
+                heading_deg=self.heading_deg, kind=self.kind,
+                extent=self.extent, speed=self.speed).tick(ctx, dt)
+            self._count += 1
+        return RUNNING
+
+    def reset(self):
+        self._count = 0
+
+
+class ActorSink(Atom):
+    """Retire streamed actors reaching a drain location
+    (atomic_behaviors.py:2192 ActorSink): any ``prefix``-named actor within
+    ``radius`` of the sink point is destroyed. RUNNING forever."""
+
+    def __init__(self, ahead: float, lateral: float = 0.0,
+                 radius: float = 6.0, prefix: str = ""):
+        self.loc = (ahead, lateral)
+        self.radius, self.prefix = radius, prefix
+
+    def tick(self, ctx, dt):
+        drain = ctx.world_point(*self.loc)
+        for name in [n for n, a in ctx.actors.items()
+                     if n.startswith(self.prefix)
+                     and float(np.linalg.norm(a.position - drain))
+                     < self.radius]:
+            ctx.actors.pop(name)
+        return RUNNING
+
+
 # --------------------------------------------------------------------------- #
 # condition atoms (atomic_trigger_conditions.py analogs: RUNNING until the
 # condition holds, then SUCCESS — srunner races these against motion atoms)
@@ -528,6 +645,35 @@ class DriveDistance(Atom):
 def EgoDriveDistance(distance: float) -> DriveDistance:
     """srunner's scenario-ending DriveDistance(ego) shorthand."""
     return DriveDistance(EGO, distance)
+
+
+class InTimeToArrivalToVehicle(Atom):
+    """SUCCESS once the closing time between two actors drops under
+    ``time`` seconds (atomic_trigger_conditions.py
+    InTimeToArrivalToVehicle: gap distance over closing speed; a
+    non-closing pair never triggers)."""
+
+    def __init__(self, name: str, other: str = EGO, time: float = 3.0):
+        self.name, self.other, self.time = name, other, time
+
+    def tick(self, ctx, dt):
+        a, b = ctx.position_of(self.name), ctx.position_of(self.other)
+        if a is None or b is None:
+            return RUNNING
+        gap = float(np.linalg.norm(a - b))
+        va = (ctx.actors[self.name].velocity
+              if self.name in ctx.actors else np.zeros(2))
+        if self.other == EGO:
+            vb = ((ctx.ego_xy - ctx.ego_prev) / dt
+                  if ctx.ego_prev is not None and dt > 0 else np.zeros(2))
+        else:
+            vb = (ctx.actors[self.other].velocity
+                  if self.other in ctx.actors else np.zeros(2))
+        closing = -float((np.asarray(va) - np.asarray(vb)) @ (a - b)) / gap \
+            if gap > 1e-6 else math.inf
+        if closing <= 0.01:
+            return RUNNING
+        return SUCCESS if gap / closing < self.time else RUNNING
 
 
 class StandStill(Atom):
@@ -629,6 +775,56 @@ class CutInFromLeftLane(AtomBehavior):
         )
 
 
+class SignalizedJunctionLeftTurnTraffic(AtomBehavior):
+    """The oncoming-traffic stream of srunner's SignalizedJunctionLeftTurn
+    (scenario_runner/srunner/scenarios/signalized_junction_left_turn.py:
+    ActorSource feeds opposing vehicles through the junction on a spacing
+    interval, ActorSink retires them on the far side, and the scenario ends
+    once the ego clears the junction). Composed purely from atoms: the
+    source spawns 40 m ahead in the opposing lane heading back at 10 m/s
+    with 20 m spacing, the sink drains 30 m behind the trigger, and
+    EgoDriveDistance(70) — the only child that can succeed — ends it."""
+
+    def build_tree(self, ctx):
+        return Parallel(
+            ActorSource("oncoming", ahead=40.0, lateral=-3.5,
+                        heading_deg=180.0, speed=10.0, gap=20.0),
+            ActorSink(ahead=-30.0, lateral=-3.5, radius=6.0,
+                      prefix="oncoming"),
+            EgoDriveDistance(70.0),
+            policy="one",
+        )
+
+
+class PlatoonFollowLeadingVehicle(AtomBehavior):
+    """FollowLeadingVehicleWithObstacle's platoon shape
+    (srunner/scenarios/follow_leading_vehicle.py:216-330: the lead vehicle
+    follows something slower ahead of IT, so the ego must regulate twice
+    removed). Atom-composed: a slow head vehicle cruises via ChangeAutoPilot,
+    the lead holds an 8 m gap to it with KeepLongitudinalGap, and the
+    scenario ends when the ego closes to a 4 s time-to-collision with the
+    lead and then drives clear — exercising the gap and TTC atoms."""
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("head", ahead=45.0, speed=4.0),
+            ActorTransformSetter("lead", ahead=25.0, speed=7.0),
+            ChangeAutoPilot("head", target_speed=4.0),
+            Parallel(
+                KeepLongitudinalGap("lead", reference="head", gap=8.0,
+                                    max_speed=12.0),
+                InTimeToArrivalToVehicle("lead", EGO, time=4.0),
+            ),
+            Parallel(
+                KeepLongitudinalGap("lead", reference="head", gap=8.0,
+                                    max_speed=12.0),
+                EgoDriveDistance(60.0),
+            ),
+            ActorDestroy("lead"),
+            ActorDestroy("head"),
+        )
+
+
 # scenario-catalog registration (route_scenario.py NUMBER_CLASS_TRANSLATION
 # extras); lives here, not in scenarios.py, because atoms imports scenarios
 from mmfn_tpu.harness import scenarios as _scenarios  # noqa: E402
@@ -636,4 +832,6 @@ from mmfn_tpu.harness import scenarios as _scenarios  # noqa: E402
 _scenarios.SCENARIO_CLASSES.update({
     "OccludedObjectCrossing": OccludedObjectCrossing,
     "CutInFromLeftLane": CutInFromLeftLane,
+    "SignalizedJunctionLeftTurnTraffic": SignalizedJunctionLeftTurnTraffic,
+    "PlatoonFollowLeadingVehicle": PlatoonFollowLeadingVehicle,
 })

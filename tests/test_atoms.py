@@ -264,3 +264,113 @@ def test_cut_in_from_left_lane_catches_up_then_merges():
     assert spawned_behind, "cut-in car never appeared behind the ego in the left lane"
     assert merged_ahead, "cut-in car never merged into the ego lane ahead"
     assert mgr.behaviors[0].done
+
+
+def test_actor_source_and_sink_stream_traffic():
+    """ActorSource spawns a new vehicle whenever the previous has cleared
+    the spacing gap (atomic_behaviors.py:2119); ActorSink retires them at
+    the drain point (:2192)."""
+    from mmfn_tpu.harness.atoms import ActorSink, ActorSource
+
+    ctx = _ctx()
+    src = ActorSource("s", ahead=0.0, speed=10.0, gap=20.0)
+    sink = ActorSink(ahead=60.0, radius=5.0, prefix="s")
+    peak = 0
+    for _ in range(400):           # 20 s: spawn every 2 s, drain after 6 s
+        assert src.tick(ctx, DT) == RUNNING
+        assert sink.tick(ctx, DT) == RUNNING
+        _step_world(ctx)
+        peak = max(peak, len(ctx.actors))
+    assert peak >= 3, "source never streamed multiple actors"
+    # steady state: spawns balanced by the sink, never unbounded
+    assert len(ctx.actors) <= 4
+    # spacing: no two live actors closer than ~the gap at spawn time
+    xs = sorted(float(a.position[0]) for a in ctx.actors.values())
+    assert all(b - a > 15.0 for a, b in zip(xs, xs[1:]))
+
+
+def test_keep_longitudinal_gap_regulates_to_reference():
+    from mmfn_tpu.harness.atoms import ChangeAutoPilot, KeepLongitudinalGap
+
+    ctx = _ctx()
+    ActorTransformSetter("head", ahead=40.0, speed=5.0).tick(ctx, DT)
+    ActorTransformSetter("lead", ahead=10.0, speed=12.0).tick(ctx, DT)
+    assert ChangeAutoPilot("head", target_speed=5.0).tick(ctx, DT) == SUCCESS
+    gapper = KeepLongitudinalGap("lead", reference="head", gap=8.0,
+                                 max_speed=15.0)
+    for _ in range(1200):          # 60 s to converge
+        assert gapper.tick(ctx, DT) == RUNNING
+        _step_world(ctx)
+    gap = float((ctx.actors["head"].position
+                 - ctx.actors["lead"].position) @ ctx.ahead)
+    assert gap == pytest.approx(8.0, abs=1.5)
+    assert float(np.linalg.norm(ctx.actors["lead"].velocity)) \
+        == pytest.approx(5.0, abs=0.5)
+
+
+def test_in_time_to_arrival_to_vehicle_triggers_on_closing():
+    from mmfn_tpu.harness.atoms import InTimeToArrivalToVehicle
+
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=60.0, speed=0.0).tick(ctx, DT)
+    ttc = InTimeToArrivalToVehicle("v", EGO, time=4.0)
+    ego_x, fired_at_gap = 0.0, None
+    for _ in range(2000):
+        ctx.observe(np.array([ego_x, 0.0]), DT)
+        if ttc.tick(ctx, DT) == SUCCESS:
+            fired_at_gap = 60.0 - ego_x
+            break
+        ego_x += 5.0 * DT          # closing at 5 m/s -> fires at 20 m
+    assert fired_at_gap is not None, "TTC never fired on a closing pair"
+    assert fired_at_gap == pytest.approx(20.0, abs=1.0)
+
+    # non-closing pair never triggers
+    ctx2 = _ctx()
+    ActorTransformSetter("v", ahead=10.0, speed=10.0).tick(ctx2, DT)
+    ttc2 = InTimeToArrivalToVehicle("v", EGO, time=4.0)
+    for i in range(200):
+        ctx2.observe(np.array([i * 5.0 * DT, 0.0]), DT)
+        assert ttc2.tick(ctx2, DT) == RUNNING
+        _step_world(ctx2)
+
+
+def test_signalized_junction_left_turn_traffic_scenario():
+    """Oncoming stream through the junction while the ego crosses; the
+    stream stays bounded (sink) and the scenario retires once the ego
+    drives clear (signalized_junction_left_turn.py shape)."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=10.0, y=0.0, yaw=0.0,
+        scenario_type="SignalizedJunctionLeftTurnTraffic")])
+    ego_x, saw_oncoming, peak = 0.0, False, 0
+    for _ in range(4000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+        peak = max(peak, len(actors))
+        for a in actors:
+            if a.velocity[0] < -1.0:     # heading back toward the ego
+                saw_oncoming = True
+        if mgr.behaviors[0].done:
+            break
+        ego_x += 6.0 * DT
+    assert saw_oncoming, "no oncoming traffic ever streamed"
+    assert peak >= 2, "source never kept multiple vehicles alive"
+    assert mgr.behaviors[0].done, "scenario never retired"
+
+
+def test_platoon_follow_leading_vehicle_scenario():
+    """Head cruises slow, lead regulates onto it (KeepLongitudinalGap), the
+    TTC trigger arms the end condition (follow_leading_vehicle.py platoon
+    shape with an obstacle ahead of the lead)."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=5.0, y=0.0, yaw=0.0, scenario_type="PlatoonFollowLeadingVehicle")])
+    ego_x, lead_regulated = 0.0, False
+    for _ in range(6000):
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+        if len(actors) == 2:
+            xs = sorted(float(a.position[0]) for a in actors)
+            if 5.0 < xs[1] - xs[0] < 12.0:
+                lead_regulated = True
+        if mgr.behaviors[0].done:
+            break
+        ego_x += 6.0 * DT
+    assert lead_regulated, "lead never settled near the 8 m platoon gap"
+    assert mgr.behaviors[0].done, "scenario never retired"
