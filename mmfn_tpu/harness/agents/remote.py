@@ -282,6 +282,14 @@ class RemoteAgent(AutonomousAgent):
                         or self._control_seq >= self._tick_seq):
                     break
                 self._control_event.clear()   # stale ack for an older tick
+                # re-check after the clear: the reader may have published the
+                # CURRENT tick's ack between the seq read above and the
+                # clear — the clear would eat its set() and the next wait
+                # would block the full timeout on a control that already
+                # arrived (lost-wakeup race).
+                if (self._control_seq is not None
+                        and self._control_seq >= self._tick_seq):
+                    break
         return self.current_control
 
     def destroy(self) -> None:

@@ -67,6 +67,12 @@ class BehaviorContext:
     ego_prev: Optional[np.ndarray] = None
     ego_speed: float = 0.0
     time: float = 0.0
+    # monotonic spawn counter: actor ids are base + spawned*500 (the 500
+    # stride matches the hand-written behaviors, scenarios.py:583-693).
+    # len(actors) would REUSE a live id after an ActorSink/ActorDestroy
+    # removal, and replay.py's per-id collision dedup would then silently
+    # skip real collisions with the second holder.
+    spawned: int = 0
 
     def __post_init__(self):
         yaw = self.trigger.yaw
@@ -203,7 +209,8 @@ class ActorTransformSetter(Atom):
             actor = ScenarioActor(self.kind, pos, direction * self.speed,
                                   yaw=yaw, extent=self.extent,
                                   actor_id=ctx.actor_id_base
-                                  + len(ctx.actors) * 500)
+                                  + ctx.spawned * 500)
+            ctx.spawned += 1
             ctx.actors[self.name] = actor
         else:
             actor.position = pos
@@ -725,6 +732,16 @@ class AtomBehavior(ScenarioBehavior):
             self._ctx.actors.clear()
             self.actors = []
             self.done = True
+
+    def discard_actors(self, keep_fn) -> int:
+        """Fault removal must edit the CONTEXT dict — step() rebuilds
+        ``self.actors`` from it every tick, so editing only the list would
+        resurrect the removed actor next tick."""
+        gone = [n for n, a in self._ctx.actors.items() if not keep_fn(a)]
+        for n in gone:
+            self._ctx.actors.pop(n)
+        self.actors = list(self._ctx.actors.values())
+        return len(gone)
 
 
 class OccludedObjectCrossing(AtomBehavior):

@@ -63,12 +63,25 @@ class FleetRunner:
         # per-vehicle host prep (sensor mux + crops + radar fit + SAT lane
         # crop) is ~1 ms of mostly GIL-releasing numpy per agent: serial it
         # caps the fleet at ~1000/N ticks/s regardless of the chip, so fan it
-        # over a thread pool (0/None on a 1-core host degrades to serial)
-        workers = (prep_workers if prep_workers is not None
-                   else min(8, os.cpu_count() or 1))
-        self._pool = ThreadPoolExecutor(workers) if workers > 1 else None
+        # over a thread pool (0/None on a 1-core host degrades to serial).
+        # The pool is created per run() and shut down in its finally — a
+        # long eval constructs many FleetRunners and a pool per instance
+        # would leak its idle workers for the life of the process.
+        self._prep_workers = (prep_workers if prep_workers is not None
+                              else min(8, os.cpu_count() or 1))
+        self._pool = None
 
     def run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
+        if self._prep_workers > 1:
+            self._pool = ThreadPoolExecutor(self._prep_workers)
+        try:
+            return self._run(agents, routes)
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
+
+    def _run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
         if len(agents) != len(routes):
             raise ValueError("need one agent per route")
         n = len(agents)

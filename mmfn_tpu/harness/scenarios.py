@@ -183,6 +183,15 @@ class ScenarioBehavior:
         for a in self.actors:
             a.step(dt)
 
+    def discard_actors(self, keep_fn) -> int:
+        """Fault-removal hook: drop actors failing ``keep_fn``. Subclasses
+        whose step() rebuilds ``self.actors`` from private state (the atom
+        behaviors) override this so removals stick."""
+        keep = [a for a in self.actors if keep_fn(a)]
+        removed = len(self.actors) - len(keep)
+        self.actors = keep
+        return removed
+
     def steer_noise(self) -> float:
         """Additive ego steering perturbation (only ControlLoss uses this)."""
         return 0.0
@@ -777,11 +786,9 @@ class ScenarioManagerLite:
         for b in self.behaviors:
             if not b.active or b.done:
                 continue
-            keep = [a for a in b.actors
-                    if np.linalg.norm(a.position - xy) > radius]
-            removed += len(b.actors) - len(keep)
-            b.actors = keep
-            if not keep:
+            removed += b.discard_actors(
+                lambda a: np.linalg.norm(a.position - xy) > radius)
+            if not b.actors:
                 b.done = True
         return removed
 

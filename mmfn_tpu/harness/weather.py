@@ -57,7 +57,9 @@ class WeatherSim:
     start_hour: float = 11.0         # local solar time at route start
     day_of_year: int = 172           # late June: long day
     latitude_deg: float = 40.0
-    time_scale: float = 1.0          # sim seconds per weather-clock second
+    time_scale: float = 1.0          # weather-clock seconds per sim second
+                                     # (>1 compresses: 60 -> a 1 h sunset
+                                     # plays out in 1 sim minute)
     SUNSET_ALTITUDE_DEG: float = 15.0
     NIGHT_ALTITUDE_DEG: float = -6.0  # civil dusk
     sun_altitude_deg: float = field(init=False, default=90.0)

@@ -374,3 +374,40 @@ def test_platoon_follow_leading_vehicle_scenario():
         ego_x += 6.0 * DT
     assert lead_regulated, "lead never settled near the 8 m platoon gap"
     assert mgr.behaviors[0].done, "scenario never retired"
+
+
+def test_remove_actors_near_sticks_for_atom_behaviors():
+    """Fault removal (ScenarioManagerLite.remove_actors_near — the
+    reference's force_destory_actor) must not resurrect: AtomBehavior.step
+    rebuilds .actors from its context dict, so removal edits the context."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=5.0, y=0.0, yaw=0.0, scenario_type="OccludedObjectCrossing")])
+    ego = np.array([5.0, 0.0])
+    actors = mgr.tick(ego, DT)
+    assert actors, "scenario never spawned"
+    target = actors[0].position.copy()
+    removed = mgr.remove_actors_near(target, radius=2.0)
+    assert removed >= 1
+    after = mgr.tick(ego, DT)
+    assert all(float(np.linalg.norm(a.position - target)) > 1.0
+               for a in after), "removed actor resurrected on the next tick"
+
+
+def test_actor_ids_never_reused_after_sink():
+    """ActorSource ids stay unique across ActorSink removals (replay.py's
+    per-id collision dedup would silently skip a collision with a reused
+    id's second holder)."""
+    from mmfn_tpu.harness.atoms import ActorSink, ActorSource
+
+    ctx = _ctx()
+    src = ActorSource("s", ahead=0.0, speed=10.0, gap=20.0)
+    sink = ActorSink(ahead=30.0, radius=5.0, prefix="s")
+    seen = set()
+    for _ in range(600):
+        src.tick(ctx, DT)
+        sink.tick(ctx, DT)
+        _step_world(ctx)
+        live = [a.actor_id for a in ctx.actors.values()]
+        assert len(live) == len(set(live)), "two live actors share an id"
+        seen.update(live)
+    assert len(seen) >= 4, "sink never recycled spawn slots"
