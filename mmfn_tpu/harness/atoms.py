@@ -31,16 +31,35 @@ behavior tree by transliteration:
 - KeepLongitudinalGap    (atomic_behaviors.py KeepLongitudinalGap)
 - ActorSource            (atomic_behaviors.py:2119)
 - ActorSink              (atomic_behaviors.py:2192)
+- SetInitSpeed           (atomic_behaviors.py:1745)
+- AddNoiseToVehicle      (atomic_behaviors.py:1288)
+- BasicAgentBehavior     (atomic_behaviors.py:1367)
+- ChangeWeather          (atomic_behaviors.py:190)
+- TrafficLightStateSetter (atomic_behaviors.py:1902)
 - InTriggerDistanceToVehicle   (atomic_trigger_conditions.py)
 - InTriggerDistanceToLocation  (atomic_trigger_conditions.py)
 - DriveDistance / EgoDriveDistance (atomic_trigger_conditions.py DriveDistance)
 - StandStill             (atomic_trigger_conditions.py)
 - InTimeToArrivalToVehicle     (atomic_trigger_conditions.py)
+- InTimeToArrivalToLocation    (atomic_trigger_conditions.py:761)
+- TriggerVelocity              (atomic_trigger_conditions.py:330)
+- TriggerAcceleration          (atomic_trigger_conditions.py:374)
+- RelativeVelocityToOtherActor (atomic_trigger_conditions.py:280)
+- InTriggerRegion              (atomic_trigger_conditions.py:516)
+- WaitUntilInFront             (atomic_trigger_conditions.py:965)
+- WaitForTrafficLightState     (atomic_trigger_conditions.py:1128)
+- TimeOfDayComparison          (atomic_trigger_conditions.py:421)
+
+The world-service atoms (traffic lights, weather, time-of-day) reach the
+route's SignalSet / fake world / WeatherSim through the driving
+ScenarioManagerLite (``ctx.signals`` etc.) — the analog of srunner atoms
+reading CarlaDataProvider's singletons; replay.run_route auto-wires them.
 """
 
 from __future__ import annotations
 
 import math
+import operator
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence as Seq, Tuple
 
@@ -48,10 +67,16 @@ import numpy as np
 
 from mmfn_tpu.harness.scenarios import (ScenarioActor, ScenarioBehavior,
                                         ScenarioTrigger)
+from mmfn_tpu.harness.weather import preset_family
 
 RUNNING, SUCCESS, FAILURE = "running", "success", "failure"
 
 EGO = "ego"   # reserved actor name resolving to the live ego state
+
+# srunner's condition atoms take a comparison_operator (operator.gt default);
+# composition sites here pass the name so trees stay declarative/serializable
+_COMPARE = {"gt": operator.gt, "lt": operator.lt, "ge": operator.ge,
+            "le": operator.le, "eq": operator.eq}
 
 
 @dataclass
@@ -73,6 +98,34 @@ class BehaviorContext:
     # removal, and replay.py's per-id collision dedup would then silently
     # skip real collisions with the second holder.
     spawned: int = 0
+    # additive ego steering perturbation set by AddNoiseToVehicle; the
+    # AtomBehavior adapter surfaces it through ScenarioBehavior.steer_noise
+    steer_noise: float = 0.0
+    # back-pointer to the driving ScenarioManagerLite for world services
+    # (None when the context is built standalone, e.g. unit tests)
+    manager: object = None
+
+    @property
+    def signals(self):
+        """The route's harness.traffic.SignalSet, or None."""
+        return getattr(self.manager, "signals", None)
+
+    @property
+    def world(self):
+        """The fake world (set_weather target), or None."""
+        return getattr(self.manager, "world", None)
+
+    @property
+    def weather_sim(self):
+        """The route's harness.weather.WeatherSim, or None."""
+        return getattr(self.manager, "weather_sim", None)
+
+    @property
+    def game_time(self) -> float:
+        """Sim seconds since ROUTE start (traffic-light phases run on this
+        clock); scenario-local ``time`` is the fallback without a manager."""
+        gt = getattr(self.manager, "game_time", None)
+        return float(gt) if gt is not None else self.time
 
     def __post_init__(self):
         yaw = self.trigger.yaw
@@ -102,6 +155,35 @@ class BehaviorContext:
         """Trigger-frame offsets -> world coordinates."""
         return (np.array([self.trigger.x, self.trigger.y])
                 + self.ahead * ahead + self.lateral * lateral)
+
+    def velocity_of(self, name: str, dt: float) -> np.ndarray:
+        """Velocity VECTOR of an actor (the ego's is the finite difference
+        of its observed track, like CarlaDataProvider.get_velocity caches)."""
+        if name == EGO:
+            if self.ego_prev is not None and dt > 0:
+                return (self.ego_xy - self.ego_prev) / dt
+            return np.zeros(2)
+        a = self.actors.get(name)
+        return np.asarray(a.velocity, dtype=np.float64) if a is not None \
+            else np.zeros(2)
+
+    def pick_light(self, light_id: Optional[int] = None):
+        """Resolve a TrafficLight from the route's SignalSet: by id, or the
+        one nearest the trigger point (srunner atoms carry the actor handle;
+        the trigger is the scenario's anchor here). None when the context has
+        no signals — service atoms turn that into FAILURE, the 'actor is
+        gone' analog of the srunner originals."""
+        sig = self.signals
+        if sig is None or not sig.lights:
+            return None
+        if light_id is not None:
+            for li in sig.lights:
+                if li.light_id == light_id:
+                    return li
+            return None
+        anchor = np.array([self.trigger.x, self.trigger.y])
+        return min(sig.lights,
+                   key=lambda li: float(np.linalg.norm(li.position - anchor)))
 
 
 class Atom:
@@ -595,6 +677,129 @@ class ActorSink(Atom):
         return RUNNING
 
 
+class SetInitSpeed(Atom):
+    """Set the actor's velocity along its heading once and succeed
+    (atomic_behaviors.py:1745 SetInitSpeed: set_target_velocity from the
+    transform yaw, SUCCESS on the first update)."""
+
+    def __init__(self, name: str, init_speed: float = 10.0):
+        self.name, self.init_speed = name, init_speed
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        heading = np.array([math.cos(a.yaw), math.sin(a.yaw)])
+        a.velocity = heading * self.init_speed
+        return SUCCESS
+
+
+class AddNoiseToVehicle(Atom):
+    """Jitter the ego's steering (atomic_behaviors.py:1288 AddNoiseToVehicle
+    — srunner perturbs the ego control for the ticks it runs; ControlLoss
+    fires it in short bursts). Kinematic analog: hold the additive
+    perturbation on ``ctx.steer_noise`` for ``duration`` seconds (the
+    AtomBehavior adapter publishes it through ScenarioBehavior.steer_noise,
+    which replay.py adds to the ego command), then clear it and succeed.
+    ``throttle_value`` is accepted for signature parity but has no kinematic
+    counterpart (the ego integrates its own controller's speed)."""
+
+    def __init__(self, steer_value: float, throttle_value: float = 0.0,
+                 duration: float = 0.5):
+        self.steer_value = steer_value
+        self.throttle_value = throttle_value   # parity only, unused
+        self.duration = duration
+        self._t = 0.0
+
+    def tick(self, ctx, dt):
+        self._t += dt
+        if self._t >= self.duration:
+            ctx.steer_noise = 0.0
+            return SUCCESS
+        ctx.steer_noise = self.steer_value
+        return RUNNING
+
+    def reset(self):
+        self._t = 0.0
+
+
+class BasicAgentBehavior(Atom):
+    """Drive the actor to a trigger-frame target location
+    (atomic_behaviors.py:1367 BasicAgentBehavior: CARLA BasicAgent until
+    within _acceptable_target_distance = 2 m). Kinematic reduction:
+    straight-line pursuit at ``target_speed``, stop + SUCCESS inside 2 m."""
+
+    ACCEPTABLE_TARGET_DISTANCE = 2.0   # atomic_behaviors.py:1379
+
+    def __init__(self, name: str, ahead: float, lateral: float = 0.0,
+                 target_speed: float = 10.0):
+        self.name = name
+        self.loc = (ahead, lateral)
+        self.target_speed = target_speed
+
+    def tick(self, ctx, dt):
+        a = ctx.actors.get(self.name)
+        if a is None:
+            return FAILURE
+        gap = ctx.world_point(*self.loc) - a.position
+        d = float(np.linalg.norm(gap))
+        if d < self.ACCEPTABLE_TARGET_DISTANCE:
+            a.velocity = np.zeros(2)
+            return SUCCESS
+        a.velocity = gap / d * self.target_speed
+        a.yaw = math.atan2(gap[1], gap[0])
+        return RUNNING
+
+
+class ChangeWeather(Atom):
+    """Switch the route's weather preset (atomic_behaviors.py:190
+    ChangeWeather writes the blackboard weather that WeatherBehavior then
+    applies each tick; here the WeatherSim -> world.set_weather pipeline in
+    replay.py IS that per-tick applier, so retargeting the sim sticks).
+    Pushes once directly when the context has a world but no sim. FAILURE
+    without either service (standalone context)."""
+
+    def __init__(self, preset: str):
+        self.preset = preset
+
+    def tick(self, ctx, dt):
+        ws, world = ctx.weather_sim, ctx.world
+        if ws is None and world is None:
+            return FAILURE
+        if ws is not None:
+            ws.preset = self.preset
+            ws.family = preset_family(self.preset)
+        if world is not None:
+            if ws is not None:
+                world.set_weather(ws.current_preset(), ws.sun_altitude_deg)
+            else:
+                world.set_weather(self.preset)
+        return SUCCESS
+
+
+class TrafficLightStateSetter(Atom):
+    """Force a traffic light's state (atomic_behaviors.py:1902
+    TrafficLightStateSetter -> carla TrafficLight.set_state). The light is
+    ``light_id`` or the one nearest the trigger; the srunner setter persists
+    until something else changes the light, which for our phase-cycling
+    lights means an explicit ``duration`` hold (TrafficLight.forced_state),
+    after which the cycle resumes. SUCCESS after setting; FAILURE when the
+    route has no lights — the source's dead-actor branch."""
+
+    def __init__(self, state: str, duration: float = 20.0,
+                 light_id: Optional[int] = None):
+        assert state in ("red", "yellow", "green"), state
+        self.state, self.duration, self.light_id = state, duration, light_id
+
+    def tick(self, ctx, dt):
+        light = ctx.pick_light(self.light_id)
+        if light is None:
+            return FAILURE
+        light.forced_state = self.state
+        light.forced_state_until = ctx.game_time + self.duration
+        return SUCCESS
+
+
 # --------------------------------------------------------------------------- #
 # condition atoms (atomic_trigger_conditions.py analogs: RUNNING until the
 # condition holds, then SUCCESS — srunner races these against motion atoms)
@@ -699,6 +904,177 @@ class StandStill(Atom):
         self._still = 0.0
 
 
+class InTimeToArrivalToLocation(Atom):
+    """SUCCESS when the actor can reach a trigger-frame location within
+    ``time`` seconds (atomic_trigger_conditions.py:761: distance over speed;
+    at rest the time-to-arrival is infinite and the condition keeps
+    RUNNING)."""
+
+    def __init__(self, name: str, time: float, ahead: float,
+                 lateral: float = 0.0, comparison: str = "lt"):
+        self.name, self.time = name, time
+        self.loc = (ahead, lateral)
+        self.cmp = _COMPARE[comparison]
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        if pos is None:
+            return RUNNING
+        d = float(np.linalg.norm(pos - ctx.world_point(*self.loc)))
+        v = ctx.speed_of(self.name)
+        tta = d / v if v > 1e-6 else math.inf
+        return SUCCESS if self.cmp(tta, self.time) else RUNNING
+
+
+class TriggerVelocity(Atom):
+    """SUCCESS when the actor's speed compares true against the target
+    (atomic_trigger_conditions.py:330, comparison_operator default gt)."""
+
+    def __init__(self, name: str, target_velocity: float,
+                 comparison: str = "gt"):
+        self.name, self.target = name, target_velocity
+        self.cmp = _COMPARE[comparison]
+
+    def tick(self, ctx, dt):
+        return SUCCESS if self.cmp(ctx.speed_of(self.name), self.target) \
+            else RUNNING
+
+
+class TriggerAcceleration(Atom):
+    """SUCCESS when the actor's linear acceleration compares true against
+    the target (atomic_trigger_conditions.py:374 reads
+    actor.get_acceleration(); the kinematic world differentiates the
+    velocity vector across ticks)."""
+
+    def __init__(self, name: str, target_acceleration: float,
+                 comparison: str = "gt"):
+        self.name, self.target = name, target_acceleration
+        self.cmp = _COMPARE[comparison]
+        self._prev: Optional[np.ndarray] = None
+
+    def tick(self, ctx, dt):
+        v = ctx.velocity_of(self.name, dt)
+        if self._prev is None or dt <= 0:
+            self._prev = v
+            return RUNNING
+        accel = float(np.linalg.norm(v - self._prev)) / dt
+        self._prev = v
+        return SUCCESS if self.cmp(accel, self.target) else RUNNING
+
+    def reset(self):
+        self._prev = None
+
+
+class RelativeVelocityToOtherActor(Atom):
+    """SUCCESS when (actor speed - other's speed) compares true against
+    ``speed`` (atomic_trigger_conditions.py:280)."""
+
+    def __init__(self, name: str, other: str = EGO, speed: float = 0.0,
+                 comparison: str = "gt"):
+        self.name, self.other, self.speed = name, other, speed
+        self.cmp = _COMPARE[comparison]
+
+    def tick(self, ctx, dt):
+        rel = ctx.speed_of(self.name) - ctx.speed_of(self.other)
+        return SUCCESS if self.cmp(rel, self.speed) else RUNNING
+
+
+class InTriggerRegion(Atom):
+    """SUCCESS when the actor sits inside a rectangle
+    (atomic_trigger_conditions.py:516). srunner's box is world-axis-aligned;
+    ours lives in the trigger frame (x = ahead, y = lateral) so the same
+    scenario composes onto routes of any orientation."""
+
+    def __init__(self, name: str, min_x: float, max_x: float,
+                 min_y: float, max_y: float):
+        self.name = name
+        self.min_x, self.max_x = min_x, max_x
+        self.min_y, self.max_y = min_y, max_y
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        if pos is None:
+            return RUNNING
+        rel = pos - np.array([ctx.trigger.x, ctx.trigger.y])
+        ax, lat = float(rel @ ctx.ahead), float(rel @ ctx.lateral)
+        inside = (self.min_x <= ax <= self.max_x
+                  and self.min_y <= lat <= self.max_y)
+        return SUCCESS if inside else RUNNING
+
+
+class WaitUntilInFront(Atom):
+    """SUCCESS once the actor has passed ``other`` — cut-in support
+    (atomic_trigger_conditions.py:965: in front = beyond a waypoint
+    factor*(sum of bounding extents) ahead of the other actor, close-by =
+    within 10 m of that waypoint). Kinematic reduction: the trigger
+    direction stands in for the other actor's lane forward vector."""
+
+    CLOSE_DISTANCE = 10.0            # the source's self._distance
+    EGO_EXTENT = 2.45                # Lincoln MKZ half-length
+
+    def __init__(self, name: str, other: str = EGO, factor: float = 1.0,
+                 check_distance: bool = True):
+        self.name, self.other = name, other
+        self.factor = max(1e-6, factor)
+        self.check_distance = check_distance
+
+    def _extent(self, ctx, name: str) -> float:
+        if name == EGO:
+            return self.EGO_EXTENT
+        a = ctx.actors.get(name)
+        return float(a.extent) if a is not None else self.EGO_EXTENT
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        ref = ctx.position_of(self.other)
+        if pos is None or ref is None:
+            return RUNNING
+        length = self.factor * (self._extent(ctx, self.name)
+                                + self._extent(ctx, self.other))
+        front_point = ref + ctx.ahead * length
+        in_front = float((pos - front_point) @ ctx.ahead) > 0.0
+        close_by = (not self.check_distance
+                    or float(np.linalg.norm(pos - front_point))
+                    < self.CLOSE_DISTANCE)
+        return SUCCESS if in_front and close_by else RUNNING
+
+
+class WaitForTrafficLightState(Atom):
+    """SUCCESS when the selected light shows ``state``
+    (atomic_trigger_conditions.py:1128: poll actor.state; FAILURE on a dead
+    actor — here, a route with no lights). Light selection as in
+    TrafficLightStateSetter (id, else nearest to the trigger)."""
+
+    def __init__(self, state: str, light_id: Optional[int] = None):
+        assert state in ("red", "yellow", "green"), state
+        self.state, self.light_id = state, light_id
+
+    def tick(self, ctx, dt):
+        light = ctx.pick_light(self.light_id)
+        if light is None:
+            return FAILURE
+        return SUCCESS if light.state(ctx.game_time) == self.state \
+            else RUNNING
+
+
+class TimeOfDayComparison(Atom):
+    """SUCCESS when the weather clock compares true against ``hour``
+    (atomic_trigger_conditions.py:421 compares the blackboard "Datetime"
+    that weather_sim advances; WeatherSim.clock_hour is that clock — it runs
+    even with sun animation off). RUNNING without a weather sim, matching
+    the source's missing-blackboard no-op."""
+
+    def __init__(self, hour: float, comparison: str = "gt"):
+        self.hour = hour
+        self.cmp = _COMPARE[comparison]
+
+    def tick(self, ctx, dt):
+        ws = ctx.weather_sim
+        if ws is None:
+            return RUNNING
+        return SUCCESS if self.cmp(ws.clock_hour, self.hour) else RUNNING
+
+
 # --------------------------------------------------------------------------- #
 # the ScenarioBehavior adapter + atom-composed scenario types
 # --------------------------------------------------------------------------- #
@@ -713,8 +1089,15 @@ class AtomBehavior(ScenarioBehavior):
         raise NotImplementedError
 
     def on_activate(self) -> None:
-        self._ctx = BehaviorContext(self.trigger, actor_id_base=self.actor_id)
+        self._ctx = BehaviorContext(self.trigger, actor_id_base=self.actor_id,
+                                    manager=self.manager)
         self._tree = self.build_tree(self._ctx)
+
+    def steer_noise(self) -> float:
+        """Publish AddNoiseToVehicle's perturbation (summed by the manager,
+        applied to the ego command in replay.py)."""
+        ctx = getattr(self, "_ctx", None)
+        return float(ctx.steer_noise) if ctx is not None else 0.0
 
     def observe(self, ego_xy: np.ndarray) -> None:
         self._pending_ego = np.asarray(ego_xy, dtype=np.float64)

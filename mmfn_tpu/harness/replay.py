@@ -414,6 +414,12 @@ class ClosedLoopRunner:
             scenario_mgr.signals = signals
         if getattr(scenario_mgr, "route_xy", "absent") is None:
             scenario_mgr.route_xy = route_xy
+        # the world-service atoms (ChangeWeather, TimeOfDayComparison) reach
+        # the fake world / WeatherSim the same way
+        if getattr(scenario_mgr, "world", "absent") is None:
+            scenario_mgr.world = world
+        if getattr(scenario_mgr, "weather_sim", "absent") is None:
+            scenario_mgr.weather_sim = weather_sim
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
         if recorder is not None:

@@ -157,6 +157,13 @@ class ScenarioBehavior:
     """Activates once when the ego enters the trigger radius."""
 
     TRIGGER_RADIUS = 15.0
+    # back-pointer to the driving ScenarioManagerLite (set at construction):
+    # world-service atoms (traffic lights, weather, time-of-day) reach the
+    # SignalSet / world / WeatherSim through it — the analog of srunner
+    # atoms reading CarlaDataProvider's world singletons. None for behaviors
+    # constructed standalone (unit tests); service atoms then FAIL/RUN
+    # gracefully instead of crashing.
+    manager = None
 
     def __init__(self, trigger: ScenarioTrigger, actor_id: int):
         self.trigger = trigger
@@ -757,12 +764,23 @@ SCENARIO_CLASSES = {
 
 class ScenarioManagerLite:
     def __init__(self, triggers: Sequence[ScenarioTrigger]):
+        # world services for the behavior atoms (the CarlaDataProvider-
+        # singleton analog): replay.run_route auto-wires signals / world /
+        # weather_sim onto any manager that left them None, exactly as it
+        # already does for the OpenScenarioManager (replay.py run_route).
+        self.signals = None        # harness.traffic.SignalSet
+        self.world = None          # the fake world (set_weather target)
+        self.weather_sim = None    # harness.weather.WeatherSim
+        self.game_time = 0.0       # accumulated sim seconds (light phases)
         self.behaviors: List[ScenarioBehavior] = []
         for i, trig in enumerate(triggers):
             cls = SCENARIO_CLASSES.get(trig.scenario_type, CrossingWalker)
-            self.behaviors.append(cls(trig, actor_id=1000 + i))
+            b = cls(trig, actor_id=1000 + i)
+            b.manager = self
+            self.behaviors.append(b)
 
     def tick(self, ego_xy: np.ndarray, dt: float) -> List[ScenarioActor]:
+        self.game_time += dt
         actors: List[ScenarioActor] = []
         for b in self.behaviors:
             b.maybe_activate(np.asarray(ego_xy))

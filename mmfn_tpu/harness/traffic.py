@@ -60,14 +60,24 @@ class TrafficLight:
         self.position = np.asarray(self.position, dtype=np.float64)
         self.forced_green_until = -1.0  # fault removal: force_destory_actor's
         #                                 "set light green" analog (base_agent.py:273-289)
+        # scenario override: TrafficLightStateSetter's carla
+        # TrafficLight.set_state analog (atomic_behaviors.py:1902) — holds
+        # any state until the deadline, then the cycle resumes
+        self.forced_state = None
+        self.forced_state_until = -1.0
 
     @property
     def cycle(self) -> float:
         return self.green + self.yellow + self.red
 
     def state(self, game_time: float) -> str:
+        # fault removal outranks a scenario's forced state: a jammed ego must
+        # be able to recover even from a TrafficLightStateSetter'd red
         if game_time < self.forced_green_until:
             return "green"
+        if self.forced_state is not None \
+                and game_time < self.forced_state_until:
+            return self.forced_state
         if self.cycle <= 0.0:       # degenerate config: fail safe (always red)
             return "red"
         t = (game_time + self.offset) % self.cycle

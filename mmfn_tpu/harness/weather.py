@@ -64,6 +64,10 @@ class WeatherSim:
     NIGHT_ALTITUDE_DEG: float = -6.0  # civil dusk
     sun_altitude_deg: float = field(init=False, default=90.0)
     sun_azimuth_deg: float = field(init=False, default=180.0)
+    # live weather-clock hour [0, 24) — the srunner blackboard "Datetime"
+    # analog read by the TimeOfDayComparison atom (and advanced even with
+    # animation off, where only the sun position stays frozen)
+    clock_hour: float = field(init=False, default=11.0)
 
     def __post_init__(self):
         self.family = preset_family(self.preset)
@@ -88,11 +92,11 @@ class WeatherSim:
     def update(self, game_time: float) -> str:
         """Advance to ``game_time`` (seconds since route start) and return
         the preset name in effect."""
+        self.clock_hour = (self.start_hour
+                           + game_time * self.time_scale / 3600.0) % 24.0
         if self.animation:
-            hour = (self.start_hour
-                    + game_time * self.time_scale / 3600.0) % 24.0
             self.sun_altitude_deg, self.sun_azimuth_deg = \
-                self._solar_position(hour)
+                self._solar_position(self.clock_hour)
         return self.current_preset()
 
     def current_preset(self) -> str:

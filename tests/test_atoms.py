@@ -411,3 +411,220 @@ def test_actor_ids_never_reused_after_sink():
         assert len(live) == len(set(live)), "two live actors share an id"
         seen.update(live)
     assert len(seen) >= 4, "sink never recycled spawn slots"
+
+
+# --------------------------------------------------------------------------- #
+# round-3 additions: kinematic + world-service atoms
+# --------------------------------------------------------------------------- #
+
+
+def test_set_init_speed_along_heading():
+    from mmfn_tpu.harness.atoms import SetInitSpeed
+
+    ctx = _ctx(yaw=math.pi / 2)
+    ActorTransformSetter("v", ahead=0.0, heading_deg=0.0).tick(ctx, DT)
+    assert SetInitSpeed("v", init_speed=6.0).tick(ctx, DT) == SUCCESS
+    np.testing.assert_allclose(ctx.actors["v"].velocity, [0.0, 6.0],
+                               atol=1e-9)
+    assert SetInitSpeed("ghost").tick(ctx, DT) == FAILURE
+
+
+def test_basic_agent_behavior_reaches_target():
+    from mmfn_tpu.harness.atoms import BasicAgentBehavior
+
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0).tick(ctx, DT)
+    agent = BasicAgentBehavior("v", ahead=20.0, lateral=5.0,
+                               target_speed=10.0)
+    t = 0.0
+    while agent.tick(ctx, DT) == RUNNING:
+        _step_world(ctx)
+        t += DT
+        assert t < 10.0, "BasicAgentBehavior never arrived"
+    d = float(np.linalg.norm(ctx.actors["v"].position
+                             - ctx.world_point(20.0, 5.0)))
+    assert d < BasicAgentBehavior.ACCEPTABLE_TARGET_DISTANCE
+    assert float(np.linalg.norm(ctx.actors["v"].velocity)) == 0.0
+
+
+def test_velocity_and_acceleration_triggers():
+    from mmfn_tpu.harness.atoms import (AccelerateToVelocity,
+                                        RelativeVelocityToOtherActor,
+                                        TriggerAcceleration, TriggerVelocity)
+
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0, speed=2.0).tick(ctx, DT)
+    fast = TriggerVelocity("v", target_velocity=5.0)          # gt
+    slow = TriggerVelocity("v", target_velocity=5.0, comparison="lt")
+    accel = TriggerAcceleration("v", target_acceleration=2.0)  # 4 m/s^2 ramp
+    rel = RelativeVelocityToOtherActor("v", EGO, speed=3.0)    # ego at rest
+    ramp = AccelerateToVelocity("v", target_speed=10.0)
+    assert fast.tick(ctx, DT) == RUNNING
+    assert slow.tick(ctx, DT) == SUCCESS
+    assert accel.tick(ctx, DT) == RUNNING      # needs two samples
+    ctx.observe(np.array([0.0, 0.0]), DT)
+    saw_accel = False
+    for _ in range(100):
+        ramp.tick(ctx, DT)
+        _step_world(ctx)
+        ctx.observe(np.array([0.0, 0.0]), DT)  # ego parked
+        saw_accel = saw_accel or accel.tick(ctx, DT) == SUCCESS
+        if fast.tick(ctx, DT) == SUCCESS:
+            break
+    assert fast.tick(ctx, DT) == SUCCESS
+    assert saw_accel, "4 m/s^2 ramp never tripped the 2 m/s^2 trigger"
+    assert rel.tick(ctx, DT) == SUCCESS        # 5+ m/s vs parked ego
+
+
+def test_in_trigger_region_is_trigger_frame():
+    from mmfn_tpu.harness.atoms import InTriggerRegion
+
+    ctx = _ctx(x=10.0, y=0.0, yaw=math.pi / 2)   # ahead = +y, lateral = -x
+    region = InTriggerRegion(EGO, min_x=5.0, max_x=15.0,
+                             min_y=-2.0, max_y=2.0)
+    ctx.observe(np.array([10.0, 0.0]), DT)       # at the trigger: ahead=0
+    assert region.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([10.0, 8.0]), DT)       # 8 m ahead, centered
+    assert region.tick(ctx, DT) == SUCCESS
+    ctx.observe(np.array([5.0, 8.0]), DT)        # 5 m right of the box
+    assert region.tick(ctx, DT) == RUNNING
+
+
+def test_wait_until_in_front():
+    from mmfn_tpu.harness.atoms import WaitUntilInFront
+
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0, extent=2.45).tick(ctx, DT)
+    cond = WaitUntilInFront("v", EGO, factor=1.0)   # length = 4.9 m
+    ctx.observe(np.array([0.0, 0.0]), DT)
+    assert cond.tick(ctx, DT) == RUNNING             # side by side
+    ctx.actors["v"].position = np.array([7.0, 0.0])  # past 4.9, within 10
+    assert cond.tick(ctx, DT) == SUCCESS
+    ctx.actors["v"].position = np.array([40.0, 0.0])
+    assert cond.tick(ctx, DT) == RUNNING             # in front but far
+    far = WaitUntilInFront("v", EGO, factor=1.0, check_distance=False)
+    assert far.tick(ctx, DT) == SUCCESS
+
+
+def test_in_time_to_arrival_to_location():
+    from mmfn_tpu.harness.atoms import InTimeToArrivalToLocation
+
+    ctx = _ctx()
+    ActorTransformSetter("v", ahead=0.0).tick(ctx, DT)
+    cond = InTimeToArrivalToLocation("v", time=3.0, ahead=30.0)
+    assert cond.tick(ctx, DT) == RUNNING    # at rest: TTA infinite
+    ctx.actors["v"].velocity = np.array([5.0, 0.0])   # 30 m at 5 m/s = 6 s
+    assert cond.tick(ctx, DT) == RUNNING
+    ctx.actors["v"].velocity = np.array([15.0, 0.0])  # 2 s < 3 s
+    assert cond.tick(ctx, DT) == SUCCESS
+
+
+def _service_manager():
+    """A ScenarioManagerLite with live world services (the replay.run_route
+    auto-wiring analog for unit tests)."""
+    from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
+    from mmfn_tpu.harness.weather import WeatherSim
+
+    class _World:
+        def __init__(self):
+            self.calls = []
+
+        def set_weather(self, preset, sun_altitude_deg=None):
+            self.calls.append((preset, sun_altitude_deg))
+
+    mgr = ScenarioManagerLite([])
+    # offset=10 puts t=0 inside the yellow phase (10 green / 3 yellow / 10 red)
+    mgr.signals = SignalSet(lights=[
+        TrafficLight(position=np.array([5.0, 0.0]), yaw=0.0, offset=10.0,
+                     light_id=3)])
+    mgr.world = _World()
+    mgr.weather_sim = WeatherSim(preset="ClearNoon", animation=False)
+    return mgr
+
+
+def test_world_service_atoms_drive_lights_and_weather():
+    from mmfn_tpu.harness.atoms import (AtomBehavior, ChangeWeather,
+                                        TimeOfDayComparison,
+                                        TrafficLightStateSetter,
+                                        WaitForTrafficLightState)
+
+    class _LightFlip(AtomBehavior):
+        def build_tree(self, ctx):
+            return Sequence(
+                TrafficLightStateSetter("green", duration=5.0),
+                WaitForTrafficLightState("green"),
+                ChangeWeather("HardRainNoon"),
+                TimeOfDayComparison(10.0, comparison="gt"),  # clock at 11
+            )
+
+    mgr = _service_manager()
+    assert mgr.signals.lights[0].state(0.0) == "yellow"
+    SCENARIO_CLASSES["_TestLightFlip"] = _LightFlip
+    try:
+        flip = ScenarioManagerLite([ScenarioTrigger(
+            x=0.0, y=0.0, yaw=0.0, scenario_type="_TestLightFlip")])
+        flip.signals, flip.world = mgr.signals, mgr.world
+        flip.weather_sim = mgr.weather_sim
+        ego = np.array([0.0, 0.0])
+        for _ in range(10):
+            flip.tick(ego, DT)
+        b = flip.behaviors[0]
+        assert b.done, "service tree never completed"
+        assert mgr.signals.lights[0].state(flip.game_time) == "green"
+        assert mgr.weather_sim.preset == "HardRainNoon"
+        assert mgr.world.calls and mgr.world.calls[-1][0] == "HardRainNoon"
+    finally:
+        SCENARIO_CLASSES.pop("_TestLightFlip")
+
+
+def test_service_atoms_fail_gracefully_standalone():
+    from mmfn_tpu.harness.atoms import (ChangeWeather, TimeOfDayComparison,
+                                        TrafficLightStateSetter,
+                                        WaitForTrafficLightState)
+
+    ctx = _ctx()   # no manager: no signals / world / weather services
+    assert TrafficLightStateSetter("red").tick(ctx, DT) == FAILURE
+    assert WaitForTrafficLightState("red").tick(ctx, DT) == FAILURE
+    assert ChangeWeather("WetNoon").tick(ctx, DT) == FAILURE
+    assert TimeOfDayComparison(10.0).tick(ctx, DT) == RUNNING
+
+
+def test_forced_light_state_yields_to_fault_removal():
+    """force_green (the jammed-ego fault removal) outranks a scenario's
+    TrafficLightStateSetter'd red."""
+    from mmfn_tpu.harness.atoms import TrafficLightStateSetter
+
+    mgr = _service_manager()
+    ctx = BehaviorContext(ScenarioTrigger(x=0.0, y=0.0, yaw=0.0))
+    ctx.manager = mgr
+    assert TrafficLightStateSetter("red", duration=60.0).tick(ctx, DT) \
+        == SUCCESS
+    light = mgr.signals.lights[0]
+    assert light.state(1.0) == "red"
+    mgr.signals.force_green(game_time=1.0, duration=10.0)
+    assert light.state(2.0) == "green"
+    assert light.state(12.0) == "red"          # hold resumes after the grant
+    # cycle resumes after the hold: (70 + offset 10) % 23 = 11 -> yellow
+    assert light.state(70.0) == "yellow"
+
+
+def test_add_noise_publishes_through_manager_steer_noise():
+    from mmfn_tpu.harness.atoms import AddNoiseToVehicle, AtomBehavior
+
+    class _Jitter(AtomBehavior):
+        def build_tree(self, ctx):
+            return AddNoiseToVehicle(0.3, duration=0.2)
+
+    SCENARIO_CLASSES["_TestJitter"] = _Jitter
+    try:
+        mgr = ScenarioManagerLite([ScenarioTrigger(
+            x=0.0, y=0.0, yaw=0.0, scenario_type="_TestJitter")])
+        ego = np.array([0.0, 0.0])
+        mgr.tick(ego, DT)
+        assert mgr.steer_noise() == pytest.approx(0.3)
+        for _ in range(10):
+            mgr.tick(ego, DT)
+        assert mgr.behaviors[0].done
+        assert mgr.steer_noise() == 0.0
+    finally:
+        SCENARIO_CLASSES.pop("_TestJitter")
