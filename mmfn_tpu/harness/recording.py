@@ -24,11 +24,16 @@ Format (``mmfn_tpu-episode-v1``)::
       "opendrive": "<OpenDRIVE ...>",         # map the episode ran on
       "route_id": "...",
       "actors":  {id: {type_id, role_name, kind, extent,
-                       first_frame, last_frame}},
+                       first_frame, last_frame,
+                       physics_control?: {max_accel, max_brake, drag?}}},
+      "lights_meta": [{light_id, x, y, yaw, green, yellow, red,
+                       trigger_distance, lateral_half_width}, ...],
       "frames":  [{"time": t, "platform_time": wall,
                    "states": {id: [x, y, yaw, vx, vy]},
                    "control": [steer, throttle, brake],
                    "lights": ["Red"|"Yellow"|"Green", ...],   # by light index
+                   "lights_frozen": [bool, ...],              # hold active
+                   "weather": "<preset>",
                    "collisions": [other_id, ...]}, ...],
       "criteria": {Name: {test_status, actual_value,
                           expected_value_success}},
@@ -60,6 +65,11 @@ class EpisodeRecorder:
     route returns, call :meth:`save` (or read :attr:`data`).
     """
 
+    # kinematic motion envelope of scenario/background vehicles — the
+    # recorder's carla.VehiclePhysicsControl analog (atoms.py
+    # AccelerateToVelocity.MAX_ACCEL / StopVehicle.MAX_DECEL)
+    NPC_PHYSICS = {"max_accel": 4.0, "max_brake": 8.0}
+
     def __init__(self):
         self.data = {
             "format": FORMAT,
@@ -67,21 +77,40 @@ class EpisodeRecorder:
             "opendrive": "",
             "route_id": "",
             "actors": {},
+            "lights_meta": [],
             "frames": [],
             "criteria": {},
             "record": None,
         }
+        self._signals = None
 
     # -- runner hooks -----------------------------------------------------
 
-    def start(self, opendrive_str: str, dt: float, route_id: str) -> None:
+    def start(self, opendrive_str: str, dt: float, route_id: str,
+              signals=None) -> None:
+        """``signals``: the route's harness.traffic.SignalSet, if any — its
+        static light configuration (stop-line pose, phase durations, trigger
+        geometry) is captured once, the CARLA-recorder analog of traffic-light
+        actor registration with a trigger_volume
+        (srunner/metrics/tools/metrics_log.py:146 + :381)."""
         self.data["opendrive"] = opendrive_str
         self.data["dt"] = dt
         self.data["route_id"] = str(route_id)
         self._register(EGO_ID, EGO_TYPE_ID, "hero", "vehicle", EGO_EXTENT)
+        self._signals = signals
+        if signals is not None:
+            self.data["lights_meta"] = [{
+                "light_id": int(li.light_id),
+                "x": float(li.position[0]), "y": float(li.position[1]),
+                "yaw": float(li.yaw),
+                "green": float(li.green), "yellow": float(li.yellow),
+                "red": float(li.red),
+                "trigger_distance": float(li.TRIGGER_DISTANCE),
+                "lateral_half_width": float(li.LATERAL_HALF_WIDTH),
+            } for li in signals.lights]
 
     def _register(self, actor_id: int, type_id: str, role: str, kind: str,
-                  extent: float) -> None:
+                  extent: float, physics: Optional[dict] = None) -> None:
         key = str(actor_id)
         if key not in self.data["actors"]:
             self.data["actors"][key] = {
@@ -90,6 +119,8 @@ class EpisodeRecorder:
                 "first_frame": len(self.data["frames"]),
                 "last_frame": len(self.data["frames"]),
             }
+            if physics is not None:
+                self.data["actors"][key]["physics_control"] = dict(physics)
 
     def record_tick(self, game_time: float, platform_time: float, world,
                     actors: List, n_scenario: int, control,
@@ -108,17 +139,36 @@ class EpisodeRecorder:
                           float(world.v * math.cos(world.yaw)),
                           float(world.v * math.sin(world.yaw))],
         }
-        self.data["actors"][str(EGO_ID)]["last_frame"] = frame
+        ego_meta = self.data["actors"][str(EGO_ID)]
+        ego_meta["last_frame"] = frame
+        if "physics_control" not in ego_meta:   # once, at first sight of world
+            ego_meta["physics_control"] = {
+                "max_accel": float(getattr(world, "MAX_ACCEL", 4.0)),
+                "max_brake": float(getattr(world, "MAX_BRAKE", 8.0)),
+                "drag": float(getattr(world, "DRAG", 0.0)),
+            }
         for i, a in enumerate(actors):
             role = "scenario" if i < n_scenario else "background"
             type_id = ("walker.pedestrian.0001" if a.kind == "walker"
                        else "vehicle.tesla.model3")
-            self._register(a.actor_id, type_id, role, a.kind, a.extent)
+            self._register(a.actor_id, type_id, role, a.kind, a.extent,
+                           physics=(self.NPC_PHYSICS if a.kind == "vehicle"
+                                    else None))
             self.data["actors"][str(a.actor_id)]["last_frame"] = frame
             vx, vy = float(a.velocity[0]), float(a.velocity[1])
             states[str(a.actor_id)] = [float(a.position[0]),
                                        float(a.position[1]),
                                        float(a.yaw), vx, vy]
+        # a light is "frozen" while a hold overrides its phase cycle — the
+        # fault-removal force-green grant or a scenario's
+        # TrafficLightStateSetter (the carla TrafficLight.freeze analog
+        # queried by metrics_log.is_traffic_light_frozen)
+        frozen = []
+        if self._signals is not None:
+            frozen = [bool(game_time < li.forced_green_until
+                           or (li.forced_state is not None
+                               and game_time < li.forced_state_until))
+                      for li in self._signals.lights]
         self.data["frames"].append({
             "time": float(game_time),
             "platform_time": float(platform_time),
@@ -126,6 +176,7 @@ class EpisodeRecorder:
             "control": [float(control.steer), float(control.throttle),
                         float(control.brake)],
             "lights": [s for _, _, s in light_states],
+            "lights_frozen": frozen,
             "collisions": [],
             # live preset (animates under a WeatherSim — weather_sim.py
             # analog); CARLA's recorder captures weather implicitly in

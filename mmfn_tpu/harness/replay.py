@@ -423,7 +423,8 @@ class ClosedLoopRunner:
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
         if recorder is not None:
-            recorder.start(opendrive_str, DT, config.route_id)
+            recorder.start(opendrive_str, DT, config.route_id,
+                           signals=signals)
 
         self.statistics.set_route(config.route_id, config.index)
         t_start = time.time()

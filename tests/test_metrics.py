@@ -213,3 +213,103 @@ def test_metrics_run_cli(recording, tmp_path, monkeypatch):
         "--out", str(out), "--no-map"])
     mod.main()
     assert (out / "CriteriaFilter_results.json").exists()
+
+
+def test_metrics_log_round3_surfaces(recording):
+    """The formerly-omitted CARLA-recorder surfaces: physics envelopes,
+    walker speed, vectorized at-frame/all-frame variants, vehicle lights,
+    scene lighting (reference srunner/metrics/tools/metrics_log.py:
+    336-416)."""
+    rec, _ = recording
+    log = MetricsLog(rec.data)
+    n = log.get_total_frame_count()
+    ego = log.get_ego_vehicle_id()
+    (scen,) = log.get_actor_ids_with_role_name("scenario")
+    s0, _ = log.get_actor_alive_frames(scen)
+
+    # physics envelopes: ego from KinematicWorld, NPC from the atom constants
+    pc = log.get_vehicle_physics_control(ego, n // 2)
+    assert pc["max_accel"] == pytest.approx(4.0)
+    assert pc["max_brake"] == pytest.approx(8.0)
+    npc_pc = log.get_vehicle_physics_control(scen, s0 + 1)
+    assert npc_pc == {"max_accel": 4.0, "max_brake": 8.0}
+    assert log.get_vehicle_physics_control(9999, 0) is None
+
+    # walker speed: the scenario actor is a vehicle -> None
+    assert log.get_walker_speed(scen, s0 + 1) is None
+    assert log.get_walker_speed(ego, 0) is None           # not a walker
+
+    # vectorized variants agree with their scalar counterparts
+    f = n // 2
+    vels = log.get_actor_velocities_at_frame(f)
+    assert vels[ego] == pytest.approx(log.get_actor_velocity(ego, f))
+    accs = log.get_actor_accelerations_at_frame(f)
+    assert accs[ego] == pytest.approx(log.get_actor_acceleration(ego, f))
+    ws = log.get_actor_angular_velocities_at_frame(f)
+    assert ws[ego] == pytest.approx(log.get_actor_angular_velocity(ego, f))
+    all_w = log.get_all_actor_angular_velocities(ego)
+    assert all_w.shape == (n,)
+    assert all_w[f] == pytest.approx(log.get_actor_angular_velocity(ego, f))
+    all_a = log.get_all_actor_accelerations(ego)
+    assert all_a.shape == (n, 2)
+    assert tuple(all_a[f]) == pytest.approx(log.get_actor_acceleration(ego, f))
+
+    # vehicle lights: the NpcAgent plows into the stopped vehicle; at the
+    # very least the flags are well-formed lists over the ego's life
+    lights = log.get_vehicle_lights(ego, f)
+    assert isinstance(lights, list)
+    assert log.get_vehicle_lights(scen, 0) is None        # not yet alive
+    assert log.is_vehicle_light_active("Brake", ego, f) == \
+        ("Brake" in lights)
+
+    # no signals on this route: freeze/phase/volume fall back gracefully
+    assert log.is_traffic_light_frozen(0, f) is False
+    assert log.get_traffic_light_state_time(0, "green", f) is None
+    assert log.get_traffic_light_trigger_volume(0) is None
+
+    # scene lighting: recorded presets are daytime Clear* -> lamps off
+    scene = log.get_scene_light_state(0, f)
+    assert scene is not None and scene["is_on"] is False
+
+
+def test_metrics_log_light_and_weather_surfaces():
+    """Recorder + MetricsLog over a signalized, scenario-forced episode:
+    lights_meta, frozen flags, trigger volume, phase durations, scene
+    lights at dusk — recorded directly through the recorder hooks (no
+    closed loop needed)."""
+    import numpy as np
+
+    from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
+
+    class _World:
+        x, y, yaw, v = 0.0, 0.0, 0.0, 5.0
+        MAX_ACCEL, MAX_BRAKE, DRAG = 4.0, 8.0, 0.1
+        weather = "WetCloudySunset"
+
+    class _Control:
+        steer, throttle, brake = 0.0, 0.0, 0.6
+
+    light = TrafficLight(position=np.array([30.0, 0.0]), yaw=0.0,
+                         green=7.0, yellow=2.0, red=11.0, light_id=5)
+    signals = SignalSet(lights=[light])
+    rec = EpisodeRecorder()
+    rec.start("<OpenDRIVE/>", 0.05, "sigroute", signals=signals)
+    # tick 0: free-cycling; tick 1: scenario-forced red (a hold)
+    rec.record_tick(0.0, 0.01, _World(), [], 0, _Control(),
+                    signals.light_states(0.0))
+    light.forced_state, light.forced_state_until = "red", 10.0
+    rec.record_tick(0.05, 0.02, _World(), [], 0, _Control(),
+                    signals.light_states(0.05))
+
+    log = MetricsLog(rec.data)
+    assert log.is_traffic_light_frozen(0, 0) is False
+    assert log.is_traffic_light_frozen(0, 1) is True
+    assert log.get_traffic_light_state(0, 1) == "red"
+    assert log.get_traffic_light_state_time(0, "green", 0) == 7.0
+    assert log.get_traffic_light_state_time(0, "red", 0) == 11.0
+    vol = log.get_traffic_light_trigger_volume(0)
+    assert vol["x"] == 30.0 and vol["lateral_half_width"] == 4.0
+    # braking ego at dusk: Brake + the automatic Position/LowBeam
+    assert log.get_vehicle_lights(0, 1) == ["Brake", "Position", "LowBeam"]
+    assert log.get_scene_light_state(0, 1)["is_on"] is True
+    assert log.get_weather(1) == "WetCloudySunset"
