@@ -49,6 +49,7 @@ behavior tree by transliteration:
 - WaitUntilInFront             (atomic_trigger_conditions.py:965)
 - WaitForTrafficLightState     (atomic_trigger_conditions.py:1128)
 - TimeOfDayComparison          (atomic_trigger_conditions.py:421)
+- FailureIsSuccess             (py_trees decorators.FailureIsSuccess)
 
 The world-service atoms (traffic lights, weather, time-of-day) reach the
 route's SignalSet / fake world / WeatherSim through the driving
@@ -228,6 +229,23 @@ class Sequence(Atom):
         self._i = 0
         for c in self.children:
             c.reset()
+
+
+class FailureIsSuccess(Atom):
+    """Decorator converting a child's FAILURE into SUCCESS (py_trees
+    decorators.FailureIsSuccess) — used to make world-service atoms optional
+    on routes that lack the service (e.g. TrafficLightStateSetter on an
+    unsignalized route)."""
+
+    def __init__(self, child: Atom):
+        self.child = child
+
+    def tick(self, ctx, dt):
+        status = self.child.tick(ctx, dt)
+        return SUCCESS if status == FAILURE else status
+
+    def reset(self):
+        self.child.reset()
 
 
 class Parallel(Atom):
@@ -1225,6 +1243,108 @@ class PlatoonFollowLeadingVehicle(AtomBehavior):
         )
 
 
+class ManeuverOppositeDirection(AtomBehavior):
+    """srunner maneuver_opposite_direction.py (Traffic Scenario 06): the ego
+    must pass a blocking obstacle in its lane while an oncoming stream flows
+    in the opposite lane. The source's tree verbatim: spawn the blocker at
+    50 m (_first_vehicle_location) + the first oncoming car at 110 m in the
+    left/opposite lane, then Parallel(EgoDriveDistance(220 — the source's
+    second_vehicle_location*2), ActorSource(oncoming stream, 40 m gap at
+    5.56 m/s = the source's _opposite_speed/_source_gap), ActorSink), then
+    destroy. The sink drains behind the trigger (the source sinks at the
+    previous junction)."""
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("blocker", ahead=50.0, lateral=0.0,
+                                 kind="vehicle", extent=2.2),
+            ActorTransformSetter("oncoming_0", ahead=110.0, lateral=3.5,
+                                 heading_deg=180.0, speed=5.56),
+            Parallel(
+                EgoDriveDistance(220.0),
+                ActorSource("oncoming", ahead=110.0, lateral=3.5,
+                            heading_deg=180.0, speed=5.56, gap=40.0),
+                ActorSink(ahead=-30.0, lateral=3.5, radius=10.0,
+                          prefix="oncoming"),
+            ),
+            ActorDestroy("blocker"),
+        )
+
+
+class OtherLeadingVehicle(AtomBehavior):
+    """srunner other_leading_vehicle.py (Traffic Scenario 05,
+    VehicleDeceleratingInMultiLaneSetUp): a lead vehicle 35 m ahead cruises
+    until the ego closes to 55 m, then decelerates to speed/3.2, forcing the
+    ego to change lane past it while a second vehicle occupies the left lane
+    (spawned at 36 m, one metre past the lead — the source's
+    second_vehicle_location = first + 1). Tree shape is the source's
+    verbatim; the 55/45 speed literals are read as km/h (15.3/12.5 m/s):
+    srunner hands them to WaypointFollower raw, where CARLA's physics caps
+    real vehicles far below 55 m/s — a kinematic world must apply the cap
+    the simulator provides implicitly. Ends when the ego drives 140 m
+    (_first_vehicle_location * 4)."""
+
+    FIRST_SPEED = 55.0 / 3.6
+    SECOND_SPEED = 45.0 / 3.6
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("lead", ahead=35.0, speed=self.FIRST_SPEED),
+            ActorTransformSetter("left", ahead=36.0, lateral=3.5,
+                                 speed=self.SECOND_SPEED),
+            Parallel(
+                EgoDriveDistance(140.0),
+                Sequence(
+                    Parallel(
+                        KeepVelocity("lead", speed=self.FIRST_SPEED),
+                        InTriggerDistanceToVehicle("lead", EGO,
+                                                   distance=55.0),
+                    ),
+                    KeepVelocity("lead", speed=self.FIRST_SPEED / 3.2),
+                ),
+                KeepVelocity("left", speed=self.SECOND_SPEED),
+            ),
+            ActorDestroy("lead"),
+            ActorDestroy("left"),
+        )
+
+
+class SignalizedJunctionRightTurn(AtomBehavior):
+    """srunner signalized_junction_right_turn.py (Traffic Scenario 09,
+    HeroActorTurningRightAtSignalizedJunction): the ego turns right on a red
+    light while a crossing vehicle comes straight from its left on green.
+    The source forces the ego's light Red and the other's Green for the
+    scenario timeout (80 s) in __init__; here the tree head does it through
+    TrafficLightStateSetter (wrapped FailureIsSuccess so unsignalized routes
+    still run the kinematic part). Then the source's sequence verbatim:
+    SyncArrival to the geometric collision point raced with a 5 m arrival
+    condition, straight-through WaypointFollower at 6.9 m/s (_target_vel)
+    raced with a 10 m end-of-plan condition, StopVehicle(0.5 =
+    _brake_value), EgoDriveDistance(40 = _ego_distance), destroy."""
+
+    def build_tree(self, ctx):
+        return Sequence(
+            ActorTransformSetter("crossing", ahead=20.0, lateral=20.0,
+                                 heading_deg=-90.0),
+            FailureIsSuccess(TrafficLightStateSetter("red", duration=80.0)),
+            Parallel(
+                SyncArrival("crossing", conflict_ahead=20.0,
+                            target_speed=6.9),
+                InTriggerDistanceToLocation("crossing", ahead=20.0,
+                                            distance=5.0),
+            ),
+            Parallel(
+                WaypointFollower("crossing", [(20.0, -15.0), (20.0, -40.0)],
+                                 speed=6.9),
+                InTriggerDistanceToLocation("crossing", ahead=20.0,
+                                            lateral=-40.0, distance=10.0),
+            ),
+            StopVehicle("crossing", brake_value=0.5),
+            EgoDriveDistance(40.0),
+            ActorDestroy("crossing"),
+        )
+
+
 # scenario-catalog registration (route_scenario.py NUMBER_CLASS_TRANSLATION
 # extras); lives here, not in scenarios.py, because atoms imports scenarios
 from mmfn_tpu.harness import scenarios as _scenarios  # noqa: E402
@@ -1234,4 +1354,7 @@ _scenarios.SCENARIO_CLASSES.update({
     "CutInFromLeftLane": CutInFromLeftLane,
     "SignalizedJunctionLeftTurnTraffic": SignalizedJunctionLeftTurnTraffic,
     "PlatoonFollowLeadingVehicle": PlatoonFollowLeadingVehicle,
+    "ManeuverOppositeDirection": ManeuverOppositeDirection,
+    "OtherLeadingVehicle": OtherLeadingVehicle,
+    "SignalizedJunctionRightTurn": SignalizedJunctionRightTurn,
 })

@@ -628,3 +628,103 @@ def test_add_noise_publishes_through_manager_steer_noise():
         assert mgr.steer_noise() == 0.0
     finally:
         SCENARIO_CLASSES.pop("_TestJitter")
+
+
+def test_failure_is_success_decorator():
+    from mmfn_tpu.harness.atoms import FailureIsSuccess, TrafficLightStateSetter
+
+    ctx = _ctx()   # no services -> the setter FAILs; decorated -> SUCCESS
+    assert TrafficLightStateSetter("red").tick(ctx, DT) == FAILURE
+    assert FailureIsSuccess(TrafficLightStateSetter("red")).tick(ctx, DT) \
+        == SUCCESS
+    wrapped = FailureIsSuccess(Idle(0.2))
+    assert wrapped.tick(ctx, DT) == RUNNING   # RUNNING passes through
+
+
+def test_maneuver_opposite_direction_scenario():
+    """TS06: stationary blocker in the ego lane + oncoming stream in the
+    opposite lane draining at the sink; ends after the ego drives 220 m."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=10.0, y=0.0, yaw=0.0, scenario_type="ManeuverOppositeDirection")])
+    ego_x = 10.0
+    actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+    blocker = [a for a in actors if abs(a.position[1]) < 1.0]
+    assert blocker and float(np.linalg.norm(blocker[0].velocity)) == 0.0
+    np.testing.assert_allclose(blocker[0].position, [60.0, 0.0], atol=1e-6)
+    oncoming_seen = 0
+    for _ in range(3000):
+        ego_x += 0.15   # 3 m/s
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+        if mgr.behaviors[0].done:
+            break
+        stream = [a for a in actors if a.position[1] > 2.0]
+        oncoming_seen = max(oncoming_seen, len(stream))
+        for a in stream:   # oncoming lane flows toward the ego at 5.56 m/s
+            assert a.velocity[0] == pytest.approx(-5.56, abs=1e-6)
+    assert mgr.behaviors[0].done, "never retired after 220 m"
+    assert oncoming_seen >= 2, "stream never produced multiple vehicles"
+    assert actors == [] or all(a.position[1] < 2.0 for a in actors)
+
+
+def test_other_leading_vehicle_decelerates_on_approach():
+    """TS05: the lead holds 15.3 m/s until the ego closes to 55 m (true at
+    spawn: 35 m gap, as in the source), then drops to speed/3.2 while the
+    left-lane vehicle keeps its pace."""
+    from mmfn_tpu.harness.atoms import OtherLeadingVehicle
+
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=0.0, y=0.0, yaw=0.0, scenario_type="OtherLeadingVehicle")])
+    ego_x = 0.0
+    mgr.tick(np.array([ego_x, 0.0]), DT)
+    for _ in range(40):    # let the deceleration branch engage
+        ego_x += 0.35
+        actors = mgr.tick(np.array([ego_x, 0.0]), DT)
+    lead = [a for a in actors if abs(a.position[1]) < 1.0][0]
+    left = [a for a in actors if a.position[1] > 2.0][0]
+    slow = OtherLeadingVehicle.FIRST_SPEED / 3.2
+    assert float(np.linalg.norm(lead.velocity)) == pytest.approx(slow,
+                                                                 rel=1e-3)
+    assert float(np.linalg.norm(left.velocity)) == pytest.approx(
+        OtherLeadingVehicle.SECOND_SPEED, rel=1e-3)
+    for _ in range(3000):
+        ego_x += 0.35   # 7 m/s -> 140 m in ~400 ticks
+        mgr.tick(np.array([ego_x, 0.0]), DT)
+        if mgr.behaviors[0].done:
+            break
+    assert mgr.behaviors[0].done
+
+
+def test_signalized_junction_right_turn_forces_ego_light_red():
+    """TS09: with route signals wired, the scenario holds the ego's light
+    red (frozen) while the crossing vehicle syncs, crosses and stops."""
+    from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
+
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=0.0, y=0.0, yaw=0.0, scenario_type="SignalizedJunctionRightTurn")])
+    light = TrafficLight(position=np.array([15.0, 0.0]), yaw=0.0, light_id=9)
+    mgr.signals = SignalSet(lights=[light])
+    ego = np.array([0.0, 0.0])
+    mgr.tick(ego, DT)                      # activate: spawn + light grab
+    assert light.forced_state == "red"
+    assert light.state(mgr.game_time) == "red"
+    crossed = False
+    for _ in range(3000):
+        ego[0] += 0.1                      # ego creeps toward the junction
+        actors = mgr.tick(ego, DT)
+        for a in actors:
+            crossed = crossed or a.position[1] < -30.0
+        if mgr.behaviors[0].done:
+            break
+    assert mgr.behaviors[0].done
+    assert crossed, "crossing vehicle never passed through the junction"
+
+
+def test_signalized_junction_right_turn_runs_without_signals():
+    """FailureIsSuccess keeps the kinematic part alive on unsignalized
+    routes (the source sys.exits without a light; ours degrades)."""
+    mgr = ScenarioManagerLite([ScenarioTrigger(
+        x=0.0, y=0.0, yaw=0.0, scenario_type="SignalizedJunctionRightTurn")])
+    ego = np.array([0.0, 0.0])
+    actors = mgr.tick(ego, DT)
+    assert len(actors) == 1                # crossing vehicle spawned
+    assert not mgr.behaviors[0].done       # tree did not fail out
