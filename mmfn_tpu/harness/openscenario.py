@@ -103,6 +103,7 @@ import numpy as np
 from mmfn_tpu.harness.actor_controls import (BasicControl, Obstacle,
                                              make_controller)
 from mmfn_tpu.harness.scenarios import ScenarioActor
+from mmfn_tpu.harness.weather import preset_family
 
 LANE_WIDTH = 3.5
 
@@ -138,7 +139,8 @@ class EntitySpec:
 @dataclass
 class XoscCondition:
     # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill' | 'distance'
-    # | 'ttc' | 'headway' | 'speed' | 'signal' | 'unsupported'
+    # | 'ttc' | 'headway' | 'speed' | 'signal' | 'timeofday' | 'accel'
+    # | 'relspeed' | 'unsupported'
     # ('unsupported' records a construct outside the subset; it never holds,
     # so a gated event stays gated instead of firing on the first tick — and
     # the parser warns loudly, once per construct kind, because a silently
@@ -163,7 +165,10 @@ class XoscCondition:
 class XoscAction:
     # 'speed' | 'lane_change' | 'teleport' | 'acquire' | 'controller'
     # | 'activate' | 'route' | 'trajectory' | 'sync' | 'visibility'
+    # | 'weather' | 'signal_state' (story-level GlobalActions applied by the
+    # manager to the world services, not to a scripted actor)
     kind: str
+    state: str = ""                  # 'signal_state': forced light state
     target_speed: Optional[float] = None
     relative_to: str = ""            # entity name for relative target speed
     speed_delta: float = 0.0
@@ -855,6 +860,20 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
                 "signal", entity=_resolve(sig.get("name"), params) or "",
                 state=(_resolve(sig.get("state"), params) or "green").lower(),
                 name=name)
+        tod = byval.find("TimeOfDayCondition")
+        if tod is not None:
+            # srunner TimeOfDayComparison: compares the weather-sim clock
+            # (atomic_trigger_conditions.py:421); the dateTime's time-of-day
+            # becomes an hour threshold against WeatherSim.clock_hour
+            dt_str = _resolve(tod.get("dateTime"), params) or ""
+            try:
+                hh, mm, ss = dt_str.split("T")[1].split(":")[:3]
+                hour = float(hh) + float(mm) / 60.0 + float(ss) / 3600.0
+            except (IndexError, ValueError):
+                hour = 12.0
+            return XoscCondition("timeofday", value=hour,
+                                 rule=tod.get("rule", "greaterThan"),
+                                 name=name)
         return _unsupported_condition(name, byval)
     byent = cond.find("ByEntityCondition")
     if byent is None:
@@ -925,7 +944,43 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
         return XoscCondition("speed", value=_f(speed, "value", params),
                              rule=speed.get("rule", "greaterThan"),
                              triggering=triggering, name=name)
+    acc = ec.find("AccelerationCondition")
+    if acc is not None:
+        # srunner TriggerAcceleration (atomic_trigger_conditions.py:374):
+        # the entity's linear acceleration magnitude against the threshold
+        return XoscCondition("accel", value=_f(acc, "value", params),
+                             rule=acc.get("rule", "greaterThan"),
+                             triggering=triggering, name=name)
+    relspeed = ec.find("RelativeSpeedCondition")
+    if relspeed is not None:
+        # srunner RelativeVelocityToOtherActor
+        # (atomic_trigger_conditions.py:280): v_triggering - v_entityRef
+        return XoscCondition("relspeed", value=_f(relspeed, "value", params),
+                             rule=relspeed.get("rule", "greaterThan"),
+                             entity=relspeed.get("entityRef", ""),
+                             triggering=triggering, name=name)
     return _unsupported_condition(name, ec)
+
+
+def _parse_global_action(glob: ET.Element, params: Dict[str, str]
+                         ) -> Optional[XoscAction]:
+    """Story-level <GlobalAction> subset: EnvironmentAction (mid-route
+    weather change — srunner ChangeWeather, atomic_behaviors.py:190) and
+    InfrastructureAction/TrafficSignalStateAction (forced light state —
+    srunner TrafficLightStateSetter, atomic_behaviors.py:1902). The manager
+    applies these to the route's world services, not to a scripted actor.
+    Returns None for constructs outside the subset (caller warns)."""
+    env = glob.find(".//EnvironmentAction/Environment")
+    if env is None:
+        env = glob.find(".//EnvironmentAction//Environment")  # catalog-style
+    if env is not None:
+        return XoscAction("weather", module=_weather_preset(env))
+    sig = glob.find(".//TrafficSignalStateAction")
+    if sig is not None:
+        return XoscAction(
+            "signal_state", module=_resolve(sig.get("name"), params) or "",
+            state=(_resolve(sig.get("state"), params) or "green").lower())
+    return None
 
 
 def _parse_trigger(trigger_el: Optional[ET.Element], params: Dict[str, str],
@@ -1154,6 +1209,20 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
                             private, params, cfg.entities, catalogs)
                         if parsed_a is not None:
                             actions.append(parsed_a)
+                        continue
+                    glob = action_el.find("GlobalAction")
+                    if glob is not None:
+                        parsed_g = _parse_global_action(glob, params)
+                        if parsed_g is not None:
+                            actions.append(parsed_g)
+                        else:
+                            warnings.warn(
+                                "OpenSCENARIO GlobalAction construct "
+                                f"'{'/'.join(c.tag for c in glob)}' is "
+                                "outside the supported subset and is "
+                                "dropped (event "
+                                f"{event_el.get('name', '')!r})",
+                                UnsupportedOsc, stacklevel=2)
                 if actions:
                     cfg.events.append(XoscEvent(
                         name=event_el.get("name", ""), actors=actors,
@@ -1416,9 +1485,16 @@ class OpenScenarioManager:
         # several managers can run the same OpenScenarioConfig independently
         self._fired: set = set()
         # world context for 'signal' and alongRoute 'distance' conditions;
-        # ClosedLoopRunner.drive auto-wires both when left None
+        # ClosedLoopRunner.drive auto-wires both when left None, and likewise
+        # the fake world + WeatherSim consumed by story-level GlobalActions
+        # ('weather', 'signal_state') and the 'timeofday' condition
         self.signals = signals            # harness.traffic.SignalSet
         self.route_xy = route_xy          # [(x, y)] ego route polyline
+        self.world = None                 # fake world (set_weather target)
+        self.weather_sim = None           # harness.weather.WeatherSim
+        # per-entity speed memory for the 'accel' condition (finite diff)
+        self._prev_speed: Dict[str, float] = {}
+        self._accel: Dict[str, float] = {}
 
     @property
     def fired_events(self) -> Tuple[str, ...]:
@@ -1562,6 +1638,21 @@ class OpenScenarioManager:
                 if light.state(self.time) == cond.state:
                     return True
             return False
+        if cond.kind == "timeofday":
+            # compares the WeatherSim clock (runs even with animation off)
+            ws = self.weather_sim
+            return ws is not None and self._cmp(float(ws.clock_hour),
+                                                cond.rule, cond.value)
+        if cond.kind == "accel":
+            return any(self._cmp(abs(self._accel.get(r, 0.0)),
+                                 cond.rule, cond.value) for r in refs)
+        if cond.kind == "relspeed":
+            other = self._entity_speed(cond.entity)
+            if other is None:
+                return False
+            return any(s is not None
+                       and self._cmp(s - other, cond.rule, cond.value)
+                       for s in (self._entity_speed(r) for r in refs))
         return False   # 'unsupported' (and anything unknown) never holds
 
     def _trigger_holds(self, trigger: Trigger, ego_xy: np.ndarray) -> bool:
@@ -1586,6 +1677,14 @@ class OpenScenarioManager:
         self._ego_vel = ego_vel
         self._last_ego = ego_xy.copy()
         self.time += dt
+        # finite-differenced per-entity acceleration ('accel' condition)
+        cur_speed = {self.hero_name: self._ego_speed}
+        for name, s in self.scripted.items():
+            cur_speed[name] = float(np.linalg.norm(s.actor.velocity))
+        self._accel = {n: ((v - self._prev_speed[n]) / dt
+                           if n in self._prev_speed and dt > 0 else 0.0)
+                       for n, v in cur_speed.items()}
+        self._prev_speed = cur_speed
 
         def speed_lookup(name):
             return self._entity_speed(name)
@@ -1596,11 +1695,17 @@ class OpenScenarioManager:
             if self._trigger_holds(event.act_trigger, ego_xy) \
                     and self._trigger_holds(event.trigger, ego_xy):
                 self._fired.add(idx)
+                world_actions = [a for a in event.actions
+                                 if a.kind in ("weather", "signal_state")]
+                entity_actions = [a for a in event.actions
+                                  if a.kind not in ("weather", "signal_state")]
+                for action in world_actions:
+                    self._apply_global(action)
                 for actor_name in (event.actors or tuple(self.scripted)):
                     scripted = self.scripted.get(actor_name)
                     if scripted is None:
                         continue
-                    for action in event.actions:
+                    for action in entity_actions:
                         scripted.apply(action, speed_lookup)
         for scripted in self.scripted.values():
             self._drive_sync(scripted, ego_xy, dt)
@@ -1665,6 +1770,30 @@ class OpenScenarioManager:
         else:
             # free actor: head straight for the sync target
             scripted.actor.yaw = math.atan2(d[1], d[0])
+
+    def _apply_global(self, action: XoscAction) -> None:
+        """Apply a story-level GlobalAction to the world services (the
+        behavior-atom ChangeWeather / TrafficLightStateSetter semantics)."""
+        if action.kind == "weather":
+            ws, world = self.weather_sim, self.world
+            if ws is not None:
+                ws.preset = action.module
+                ws.family = preset_family(action.module)
+            if world is not None:
+                if ws is not None:
+                    world.set_weather(ws.current_preset(),
+                                      ws.sun_altitude_deg)
+                else:
+                    world.set_weather(action.module)
+        elif action.kind == "signal_state" and self.signals is not None:
+            # OSC TrafficSignalStateAction persists until overridden; hold
+            # for the rest of the route (fault-removal force_green outranks)
+            m = re.search(r"\d+", action.module)
+            want_id = int(m.group()) if m else None
+            for light in self.signals.lights:
+                if want_id is None or light.light_id == want_id:
+                    light.forced_state = action.state
+                    light.forced_state_until = math.inf
 
     def steer_noise(self) -> float:
         return 0.0

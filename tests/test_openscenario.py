@@ -1181,3 +1181,188 @@ def test_relative_positions_resolve(tool, tmp_path):
     assert abs(hero2.y + 1.75) < 1e-6
     # the oncoming lane travels against s: resolved heading ~ pi
     assert abs(abs(hero2.yaw) - math.pi) < 1e-6
+
+
+NEW_CONSTRUCTS_XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="round3:GlobalActionsAndConditions" author=""/>
+  <ParameterDeclarations/>
+  <CatalogLocations/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car">
+        <Properties><Property name="type" value="simulation"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="hero">
+          <PrivateAction><TeleportAction><Position>
+            <WorldPosition x="0" y="1.75" h="0"/>
+          </Position></TeleportAction></PrivateAction>
+        </Private>
+        <Private entityRef="lead">
+          <PrivateAction><TeleportAction><Position>
+            <WorldPosition x="30" y="1.75" h="0"/>
+          </Position></TeleportAction></PrivateAction>
+          <PrivateAction><LongitudinalAction><SpeedAction>
+            <SpeedActionDynamics dynamicsShape="step" value="0"
+                                 dynamicsDimension="time"/>
+            <SpeedActionTarget><AbsoluteTargetSpeed value="8.0"/>
+            </SpeedActionTarget>
+          </SpeedAction></LongitudinalAction></PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="mg" maximumExecutionCount="1">
+        <Actors selectTriggeringEntities="false">
+          <EntityRef entityRef="lead"/>
+        </Actors>
+        <Maneuver name="m">
+          <Event name="ForceRed" priority="overwrite">
+            <Action name="red"><GlobalAction>
+              <InfrastructureAction><TrafficSignalAction>
+                <TrafficSignalStateAction name="id=7" state="red"/>
+              </TrafficSignalAction></InfrastructureAction>
+            </GlobalAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="t0" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <SimulationTimeCondition value="0.1" rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="DuskRain" priority="overwrite">
+            <Action name="rain"><GlobalAction>
+              <EnvironmentAction><Environment name="dusk">
+                <TimeOfDay animation="false" dateTime="2026-01-01T18:30:00"/>
+                <Weather cloudState="rainy">
+                  <Sun intensity="0.2" azimuth="0" elevation="0.05"/>
+                  <Precipitation precipitationType="rain" intensity="0.7"/>
+                </Weather>
+              </Environment></EnvironmentAction>
+            </GlobalAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="dusk" delay="0" conditionEdge="rising">
+                <ByValueCondition>
+                  <TimeOfDayCondition dateTime="2026-01-01T18:00:00"
+                                      rule="greaterThan"/>
+                </ByValueCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="LeadBrakes" priority="overwrite">
+            <Action name="stop"><PrivateAction><LongitudinalAction>
+              <SpeedAction>
+                <SpeedActionDynamics dynamicsShape="linear" value="2.0"
+                                     dynamicsDimension="rate"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="0.0"/>
+                </SpeedActionTarget>
+              </SpeedAction>
+            </LongitudinalAction></PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="rel" delay="0" conditionEdge="rising">
+                <ByEntityCondition>
+                  <TriggeringEntities triggeringEntitiesRule="any">
+                    <EntityRef entityRef="lead"/>
+                  </TriggeringEntities>
+                  <EntityCondition>
+                    <RelativeSpeedCondition entityRef="hero" value="3.0"
+                                            rule="greaterThan"/>
+                  </EntityCondition>
+                </ByEntityCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="HardBrakeSeen" priority="overwrite">
+            <Action name="noop"><PrivateAction><LongitudinalAction>
+              <SpeedAction>
+                <SpeedActionDynamics dynamicsShape="step" value="0"
+                                     dynamicsDimension="time"/>
+                <SpeedActionTarget><AbsoluteTargetSpeed value="0.0"/>
+                </SpeedActionTarget>
+              </SpeedAction>
+            </LongitudinalAction></PrivateAction></Action>
+            <StartTrigger><ConditionGroup>
+              <Condition name="acc" delay="0" conditionEdge="rising">
+                <ByEntityCondition>
+                  <TriggeringEntities triggeringEntitiesRule="any">
+                    <EntityRef entityRef="lead"/>
+                  </TriggeringEntities>
+                  <EntityCondition>
+                    <AccelerationCondition value="1.5" rule="greaterThan"/>
+                  </EntityCondition>
+                </ByEntityCondition>
+              </Condition>
+            </ConditionGroup></StartTrigger>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+      <StartTrigger/>
+    </Act></Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_global_actions_and_new_conditions(tmp_path):
+    """Round-3 OSC constructs: story-level TrafficSignalStateAction +
+    EnvironmentAction (applied to the auto-wirable world services), and the
+    TimeOfDay / RelativeSpeed / Acceleration conditions — all parse without
+    UnsupportedOsc and drive the story."""
+    import warnings
+
+    from mmfn_tpu.harness.openscenario import UnsupportedOsc
+    from mmfn_tpu.harness.traffic import SignalSet, TrafficLight
+    from mmfn_tpu.harness.weather import WeatherSim
+
+    p = tmp_path / "new_constructs.xosc"
+    p.write_text(NEW_CONSTRUCTS_XOSC)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", category=UnsupportedOsc)
+        cfg = parse_xosc(str(p))
+
+    class _World:
+        weather = "ClearNoon"
+
+        def set_weather(self, preset, sun_altitude_deg=None):
+            self.weather = preset
+
+    mgr = OpenScenarioManager(cfg)
+    light = TrafficLight(position=np.array([50.0, 1.75]), yaw=0.0,
+                         light_id=7)
+    mgr.signals = SignalSet(lights=[light])
+    # weather clock compressed: 1 sim second = 1 clock hour, starting 17:54
+    ws = WeatherSim(preset="ClearNoon", animation=False, start_hour=17.9,
+                    time_scale=3600.0)
+    world = _World()
+    mgr.weather_sim, mgr.world = ws, world
+
+    ego = np.array([0.0, 1.75])
+    t = 0.0
+    for _ in range(400):
+        ws.update(t)                      # replay.py's per-tick update
+        mgr.tick(ego, 0.05)
+        t += 0.05
+        if len(mgr.fired_events) >= 4:
+            break
+    assert "ForceRed" in mgr.fired_events
+    assert light.forced_state == "red"
+    assert light.state(mgr.time) == "red"
+    assert "DuskRain" in mgr.fired_events           # clock passed 18:00
+    assert ws.preset == "HardRainSunset"            # sim retargeted...
+    assert world.weather == "HardRainSunset"        # ...and world pushed
+    assert "LeadBrakes" in mgr.fired_events         # relspeed 8 - 0 > 3
+    assert "HardBrakeSeen" in mgr.fired_events      # |decel| 2 > 1.5
