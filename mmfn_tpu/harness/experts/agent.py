@@ -54,9 +54,14 @@ class ExpertCollectionAgent(AutonomousAgent):
         self.pilot = (SimplePilot() if conf.get("pilot") == "auto"
                       else ExpertPilot())
         # MMFNPPilot analog (mmfn_ppilot.py:142-145): a stop counter requests
-        # fault removal (delete blockers / force lights green) from the world
-        self.force_unblock = bool(conf.get("force_unblock", False))
-        self.unblock_ticks = int(conf.get("unblock_ticks", 600))  # 30 s @ 20 Hz
+        # fault removal (delete blockers / force lights green) from the world.
+        # Defaults match the reference's SHIPPED expert config
+        # (run_steps/config/agent_config/expert.yaml:1-2:
+        # force_destory_actor: True, counter_destory: 200 = 10 s @ 20 Hz) —
+        # without it the expert waits behind a stopped blocker forever and
+        # times the route out.
+        self.force_unblock = bool(conf.get("force_unblock", True))
+        self.unblock_ticks = int(conf.get("unblock_ticks", 200))
         self._stop_counter = 0
         self._unblock_requested = False
         self.rough_map = RoughMap(self.config.up, self.config.down, self.config.left,

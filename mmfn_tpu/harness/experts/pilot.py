@@ -56,6 +56,11 @@ class ExpertPilot:
     VEHICLE_TTC = 2.5            # brake when a vehicle's TTC drops below
     WALKER_TTC = 3.5
     VEHICLE_LATERAL_GATE = 2.5   # meters; projection-TTC lateral miss gate
+    VEHICLE_CROSS_SAFE = 6.0     # crossing traffic: predicted-approach disc,
+    #                              center-to-center — the boxes themselves
+    #                              consume up to ego half-length + crosser
+    #                              half-length = 2.45 + 2.2 m of it
+    VEHICLE_CROSS_HORIZON = 4.0  # seconds of closest-approach prediction
     WALKER_HORIZON = 4.0         # closest-approach prediction window, seconds
     WALKER_SAFE_DIST = 3.5       # brake when predicted approach is closer
     RED_ANGLE_DIFF = 20.0        # deg; misalignment triggering straightening
@@ -100,6 +105,22 @@ class ExpertPilot:
                         self.CLOSE_OBS_SPEED,
                         float(np.linalg.norm(ego.velocity)))):
                 return f"vehicle:{v.actor_id}"
+            # crossing traffic: the reference lifts the angle restriction
+            # inside junctions so transverse movers near the ego gate it
+            # (mmfn_pilot.py:473-481, rule 3). The map-free kinematic analog
+            # gates on the mover's course being strongly transverse to mine
+            # (45-135 deg — oncoming and same-lane traffic stay excluded,
+            # so this can't deadlock two-way roads) with the walkers'
+            # predicted-closest-approach test.
+            sv = float(np.linalg.norm(v.velocity))
+            if sv > self.CLOSE_OBS_SPEED:
+                ego_dir = np.array([math.cos(ego.yaw), math.sin(ego.yaw)])
+                if abs(float((v.velocity / sv) @ ego_dir)) < 0.7071:
+                    if predicted_min_distance(
+                            ego.position, v.position, ego.velocity,
+                            v.velocity, self.VEHICLE_CROSS_HORIZON) \
+                            < self.VEHICLE_CROSS_SAFE:
+                        return f"vehicle:{v.actor_id}"
         return None
 
     def _walker_hazard(self, world: WorldView) -> Optional[str]:

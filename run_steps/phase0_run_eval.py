@@ -81,7 +81,8 @@ def build_agent(cfg, shared=None, route_index=None):
             "image_ext": agent_cfg.get("image_ext", "png"),
             "seed": agent_cfg.get("seed", 0),
             "pilot": agent_cfg.get("pilot", "mmfn"),
-            "force_unblock": agent_cfg.get("force_unblock", False),
+            # reference expert.yaml:1-2 ships force_destory_actor: True
+            "force_unblock": agent_cfg.get("force_unblock", True),
         })
     if agent_type == "npc":
         from mmfn_tpu.harness.agents.trivial import NpcAgent

@@ -402,3 +402,21 @@ def test_lead_with_obstacle_stops_and_resumes():
     assert stopped, "lead never braked for the cyclist"
     assert lead is None or np.linalg.norm(lead.velocity) > 5.0, \
         "lead never resumed cruise"
+
+
+@pytest.mark.parametrize("stype", [
+    "ChangeLane", "Scenario2", "StoppedVehicle",
+    "ManeuverOppositeDirection", "SignalizedJunctionRightTurn"])
+def test_expert_survives_catalog_stress_cases(tool, tmp_path, stype):
+    """Round-3 regression matrix: the five scenario types the expert used to
+    fail (route timeouts behind stopped blockers before force_unblock
+    matched the reference's shipped expert.yaml defaults, and a crossing
+    corner-clip in TS09 before the transverse-mover yield,
+    pilot.py VEHICLE_CROSS_*). Full-catalog sweep: scripts/_catalog_stress.py."""
+    import mmfn_tpu.harness.atoms  # noqa: F401  (registers atom scenarios)
+
+    triggers = [ScenarioTrigger(x=45.0, y=1.75, yaw=0.0,
+                                scenario_type=stype)]
+    agent, record = _run(tool, tmp_path, triggers=triggers, length=150.0)
+    assert record.status == "Completed", (stype, record.to_dict())
+    assert record.scores["score_composed"] == 100.0, (stype, record.to_dict())
