@@ -60,8 +60,13 @@ def _require_device(timeout_s: float = None):
     while retry_s > 0:    # 0 disables probing: dial directly (old behavior)
         reason = ""
         try:
+            # dial AND dispatch: the relay can wedge in a mode where
+            # jax.devices() answers but the first computation never returns
+            # (observed on this link) — the probe must fetch a real result
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "x = jnp.ones((8, 8)); print(float((x @ x).sum()))"],
                 timeout=probe_timeout,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True, text=True)
