@@ -49,12 +49,37 @@ behavior tree by transliteration:
 - WaitUntilInFront             (atomic_trigger_conditions.py:965)
 - WaitForTrafficLightState     (atomic_trigger_conditions.py:1128)
 - TimeOfDayComparison          (atomic_trigger_conditions.py:421)
+- ChangeNoiseParameters        (atomic_behaviors.py ChangeNoiseParameters)
+- InTimeToArrivalToVehicleSideLane (atomic_trigger_conditions.py)
 - FailureIsSuccess             (py_trees decorators.FailureIsSuccess)
 
 The world-service atoms (traffic lights, weather, time-of-day) reach the
 route's SignalSet / fake world / WeatherSim through the driving
 ScenarioManagerLite (``ctx.signals`` etc.) — the analog of srunner atoms
 reading CarlaDataProvider's singletons; replay.run_route auto-wires them.
+
+srunner atoms NOT mirrored here, and where their capability lives instead:
+
+- ChangeActorControl / UpdateAllActorControls / ChangeActorTargetSpeed /
+  ChangeActorWaypoints(+ToReachPosition) / ChangeActorLateralMotion /
+  ActorTransformSetterToOSCPosition / OSCStartEndCondition /
+  InTriggerDistanceToOSCPosition / InTimeToArrivalToOSCPosition — the
+  OpenSCENARIO execution family; the OSC engine itself covers these
+  (harness/openscenario.py actions + harness/actor_controls.py registry).
+- StartRecorder / StopRecorder — harness/recording.py (EpisodeRecorder,
+  driven by the runner, not by a scenario tree).
+- ScenarioTriggerer / TrafficLightManipulator — route-scenario machinery:
+  ScenarioManagerLite's trigger-radius activation and the SignalSet.
+- RunScript — executes an external python during CARLA replay; no analog
+  (the fake world has no out-of-band replay process).
+- ChangeRoadFriction — no kinematic meaning (actors integrate velocities).
+- InTriggerDistanceToNextIntersection / WaitEndIntersection /
+  AtRightmostLane / InTimeToArrivalToVehicleSideLane's lane-topology
+  variants need live Waypoint-API topology; the fake world's straight-road
+  trigger frame has no junction/lane graph to query (routes that need one
+  run under the OSC engine with an rmap, openscenario.py LanePosition).
+- WaitForBlackboardVariable — py_trees blackboard plumbing; composition
+  here passes Python state directly.
 """
 
 from __future__ import annotations
@@ -824,6 +849,30 @@ class TrafficLightStateSetter(Atom):
 # --------------------------------------------------------------------------- #
 
 
+class ChangeNoiseParameters(Atom):
+    """Re-draw the jitter magnitudes AddNoiseToVehicle applies
+    (atomic_behaviors.py:1327 ChangeNoiseParameters: one gaussian draw
+    |N(mean, std)|, steering cell gets min(0, -(draw - dynamic_mean)),
+    SUCCESS after one iteration). Kinematic analog: writes the steering
+    perturbation straight onto ``ctx.steer_noise``; the throttle cell has no
+    kinematic counterpart (accepted for signature parity). Deterministic:
+    the draw is seeded, not global-random."""
+
+    def __init__(self, noise_mean: float = 0.02, noise_std: float = 0.01,
+                 dynamic_mean_for_steer: float = 0.001,
+                 dynamic_mean_for_throttle: float = 0.015,
+                 seed: int = 0):
+        self.dynamic_mean_for_steer = dynamic_mean_for_steer
+        self.dynamic_mean_for_throttle = dynamic_mean_for_throttle  # parity
+        self._draw = abs(float(
+            np.random.default_rng(seed).normal(noise_mean, noise_std)))
+
+    def tick(self, ctx, dt):
+        ctx.steer_noise = min(0.0, -(self._draw
+                                     - self.dynamic_mean_for_steer))
+        return SUCCESS
+
+
 class InTriggerDistanceToVehicle(Atom):
     def __init__(self, name: str, other: str = EGO, distance: float = 10.0):
         self.name, self.other, self.distance = name, other, distance
@@ -942,6 +991,31 @@ class InTimeToArrivalToLocation(Atom):
         v = ctx.speed_of(self.name)
         tta = d / v if v > 1e-6 else math.inf
         return SUCCESS if self.cmp(tta, self.time) else RUNNING
+
+
+class InTimeToArrivalToVehicleSideLane(Atom):
+    """SUCCESS when the actor can reach the lane BESIDE another actor within
+    ``time`` seconds — cut-in support (atomic_trigger_conditions.py
+    InTimeToArrivalToVehicleSideLane: the target is one lane over from the
+    other actor's live position; the source's ``cut_in_lane='right'`` maps
+    to the other's get_left_lane(), i.e. +lateral here, and vice versa)."""
+
+    def __init__(self, name: str, other: str = EGO, time: float = 3.0,
+                 side_lane: str = "right", lane_width: float = 3.5):
+        assert side_lane in ("left", "right"), side_lane
+        self.name, self.other, self.time = name, other, time
+        self.shift = lane_width if side_lane == "right" else -lane_width
+
+    def tick(self, ctx, dt):
+        pos = ctx.position_of(self.name)
+        ref = ctx.position_of(self.other)
+        if pos is None or ref is None:
+            return RUNNING
+        target = ref + ctx.lateral * self.shift
+        v = ctx.speed_of(self.name)
+        tta = float(np.linalg.norm(pos - target)) / v if v > 1e-6 \
+            else math.inf
+        return SUCCESS if tta < self.time else RUNNING
 
 
 class TriggerVelocity(Atom):

@@ -728,3 +728,28 @@ def test_signalized_junction_right_turn_runs_without_signals():
     actors = mgr.tick(ego, DT)
     assert len(actors) == 1                # crossing vehicle spawned
     assert not mgr.behaviors[0].done       # tree did not fail out
+
+
+def test_change_noise_parameters_and_side_lane_tta():
+    from mmfn_tpu.harness.atoms import (ChangeNoiseParameters,
+                                        InTimeToArrivalToVehicleSideLane)
+
+    ctx = _ctx()
+    atom = ChangeNoiseParameters(noise_mean=0.05, noise_std=0.0,
+                                 dynamic_mean_for_steer=0.01)
+    assert atom.tick(ctx, DT) == SUCCESS
+    assert ctx.steer_noise == pytest.approx(-0.04)   # min(0, -(0.05-0.01))
+
+    ActorTransformSetter("cutter", ahead=-10.0, lateral=3.5,
+                         speed=10.0).tick(ctx, DT)
+    ctx.observe(np.array([0.0, 0.0]), DT)
+    # target = ego + 3.5 left (side_lane='right' maps to the other's left
+    # lane, where the cutter already is): 10 m behind at 10 m/s -> 1 s
+    cond = InTimeToArrivalToVehicleSideLane("cutter", EGO, time=3.0,
+                                            side_lane="right")
+    assert cond.tick(ctx, DT) == SUCCESS
+    slow = InTimeToArrivalToVehicleSideLane("cutter", EGO, time=0.5,
+                                            side_lane="right")
+    assert slow.tick(ctx, DT) == RUNNING
+    ctx.actors["cutter"].velocity = np.zeros(2)       # at rest: TTA infinite
+    assert cond.tick(ctx, DT) == RUNNING
