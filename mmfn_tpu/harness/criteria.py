@@ -132,6 +132,36 @@ class RouteDeviationCriterion(Criterion):
                 f"Agent deviated from the route at ({pos[0]:.2f}, {pos[1]:.2f})"))
 
 
+def subdivide_lane_ribbon(lane_polylines: Sequence[np.ndarray],
+                          lane_widths: Optional[Sequence] = None,
+                          default_half_width: float = 1.75
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten lane centerlines into ~1 m-spaced sample points with a
+    per-point half width (interpolated along each segment). Lane membership
+    of a position is then ``min(|points - pos| - halfw) <= margin`` — shared
+    by OutsideRouteLanesCriterion and the OpenSCENARIO Offroad/EndOfRoad
+    conditions."""
+    pts = []
+    halfw = []
+    for li, poly in enumerate(lane_polylines):
+        poly = np.asarray(poly, dtype=np.float64)[:, :2]
+        w = None if lane_widths is None else lane_widths[li]
+        hw = (np.full(len(poly), default_half_width) if w is None
+              else np.asarray(w, dtype=np.float64) / 2.0)
+        if len(poly) < 2:
+            if len(poly):
+                pts.append(poly)
+                halfw.append(hw[:1])
+            continue
+        for k, (a, b) in enumerate(zip(poly[:-1], poly[1:])):
+            n = max(1, int(np.linalg.norm(b - a)))
+            frac = np.linspace(0, 1, n, endpoint=False)
+            pts.append(a + (b - a) * frac[:, None])
+            halfw.append(hw[k] + (hw[k + 1] - hw[k]) * frac)
+    return (np.concatenate(pts, axis=0) if pts else np.zeros((0, 2)),
+            np.concatenate(halfw) if halfw else np.zeros((0,)))
+
+
 class OutsideRouteLanesCriterion(Criterion):
     """Percentage of driven distance spent outside any drivable lane
     (atomic_criteria.py OutsideRouteLanesTest semantics: the composed score is
@@ -150,27 +180,9 @@ class OutsideRouteLanesCriterion(Criterion):
     def __init__(self, lane_polylines: Sequence[np.ndarray],
                  lane_widths: Optional[Sequence] = None):
         super().__init__()
-        pts = []
-        halfw = []
-        for li, poly in enumerate(lane_polylines):
-            poly = np.asarray(poly, dtype=np.float64)[:, :2]
-            w = None if lane_widths is None else lane_widths[li]
-            hw = (np.full(len(poly), self.DEFAULT_HALF_WIDTH) if w is None
-                  else np.asarray(w, dtype=np.float64) / 2.0)
-            if len(poly) < 2:
-                if len(poly):
-                    pts.append(poly)
-                    halfw.append(hw[:1])
-                continue
-            # subdivide to ~1 m so the distance test matches the lane ribbon,
-            # interpolating the half width along each segment
-            for k, (a, b) in enumerate(zip(poly[:-1], poly[1:])):
-                n = max(1, int(np.linalg.norm(b - a)))
-                frac = np.linspace(0, 1, n, endpoint=False)
-                pts.append(a + (b - a) * frac[:, None])
-                halfw.append(hw[k] + (hw[k + 1] - hw[k]) * frac)
-        self._points = np.concatenate(pts, axis=0) if pts else np.zeros((0, 2))
-        self._halfw = (np.concatenate(halfw) if halfw else np.zeros((0,)))
+        self._points, self._halfw = subdivide_lane_ribbon(
+            lane_polylines, lane_widths,
+            default_half_width=self.DEFAULT_HALF_WIDTH)
         self._outside_m = 0.0
         self._driven_m = 0.0
         self._last: Optional[np.ndarray] = None

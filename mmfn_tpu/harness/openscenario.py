@@ -21,10 +21,18 @@ Supported subset (OpenSCENARIO 1.0):
 - ``Storyboard/Init``: per-entity ``TeleportAction`` (``WorldPosition`` or
   ``RelativeWorldPosition``), initial ``SpeedAction``, and the
   ``EnvironmentAction`` weather (mapped onto the expert's WEATHERS presets);
-- ``Story/Act/ManeuverGroup/Maneuver/Event`` with start triggers
+- ``Story/Act/ManeuverGroup/Maneuver/Event`` with start triggers covering
+  ALL OpenSCENARIO 1.0 ByEntityCondition kinds —
   ``SimulationTimeCondition``, ``RelativeDistanceCondition``,
   ``TraveledDistanceCondition``, ``ReachPositionCondition``,
-  ``StandStillCondition`` and actions ``SpeedAction`` (absolute/relative
+  ``StandStillCondition``, ``DistanceCondition`` (incl. ``alongRoute``),
+  ``TimeToCollisionCondition``, ``TimeHeadwayCondition``,
+  ``SpeedCondition``, ``AccelerationCondition``,
+  ``RelativeSpeedCondition``, ``CollisionCondition`` (OBB contact, the
+  kinematic analog of CARLA's collision sensor),
+  ``OffroadCondition``/``EndOfRoadCondition`` (continuous-duration
+  membership tests against the rmap lane ribbon / route end) —
+  and actions ``SpeedAction`` (absolute/relative
   target, step or linear-rate dynamics), ``LaneChangeAction`` (relative
   target lane, mapped to a 3.5 m/lane lateral shift), ``TeleportAction`` and
   ``AcquirePositionAction`` (re-aim at a world position);
@@ -102,7 +110,8 @@ import numpy as np
 
 from mmfn_tpu.harness.actor_controls import (BasicControl, Obstacle,
                                              make_controller)
-from mmfn_tpu.harness.scenarios import ScenarioActor
+from mmfn_tpu.harness.scenarios import (ScenarioActor, actors_collide,
+                                        check_collision)
 from mmfn_tpu.harness.weather import preset_family
 
 LANE_WIDTH = 3.5
@@ -959,6 +968,35 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
                              rule=relspeed.get("rule", "greaterThan"),
                              entity=relspeed.get("entityRef", ""),
                              triggering=triggering, name=name)
+    coll = ec.find("CollisionCondition")
+    if coll is not None:
+        # OBB contact between the triggering entity and the referenced one
+        # (no EntityRef / ByType target = any scripted actor). The fake
+        # world's kinematic analog of CARLA's physical collision sensor —
+        # same geometry as scenarios.check_collision.
+        ref = coll.find("EntityRef")
+        return XoscCondition(
+            "collision",
+            entity=(_resolve(ref.get("entityRef"), params) or ""
+                    ) if ref is not None else "",
+            triggering=triggering, name=name)
+    off = ec.find("OffroadCondition")
+    if off is not None:
+        # held continuously for `duration`: entity outside every drivable
+        # lane ribbon (rmap centerline +- half width, the same membership
+        # test as OutsideRouteLanesCriterion); without a wired map it falls
+        # back to >3.5 m from the ego route polyline (docs/PARITY.md)
+        return XoscCondition("offroad",
+                             value=_f(off, "duration", params, 0.0),
+                             triggering=triggering, name=name)
+    eor = ec.find("EndOfRoadCondition")
+    if eor is not None:
+        # held continuously for `duration`: entity within 2 m of the end of
+        # the ego route polyline (the fake world's road network IS the
+        # route's lanes; docs/PARITY.md)
+        return XoscCondition("end_of_road",
+                             value=_f(eor, "duration", params, 0.0),
+                             triggering=triggering, name=name)
     return _unsupported_condition(name, ec)
 
 
@@ -1495,6 +1533,13 @@ class OpenScenarioManager:
         # per-entity speed memory for the 'accel' condition (finite diff)
         self._prev_speed: Dict[str, float] = {}
         self._accel: Dict[str, float] = {}
+        # drivable-lane ribbon for 'offroad' (points, half_widths) — wired
+        # from the route's rough map by ClosedLoopRunner.drive when left None
+        self.lane_ribbon = None
+        self._ego_yaw = 0.0
+        # (kind, entity) -> time the condition started holding continuously
+        # ('offroad' / 'end_of_road' duration semantics)
+        self._dur_since: Dict[tuple, float] = {}
 
     @property
     def fired_events(self) -> Tuple[str, ...]:
@@ -1653,7 +1698,79 @@ class OpenScenarioManager:
             return any(s is not None
                        and self._cmp(s - other, cond.rule, cond.value)
                        for s in (self._entity_speed(r) for r in refs))
+        if cond.kind == "collision":
+            if cond.entity and cond.entity != self.hero_name:
+                sa = self.scripted.get(cond.entity)
+                targets = [sa.actor] if sa is not None else []
+            elif cond.entity == self.hero_name:
+                targets = []            # handled as the symmetric ego test
+            else:                       # no target named: any scripted actor
+                targets = [s.actor for s in self.scripted.values()]
+            for ref in refs:
+                if ref == self.hero_name:
+                    if targets and check_collision(
+                            ego_xy, self._ego_yaw, targets) is not None:
+                        return True
+                    continue
+                sa = self.scripted.get(ref)
+                if sa is None:
+                    continue
+                if cond.entity == self.hero_name:
+                    # scripted triggering entity vs the live ego footprint
+                    if check_collision(ego_xy, self._ego_yaw,
+                                       [sa.actor]) is not None:
+                        return True
+                elif any(t is not sa.actor and actors_collide(sa.actor, t)
+                         for t in targets):
+                    return True
+            return False
+        if cond.kind == "offroad":
+            return self._any_held_for(
+                "offroad", refs, ego_xy, cond.value,
+                lambda pos: self._is_offroad(pos))
+        if cond.kind == "end_of_road":
+            if self.route_xy is None or len(self.route_xy) < 2:
+                return False
+            pts = np.asarray(self.route_xy, dtype=np.float64)
+            total = float(np.sum(np.linalg.norm(pts[1:] - pts[:-1], axis=1)))
+            return self._any_held_for(
+                "end_of_road", refs, ego_xy, cond.value,
+                lambda pos: total - self._route_arclength(
+                    np.asarray(pos, float)) <= 2.0)
         return False   # 'unsupported' (and anything unknown) never holds
+
+    def _any_held_for(self, kind: str, refs, ego_xy: np.ndarray,
+                      duration: float, predicate) -> bool:
+        """True when `predicate(position)` has held continuously for
+        `duration` seconds for any triggering entity (OSC Offroad/EndOfRoad
+        duration semantics)."""
+        for ref in refs:
+            pos = self._entity_pos(ref, ego_xy)
+            key = (kind, ref)
+            if pos is None or not predicate(pos):
+                self._dur_since.pop(key, None)
+                continue
+            since = self._dur_since.setdefault(key, self.time)
+            if self.time - since >= duration:
+                return True
+        return False
+
+    # offroad fallback when no lane ribbon is wired: beyond the widest
+    # plausible lane half-width from the ego route polyline
+    OFFROAD_ROUTE_FALLBACK_M = 3.5
+    OFFROAD_MARGIN = 0.6        # matches OutsideRouteLanesCriterion.MARGIN
+
+    def _is_offroad(self, pos: np.ndarray) -> bool:
+        pos = np.asarray(pos, dtype=np.float64)
+        if self.lane_ribbon is not None and len(self.lane_ribbon[0]):
+            points, halfw = self.lane_ribbon
+            slack = np.linalg.norm(points - pos, axis=1) - halfw
+            return float(np.min(slack)) > self.OFFROAD_MARGIN
+        if self.route_xy is not None and len(self.route_xy) >= 1:
+            pts = np.asarray(self.route_xy, dtype=np.float64)
+            return float(np.min(np.linalg.norm(pts - pos, axis=1))) \
+                > self.OFFROAD_ROUTE_FALLBACK_M
+        return False
 
     def _trigger_holds(self, trigger: Trigger, ego_xy: np.ndarray) -> bool:
         """OR over condition groups, AND within a group; an empty trigger
@@ -1675,6 +1792,8 @@ class OpenScenarioManager:
             self._ego_speed = step / dt if dt > 0 else 0.0
             ego_vel = delta / dt if dt > 0 else ego_vel
         self._ego_vel = ego_vel
+        if float(np.linalg.norm(ego_vel)) > 0.1:   # heading only when moving
+            self._ego_yaw = float(np.arctan2(ego_vel[1], ego_vel[0]))
         self._last_ego = ego_xy.copy()
         self.time += dt
         # finite-differenced per-entity acceleration ('accel' condition)

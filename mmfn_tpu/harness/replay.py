@@ -420,6 +420,15 @@ class ClosedLoopRunner:
             scenario_mgr.world = world
         if getattr(scenario_mgr, "weather_sim", "absent") is None:
             scenario_mgr.weather_sim = weather_sim
+        # OSC OffroadCondition needs the drivable-lane ribbon (same geometry
+        # as OutsideRouteLanesCriterion)
+        if getattr(scenario_mgr, "lane_ribbon", "absent") is None \
+                and rough_map is not None:
+            from mmfn_tpu.harness.criteria import subdivide_lane_ribbon
+
+            scenario_mgr.lane_ribbon = subdivide_lane_ribbon(
+                [lane.nodes for lane in rough_map.lanes],
+                [lane.widths for lane in rough_map.lanes])
         collision_events: List[TrafficEvent] = []
         collided_ids = set()
         if recorder is not None:

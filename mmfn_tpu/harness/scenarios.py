@@ -843,6 +843,18 @@ def actor_half_extents(a: ScenarioActor):
     return (float(a.extent), float(a.extent))
 
 
+def actors_collide(a: ScenarioActor, b: ScenarioActor) -> bool:
+    """Oriented-box overlap between two scenario actors — the scripted-vs-
+    scripted analog of :func:`check_collision` (OpenSCENARIO
+    CollisionCondition between non-ego entities)."""
+    if np.linalg.norm(a.position - b.position) > \
+            math.hypot(*actor_half_extents(a)) \
+            + math.hypot(*actor_half_extents(b)):
+        return False
+    return _obb_overlap(a.position, a.yaw, actor_half_extents(a),
+                        b.position, b.yaw, actor_half_extents(b))
+
+
 def check_collision(ego_xy: np.ndarray, ego_yaw: float,
                     actors: Sequence[ScenarioActor]) -> Optional[ScenarioActor]:
     """Oriented-box collision between the ego footprint and each actor.

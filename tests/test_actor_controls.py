@@ -848,9 +848,14 @@ def test_unsupported_condition_warns_at_parse(tmp_path):
     which silently disables the event it gates (VERDICT r2 weak #6)."""
     from mmfn_tpu.harness.openscenario import UnsupportedOsc
 
-    xosc = _condition_xosc(_by_hero(
-        '<AccelerationCondition value="1" rule="greaterThan"/>'))
-    with pytest.warns(UnsupportedOsc, match="AccelerationCondition"):
+    # every OSC 1.0 ByEntityCondition kind is now in the subset; the
+    # canonical out-of-subset construct is a ByValueCondition kind the
+    # engine has no story-state for
+    xosc = _condition_xosc(
+        "<ByValueCondition><StoryboardElementStateCondition "
+        'storyboardElementType="act" storyboardElementRef="a" '
+        'state="completeState"/></ByValueCondition>')
+    with pytest.warns(UnsupportedOsc, match="StoryboardElementStateCondition"):
         cfg = parse_xosc(_write(tmp_path, xosc))
     assert cfg.events[0].trigger[0][0].kind == "unsupported"
     # and the event indeed never fires
@@ -966,3 +971,65 @@ def test_time_headway_condition(tmp_path):
             break
     # headway < 2 s at 10 m/s -> gap < 20 m
     assert fired_at_gap is not None and 18.5 < fired_at_gap < 21.0
+
+
+def test_collision_condition(tmp_path):
+    """CollisionCondition: OBB contact between the hero and the adversary
+    (the kinematic analog of CARLA's collision sensor)."""
+    xosc = _condition_xosc(_by_hero(
+        '<CollisionCondition><EntityRef entityRef="adversary"/>'
+        '</CollisionCondition>'))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].trigger[0][0].kind == "collision"
+    mgr = OpenScenarioManager(cfg)
+    x = 0.0
+    fired_at_gap = None
+    for _ in range(300):                   # ego at 10 m/s toward x=50
+        x += 10.0 * DT
+        mgr.tick(np.array([x, 0.0]), DT)
+        if mgr.fired_events:
+            fired_at_gap = 50.0 - x
+            break
+    # boxes touch when the gap shrinks to ~(ego half length + adversary
+    # half length): well before the centers coincide, well after 10 m
+    assert fired_at_gap is not None and 2.0 < fired_at_gap < 8.0
+
+
+def test_offroad_condition_duration(tmp_path):
+    """OffroadCondition: continuous off-lane membership for `duration`
+    (route-polyline fallback when no lane ribbon is wired)."""
+    xosc = _condition_xosc(_by_hero('<OffroadCondition duration="1"/>'))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].trigger[0][0].kind == "offroad"
+    mgr = OpenScenarioManager(
+        cfg, route_xy=[(float(x), 0.0) for x in range(0, 101, 5)])
+    _tick_many(mgr, 100, ego=(10.0, 0.0))  # on the route: never fires
+    assert mgr.fired_events == ()
+    for i in range(15):                    # 0.75 s offroad: not yet
+        mgr.tick(np.array([10.0, 10.0]), DT)
+    assert mgr.fired_events == ()
+    mgr.tick(np.array([10.0, 0.0]), DT)    # back on-road resets the clock
+    for _ in range(19):
+        mgr.tick(np.array([10.0, 10.0]), DT)
+    assert mgr.fired_events == ()          # 0.95 s continuous: still gated
+    for _ in range(3):
+        mgr.tick(np.array([10.0, 10.0]), DT)
+    assert mgr.fired_events == ("Go",)     # >=1 s continuous
+
+
+def test_end_of_road_condition(tmp_path):
+    """EndOfRoadCondition: entity within 2 m of the route end, held for
+    `duration`."""
+    xosc = _condition_xosc(_by_hero('<EndOfRoadCondition duration="0.5"/>'))
+    cfg = parse_xosc(_write(tmp_path, xosc))
+    assert cfg.events[0].trigger[0][0].kind == "end_of_road"
+    mgr = OpenScenarioManager(
+        cfg, route_xy=[(float(x), 0.0) for x in range(0, 101, 5)])
+    _tick_many(mgr, 50, ego=(50.0, 0.0))   # mid-route: never fires
+    assert mgr.fired_events == ()
+    for _ in range(9):                     # 0.45 s at the end: not yet
+        mgr.tick(np.array([99.5, 0.0]), DT)
+    assert mgr.fired_events == ()
+    for _ in range(3):
+        mgr.tick(np.array([99.5, 0.0]), DT)
+    assert mgr.fired_events == ("Go",)
