@@ -51,6 +51,9 @@ behavior tree by transliteration:
 - TimeOfDayComparison          (atomic_trigger_conditions.py:421)
 - ChangeNoiseParameters        (atomic_behaviors.py ChangeNoiseParameters)
 - InTimeToArrivalToVehicleSideLane (atomic_trigger_conditions.py)
+- InTriggerDistanceToNextIntersection (atomic_trigger_conditions.py:568)
+- WaitEndIntersection          (atomic_trigger_conditions.py WaitEndIntersection)
+- AtRightmostLane              (atomic_trigger_conditions.py AtRightmostLane)
 - FailureIsSuccess             (py_trees decorators.FailureIsSuccess)
 
 The world-service atoms (traffic lights, weather, time-of-day) reach the
@@ -73,11 +76,14 @@ srunner atoms NOT mirrored here, and where their capability lives instead:
 - RunScript — executes an external python during CARLA replay; no analog
   (the fake world has no out-of-band replay process).
 - ChangeRoadFriction — no kinematic meaning (actors integrate velocities).
-- InTriggerDistanceToNextIntersection / WaitEndIntersection /
-  AtRightmostLane / InTimeToArrivalToVehicleSideLane's lane-topology
-  variants need live Waypoint-API topology; the fake world's straight-road
-  trigger frame has no junction/lane graph to query (routes that need one
-  run under the OSC engine with an rmap, openscenario.py LanePosition).
+- InTimeToArrivalToVehicleSideLane's lane-topology variants beyond the
+  trigger-frame lateral offset need a live adjacent-lane graph the trigger
+  frame doesn't carry. (The junction/lane-id topology conditions —
+  InTriggerDistanceToNextIntersection, WaitEndIntersection, AtRightmostLane
+  — ARE mirrored: they query the route's vectorized map through
+  ``ctx.rough_map``, auto-wired by replay.run_route, using the rmap's
+  intersection flags, v3 road/lane ids and arclengths in place of the
+  CARLA Waypoint API.)
 - WaitForBlackboardVariable — py_trees blackboard plumbing; composition
   here passes Python state directly.
 """
@@ -145,6 +151,13 @@ class BehaviorContext:
     def weather_sim(self):
         """The route's harness.weather.WeatherSim, or None."""
         return getattr(self.manager, "weather_sim", None)
+
+    @property
+    def rough_map(self):
+        """The route's vectorized map (mapping.rough_map.RoughMap), or None —
+        lane-topology atoms (next-intersection distance, rightmost lane)
+        query it the way srunner atoms query the CARLA Waypoint API."""
+        return getattr(self.manager, "rough_map", None)
 
     @property
     def game_time(self) -> float:
@@ -1165,6 +1178,135 @@ class TimeOfDayComparison(Atom):
         if ws is None:
             return RUNNING
         return SUCCESS if self.cmp(ws.clock_hour, self.hour) else RUNNING
+
+
+# --------------------------------------------------------------------------- #
+# lane-topology conditions (query the vectorized map the way srunner
+# queries the CARLA Waypoint API; RUNNING without a wired rough_map)
+# --------------------------------------------------------------------------- #
+
+
+def _distance_to_next_intersection(rough_map, xy: np.ndarray
+                                   ) -> Optional[float]:
+    """Arclength from the point's lane projection to the first
+    intersection-flagged node AHEAD on that lane (rmap node column 2 is the
+    OpenDRIVE junction flag); falls back to the euclidean distance to the
+    nearest flagged node anywhere when the point's own lane has none (or
+    the map carries no v3 arclengths). None when the map has no junctions."""
+    from mmfn_tpu.mapping.rough_map import locate_on_lane
+
+    try:
+        road_id, lane_id, s, _ = locate_on_lane(
+            rough_map, float(xy[0]), float(xy[1]))
+    except KeyError:
+        road_id = None
+    if road_id is not None:
+        for lane in rough_map.lanes:
+            if lane.road_id != road_id or lane.lane_id != lane_id \
+                    or lane.node_s is None:
+                continue
+            flagged = (lane.nodes[:, 2] > 0.5) & (lane.node_s >= s)
+            if flagged.any():
+                return float(np.min(lane.node_s[flagged]) - s)
+    best = None
+    for lane in rough_map.lanes:
+        flagged = lane.nodes[:, 2] > 0.5
+        if not flagged.any():
+            continue
+        d = float(np.min(np.linalg.norm(
+            lane.nodes[flagged, :2] - np.asarray(xy, np.float64), axis=1)))
+        best = d if best is None else min(best, d)
+    return best
+
+
+def _inside_intersection(rough_map, xy: np.ndarray, margin: float = 2.0
+                         ) -> bool:
+    """Point is within a lane's half width (+margin) of an
+    intersection-flagged node — the fake-world analog of
+    ``waypoint.is_junction``."""
+    xy = np.asarray(xy, np.float64)
+    for lane in rough_map.lanes:
+        flagged = lane.nodes[:, 2] > 0.5
+        if not flagged.any():
+            continue
+        hw = (np.full(len(lane.nodes), 1.75) if lane.widths is None
+              else np.asarray(lane.widths, np.float64) / 2.0)
+        d = np.linalg.norm(lane.nodes[flagged, :2] - xy, axis=1)
+        if bool(np.any(d <= hw[flagged] + margin)):
+            return True
+    return False
+
+
+class InTriggerDistanceToNextIntersection(Atom):
+    """SUCCESS when the actor is within ``distance`` (arclength along its
+    lane) of the next junction (atomic_trigger_conditions.py
+    InTriggerDistanceToNextIntersection:568 measures along the waypoint
+    chain to the junction waypoint; the rmap arclength column is that
+    chain). RUNNING without a wired map or when the map has no junctions."""
+
+    def __init__(self, name: str, distance: float):
+        self.name, self.distance = name, distance
+
+    def tick(self, ctx, dt):
+        rm = ctx.rough_map
+        pos = ctx.position_of(self.name)
+        if rm is None or pos is None:
+            return RUNNING
+        d = _distance_to_next_intersection(rm, pos)
+        return SUCCESS if d is not None and d < self.distance else RUNNING
+
+
+class WaitEndIntersection(Atom):
+    """RUNNING until the actor has ENTERED a junction and then LEFT it
+    (atomic_trigger_conditions.py WaitEndIntersection: waits on
+    waypoint.is_junction turning true then false)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._entered = False
+
+    def reset(self):
+        self._entered = False
+
+    def tick(self, ctx, dt):
+        rm = ctx.rough_map
+        pos = ctx.position_of(self.name)
+        if rm is None or pos is None:
+            return RUNNING
+        inside = _inside_intersection(rm, pos)
+        if inside:
+            self._entered = True
+            return RUNNING
+        return SUCCESS if self._entered else RUNNING
+
+
+class AtRightmostLane(Atom):
+    """SUCCESS when the actor's nearest lane is the rightmost drivable lane
+    of its road (atomic_trigger_conditions.py AtRightmostLane:
+    get_right_lane() is None / not driving). OpenDRIVE id convention: in
+    the direction of travel, "further right" is one MORE step away from the
+    centerline on the actor's side (rmap carries driving lanes only), so
+    rightmost = no same-road lane with |id| + 1 on the same sign."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def tick(self, ctx, dt):
+        from mmfn_tpu.mapping.rough_map import locate_on_lane
+
+        rm = ctx.rough_map
+        pos = ctx.position_of(self.name)
+        if rm is None or pos is None:
+            return RUNNING
+        try:
+            road_id, lane_id, _, _ = locate_on_lane(
+                rm, float(pos[0]), float(pos[1]))
+        except KeyError:
+            return RUNNING
+        righter = (lane_id + 1) if lane_id > 0 else (lane_id - 1)
+        has_righter = any(l.road_id == road_id and l.lane_id == righter
+                          for l in rm.lanes)
+        return RUNNING if has_righter else SUCCESS
 
 
 # --------------------------------------------------------------------------- #

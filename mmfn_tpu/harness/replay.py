@@ -420,6 +420,10 @@ class ClosedLoopRunner:
             scenario_mgr.world = world
         if getattr(scenario_mgr, "weather_sim", "absent") is None:
             scenario_mgr.weather_sim = weather_sim
+        # lane-topology atoms (next-intersection distance, rightmost lane)
+        # query the vectorized map the way srunner queries the Waypoint API
+        if getattr(scenario_mgr, "rough_map", "absent") is None:
+            scenario_mgr.rough_map = rough_map
         # OSC OffroadCondition needs the drivable-lane ribbon (same geometry
         # as OutsideRouteLanesCriterion)
         if getattr(scenario_mgr, "lane_ribbon", "absent") is None \

@@ -771,6 +771,7 @@ class ScenarioManagerLite:
         self.signals = None        # harness.traffic.SignalSet
         self.world = None          # the fake world (set_weather target)
         self.weather_sim = None    # harness.weather.WeatherSim
+        self.rough_map = None      # mapping.rough_map.RoughMap (topology)
         self.game_time = 0.0       # accumulated sim seconds (light phases)
         self.behaviors: List[ScenarioBehavior] = []
         for i, trig in enumerate(triggers):

@@ -753,3 +753,80 @@ def test_change_noise_parameters_and_side_lane_tta():
     assert slow.tick(ctx, DT) == RUNNING
     ctx.actors["cutter"].velocity = np.zeros(2)       # at rest: TTA infinite
     assert cond.tick(ctx, DT) == RUNNING
+
+
+# --------------------------------------------------------------------------- #
+# lane-topology conditions (rmap in place of the Waypoint API)
+# --------------------------------------------------------------------------- #
+
+def _topology_map():
+    """Two-lane straight road (road '7', lanes -1/-2 at y=1.75/5.25) whose
+    nodes from x=60 onward are junction-flagged, plus an unrelated flagless
+    road '8'."""
+    from mmfn_tpu.mapping.rough_map import RoughLane, RoughMap
+
+    def lane(y, lane_id, road_id="7", flag_from=60.0):
+        xs = np.arange(0.0, 101.0, 10.0)
+        nodes = np.zeros((len(xs), 5))
+        nodes[:, 0] = xs
+        nodes[:, 1] = y
+        nodes[:, 2] = (xs >= flag_from).astype(float)
+        poly = np.array([[0, y - 2], [100, y - 2], [100, y + 2], [0, y + 2]],
+                        dtype=np.float64)
+        return RoughLane(poly, nodes, widths=np.full(len(xs), 3.5),
+                         road_id=road_id, lane_id=lane_id, node_s=xs.copy())
+
+    rm = RoughMap()
+    rm.lanes = [lane(1.75, -1), lane(5.25, -2),
+                lane(200.0, -1, road_id="8", flag_from=1e9)]
+    return rm
+
+
+class _MapManager:
+    def __init__(self, rough_map):
+        self.rough_map = rough_map
+
+
+def _map_ctx(rough_map):
+    ctx = _ctx()
+    ctx.manager = _MapManager(rough_map)
+    return ctx
+
+
+def test_in_trigger_distance_to_next_intersection():
+    from mmfn_tpu.harness.atoms import InTriggerDistanceToNextIntersection
+
+    ctx = _map_ctx(_topology_map())
+    cond = InTriggerDistanceToNextIntersection(EGO, distance=20.0)
+    ctx.observe(np.array([10.0, 1.75]), DT)   # 50 m of lane to the junction
+    assert cond.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([45.0, 1.75]), DT)   # 15 m < 20
+    assert cond.tick(ctx, DT) == SUCCESS
+    # without a wired map the condition stays RUNNING (srunner would need
+    # a CARLA map handle the same way)
+    assert InTriggerDistanceToNextIntersection(EGO, 20.0).tick(_ctx(), DT) \
+        == RUNNING
+
+
+def test_wait_end_intersection():
+    from mmfn_tpu.harness.atoms import WaitEndIntersection
+
+    ctx = _map_ctx(_topology_map())
+    cond = WaitEndIntersection(EGO)
+    ctx.observe(np.array([10.0, 1.75]), DT)   # before the junction
+    assert cond.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([70.0, 1.75]), DT)   # inside
+    assert cond.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([70.0, 30.0]), DT)   # left it (laterally clear)
+    assert cond.tick(ctx, DT) == SUCCESS
+
+
+def test_at_rightmost_lane():
+    from mmfn_tpu.harness.atoms import AtRightmostLane
+
+    ctx = _map_ctx(_topology_map())
+    cond = AtRightmostLane(EGO)
+    ctx.observe(np.array([30.0, 1.75]), DT)   # lane -1: lane -2 is righter
+    assert cond.tick(ctx, DT) == RUNNING
+    ctx.observe(np.array([30.0, 5.25]), DT)   # lane -2: rightmost
+    assert cond.tick(ctx, DT) == SUCCESS
