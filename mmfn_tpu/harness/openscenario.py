@@ -32,7 +32,17 @@ Supported subset (OpenSCENARIO 1.0):
   kinematic analog of CARLA's collision sensor),
   ``OffroadCondition``/``EndOfRoadCondition`` (continuous-duration
   membership tests against the rmap lane ribbon / route end) —
-  and actions ``SpeedAction`` (absolute/relative
+  plus the ByValueCondition kinds ``SimulationTimeCondition``,
+  ``TrafficSignalCondition``, ``TimeOfDayCondition``,
+  ``ParameterCondition`` (folded to a constant at parse time — parameters
+  are static in this engine) and ``StoryboardElementStateCondition``
+  (start/stop/end transitions + completeState like srunner's
+  OSCStartEndCondition, openscenario_parser.py:850-861, plus
+  ``runningState``; maneuver CatalogReferences in a ManeuverGroup resolve
+  through the same catalog machinery) — the only ByValue kinds outside the
+  subset are ``UserDefinedValueCondition`` and
+  ``TrafficSignalControllerCondition``, which the reference also refuses
+  (ibid.:862-879) — and actions ``SpeedAction`` (absolute/relative
   target, step or linear-rate dynamics), ``LaneChangeAction`` (relative
   target lane, mapped to a 3.5 m/lane lateral shift), ``TeleportAction`` and
   ``AcquirePositionAction`` (re-aim at a world position);
@@ -149,7 +159,11 @@ class EntitySpec:
 class XoscCondition:
     # 'time' | 'reldist' | 'traveled' | 'reach' | 'standstill' | 'distance'
     # | 'ttc' | 'headway' | 'speed' | 'signal' | 'timeofday' | 'accel'
-    # | 'relspeed' | 'unsupported'
+    # | 'relspeed' | 'parameter' | 'element_state' | 'unsupported'
+    # ('parameter' is a ParameterCondition folded to a constant at parse
+    # time — parameters are static in this engine; 'element_state' is a
+    # StoryboardElementStateCondition: entity = storyboardElementRef,
+    # rule = storyboardElementType, state = 'start'|'end'|'running')
     # ('unsupported' records a construct outside the subset; it never holds,
     # so a gated event stays gated instead of firing on the first tick — and
     # the parser warns loudly, once per construct kind, because a silently
@@ -214,6 +228,11 @@ class XoscEvent:
     trigger: Trigger                 # event StartTrigger; empty = fires at once
     actions: List[XoscAction]
     act_trigger: Trigger = field(default_factory=list)  # enclosing Act's gate
+    # enclosing Maneuver / Act names, kept so a
+    # StoryboardElementStateCondition can reference elements above the
+    # event level (the parser otherwise flattens the storyboard to events)
+    maneuver: str = ""
+    act_name: str = ""
 
 
 @dataclass
@@ -883,6 +902,53 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
             return XoscCondition("timeofday", value=hour,
                                  rule=tod.get("rule", "greaterThan"),
                                  name=name)
+        par = byval.find("ParameterCondition")
+        if par is not None:
+            # OSC semantics: compare the parameter's value against 'value'
+            # under 'rule'. Parameters are compile-time constants in this
+            # engine (no ParameterSetAction in the subset), so the
+            # comparison folds to a constant at parse time. srunner instead
+            # repurposes ParameterCondition stop-trigger names as criterion
+            # declarations (openscenario_parser.py:817-838) — that
+            # convention is handled by _parse_trigger's criteria_ filter
+            # before any condition reaches here.
+            cur = params.get(par.get("parameterRef", "").lstrip("$"))
+            want = _resolve(par.get("value"), params) or ""
+            rule = par.get("rule", "equalTo")
+            holds = False
+            if cur is not None:
+                try:
+                    holds = OpenScenarioManager._cmp(float(cur), rule,
+                                                     float(want))
+                except ValueError:
+                    # non-numeric parameters compare as strings
+                    if rule == "equalTo":
+                        holds = cur == want
+                    elif rule == "notEqualTo":
+                        holds = cur != want
+            return XoscCondition("parameter", value=1.0 if holds else 0.0,
+                                 name=name)
+        sbe = byval.find("StoryboardElementStateCondition")
+        if sbe is not None:
+            # srunner OSCStartEndCondition: startTransition -> rule=START,
+            # stop/end/completeState -> rule=END (openscenario_parser.py:
+            # 850-861); runningState (started, not yet ended) is an
+            # extension the dataclass engine gets for free.
+            state = _resolve(sbe.get("state"), params) or ""
+            mapped = {"startTransition": "start",
+                      "stopTransition": "end",
+                      "endTransition": "end",
+                      "completeState": "end",
+                      "runningState": "running"}.get(state)
+            if mapped is None:
+                return _unsupported_condition(name, byval)
+            return XoscCondition(
+                "element_state",
+                entity=_resolve(sbe.get("storyboardElementRef"), params) or "",
+                state=mapped,
+                rule=(_resolve(sbe.get("storyboardElementType"), params)
+                      or "event"),
+                name=name)
         return _unsupported_condition(name, byval)
     byent = cond.find("ByEntityCondition")
     if byent is None:
@@ -1236,7 +1302,16 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
             actors = tuple(
                 ref.get("entityRef", "")
                 for ref in group.findall("Actors/EntityRef"))
-            for event_el in group.findall(".//Event"):
+            # a ManeuverGroup holds inline Maneuvers and/or a
+            # CatalogReference to a maneuver catalog entry (resolved with
+            # the same local-parameter scoping as entity catalogs)
+            maneuvers = list(group.findall("Maneuver"))
+            if group.find("CatalogReference") is not None:
+                entry = _catalog_entry(group, catalogs, params)
+                if entry is not None:
+                    maneuvers.append(entry)
+            for man_el, event_el in ((m, e) for m in maneuvers
+                                     for e in m.findall("Event")):
                 trigger = _parse_trigger(event_el.find("StartTrigger"),
                                          params, cfg.entities)
                 actions: List[XoscAction] = []
@@ -1265,7 +1340,9 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
                     cfg.events.append(XoscEvent(
                         name=event_el.get("name", ""), actors=actors,
                         trigger=trigger, actions=actions,
-                        act_trigger=act_trigger))
+                        act_trigger=act_trigger,
+                        maneuver=man_el.get("name", ""),
+                        act_name=act_el.get("name", "")))
 
     # ---- storyboard stop trigger (+ srunner criteria_* convention) ---- #
     cfg.stop_trigger = _parse_trigger(root.find(".//Storyboard/StopTrigger"),
@@ -1522,6 +1599,9 @@ class OpenScenarioManager:
         # fired-state lives here, NOT on the (shareable) parsed config:
         # several managers can run the same OpenScenarioConfig independently
         self._fired: set = set()
+        # event index -> (scripted actor, action) pairs applied when it
+        # fired; consumed by the 'element_state' end/running semantics
+        self._applied: Dict[int, List[Tuple["_ScriptedActor", XoscAction]]] = {}
         # world context for 'signal' and alongRoute 'distance' conditions;
         # ClosedLoopRunner.drive auto-wires both when left None, and likewise
         # the fake world + WeatherSim consumed by story-level GlobalActions
@@ -1585,9 +1665,60 @@ class OpenScenarioManager:
             return abs(value - threshold) < 1e-6
         return value > threshold
 
+    @staticmethod
+    def _action_complete(scripted: "_ScriptedActor", action: XoscAction) -> bool:
+        """Whether an applied action has finished executing on its actor —
+        the OSC completeState/endTransition signal. Transitional kinds
+        complete when their motion target is reached; everything else
+        (teleport, controller swap, visibility, ...) is instantaneous.
+        Untimed trajectories/routes hand waypoints to a controller and are
+        treated as instantaneous (subset; the timed schedule is the
+        completion-bearing form)."""
+        if action.kind == "speed":
+            return abs(scripted.speed - scripted.target_speed) < 0.05
+        if action.kind == "lane_change":
+            return scripted._shift_left == 0.0
+        if action.kind == "trajectory" and action.times:
+            return scripted._traj is None
+        if action.kind == "sync":
+            return scripted._sync is None
+        return True
+
+    def _event_ended(self, idx: int) -> bool:
+        return idx in self._fired and all(
+            self._action_complete(s, a) for s, a in self._applied.get(idx, ()))
+
+    def _element_events(self, ref: str, etype: str) -> List[int]:
+        """Event indices covered by a storyboardElementRef of the given
+        type. 'action' refs resolve at event granularity (the parser keeps
+        no per-action names); 'story' matches everything."""
+        out = []
+        for i, ev in enumerate(self.config.events):
+            if etype == "story":
+                out.append(i)
+            elif etype == "act" and ev.act_name == ref:
+                out.append(i)
+            elif etype in ("maneuver", "maneuverGroup") and ev.maneuver == ref:
+                out.append(i)
+            elif etype in ("event", "action") and ev.name == ref:
+                out.append(i)
+        return out
+
     def _holds(self, cond: XoscCondition, ego_xy: np.ndarray) -> bool:
         if cond.kind == "time":
             return self._cmp(self.time, cond.rule, cond.value)
+        if cond.kind == "parameter":
+            return cond.value > 0.5
+        if cond.kind == "element_state":
+            matches = self._element_events(cond.entity, cond.rule)
+            if not matches:
+                return False
+            if cond.state == "start":
+                return any(i in self._fired for i in matches)
+            if cond.state == "end":
+                return all(self._event_ended(i) for i in matches)
+            return any(i in self._fired and not self._event_ended(i)
+                       for i in matches)  # 'running'
         if cond.kind == "traveled":
             # subset: traveled distance is tracked for the ego; scripted
             # actors' odometers would need per-actor tracking nobody uses
@@ -1820,12 +1951,14 @@ class OpenScenarioManager:
                                   if a.kind not in ("weather", "signal_state")]
                 for action in world_actions:
                     self._apply_global(action)
+                applied = self._applied.setdefault(idx, [])
                 for actor_name in (event.actors or tuple(self.scripted)):
                     scripted = self.scripted.get(actor_name)
                     if scripted is None:
                         continue
                     for action in entity_actions:
                         scripted.apply(action, speed_lookup)
+                        applied.append((scripted, action))
         for scripted in self.scripted.values():
             self._drive_sync(scripted, ego_xy, dt)
         # obstacle snapshots for obstacle-aware controllers: every other

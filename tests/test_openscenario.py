@@ -273,8 +273,8 @@ def test_unsupported_condition_keeps_event_gated(tmp_path):
                       <SimulationTimeCondition value="8" rule="greaterThan"/>
                     </ByValueCondition>""",
         """<ByValueCondition>
-                      <StoryboardElementStateCondition storyboardElementType="action"
-                          storyboardElementRef="LeadKeepsVelocity" state="completeState"/>
+                      <TrafficSignalControllerCondition trafficSignalControllerRef="ctrl"
+                          phase="go"/>
                     </ByValueCondition>""")
     p = tmp_path / "gated.xosc"
     p.write_text(xosc)
@@ -1366,3 +1366,231 @@ def test_global_actions_and_new_conditions(tmp_path):
     assert world.weather == "HardRainSunset"        # ...and world pushed
     assert "LeadBrakes" in mgr.fired_events         # relspeed 8 - 0 > 3
     assert "HardBrakeSeen" in mgr.fired_events      # |decel| 2 > 1.5
+
+
+# --------------------------------------------------------------------------- #
+# ByValueCondition: ParameterCondition + StoryboardElementStateCondition
+# (srunner openscenario_parser.py:815-861 / OSCStartEndCondition)
+# --------------------------------------------------------------------------- #
+
+ELEMENT_STATE_XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="element-state-test" author=""/>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="phase" parameterType="string" value="demo"/>
+    <ParameterDeclaration name="nLaps" parameterType="int" value="3"/>
+  </ParameterDeclarations>
+  <CatalogLocations/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="lead">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="40" y="1.75" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="Story">
+      <Act name="MainAct">
+        <ManeuverGroup name="Lead" maximumExecutionCount="1">
+          <Actors selectTriggeringEntities="false">
+            <EntityRef entityRef="lead"/>
+          </Actors>
+          <Maneuver name="LeadManeuver">
+            <Event name="Accelerate" priority="overwrite">
+              <Action name="Accelerate">
+                <PrivateAction>
+                  <LongitudinalAction><SpeedAction>
+                    <SpeedActionDynamics dynamicsShape="linear" value="2"
+                                         dynamicsDimension="rate"/>
+                    <SpeedActionTarget>
+                      <AbsoluteTargetSpeed value="4"/>
+                    </SpeedActionTarget>
+                  </SpeedAction></LongitudinalAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="RightPhase" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <ParameterCondition parameterRef="phase" value="demo"
+                                          rule="equalTo"/>
+                    </ByValueCondition>
+                  </Condition>
+                  <Condition name="EnoughLaps" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <ParameterCondition parameterRef="nLaps" value="2"
+                                          rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+            <Event name="AfterAccel" priority="parallel">
+              <Action name="AfterAccel">
+                <PrivateAction>
+                  <LateralAction><LaneChangeAction>
+                    <LaneChangeActionDynamics dynamicsShape="sinusoidal"
+                        value="2" dynamicsDimension="time"/>
+                    <LaneChangeTarget>
+                      <RelativeTargetLane entityRef="lead" value="1"/>
+                    </LaneChangeTarget>
+                  </LaneChangeAction></LateralAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="AccelDone" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <StoryboardElementStateCondition
+                          storyboardElementType="event"
+                          storyboardElementRef="Accelerate"
+                          state="completeState"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+            <Event name="WrongPhase" priority="parallel">
+              <Action name="WrongPhase">
+                <PrivateAction>
+                  <LongitudinalAction><SpeedAction>
+                    <SpeedActionDynamics dynamicsShape="step" value="0"
+                                         dynamicsDimension="time"/>
+                    <SpeedActionTarget>
+                      <AbsoluteTargetSpeed value="0"/>
+                    </SpeedActionTarget>
+                  </SpeedAction></LongitudinalAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="OtherPhase" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <ParameterCondition parameterRef="phase" value="other"
+                                          rule="equalTo"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+          </Maneuver>
+          <Maneuver name="Followup">
+            <Event name="ManeuverStarted" priority="parallel">
+              <Action name="ManeuverStarted">
+                <PrivateAction>
+                  <VisibilityAction graphics="true" traffic="true"
+                                    sensors="false"/>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="LeadManeuverRuns" delay="0"
+                             conditionEdge="rising">
+                    <ByValueCondition>
+                      <StoryboardElementStateCondition
+                          storyboardElementType="maneuver"
+                          storyboardElementRef="LeadManeuver"
+                          state="startTransition"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+          </Maneuver>
+        </ManeuverGroup>
+      </Act>
+    </Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_parameter_and_element_state_conditions(tmp_path):
+    """ParameterCondition folds to a parse-time constant; a
+    StoryboardElementStateCondition chains one event off another's
+    completion (srunner OSCStartEndCondition rule=END semantics)."""
+    import warnings
+
+    from mmfn_tpu.harness.openscenario import UnsupportedOsc
+
+    p = tmp_path / "elemstate.xosc"
+    p.write_text(ELEMENT_STATE_XOSC)
+    with warnings.catch_warnings():
+        # every construct here is in the subset — no UnsupportedOsc allowed
+        warnings.simplefilter("error", category=UnsupportedOsc)
+        cfg = parse_xosc(str(p))
+    by_name = {e.name: e for e in cfg.events}
+    assert by_name["Accelerate"].maneuver == "LeadManeuver"
+    assert by_name["Accelerate"].act_name == "MainAct"
+    # both parameter comparisons (string equalTo + numeric greaterThan)
+    # folded true at parse time
+    assert all(c.kind == "parameter" and c.value == 1.0
+               for c in by_name["Accelerate"].trigger[0])
+    assert by_name["WrongPhase"].trigger[0][0].value == 0.0
+
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    mgr.tick(ego, 0.05)
+    # tick 1: Accelerate fired (parameter conditions hold); AfterAccel must
+    # NOT fire yet — the rate-limited speed action (0 -> 4 m/s at 2 m/s^2)
+    # takes ~2 s; ManeuverStarted sees LeadManeuver in startTransition
+    assert "Accelerate" in mgr.fired_events
+    assert "ManeuverStarted" in mgr.fired_events
+    assert "AfterAccel" not in mgr.fired_events
+    assert "WrongPhase" not in mgr.fired_events
+    for _ in range(36):                    # t = 1.85 s: still accelerating
+        mgr.tick(ego, 0.05)
+    assert "AfterAccel" not in mgr.fired_events
+    for _ in range(8):                     # past 2 s: target speed reached
+        mgr.tick(ego, 0.05)
+    assert "AfterAccel" in mgr.fired_events
+    assert "WrongPhase" not in mgr.fired_events
+    lead = mgr.scripted["lead"]
+    assert abs(lead.speed - 4.0) < 0.05    # reached the rate-limited target
+    assert lead.actor.visible_sensors is False   # ManeuverStarted applied
+
+
+def test_element_state_running_and_unsupported_state_warns(tmp_path):
+    """runningState holds only between start and completion; an unmapped
+    state (e.g. standbyState) degrades to the loud unsupported path."""
+    import warnings
+
+    from mmfn_tpu.harness.openscenario import UnsupportedOsc
+
+    xosc = ELEMENT_STATE_XOSC.replace('state="completeState"',
+                                      'state="runningState"')
+    p = tmp_path / "running.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    mgr.tick(ego, 0.05)
+    mgr.tick(ego, 0.05)
+    # AfterAccel now fires WHILE Accelerate is still executing
+    assert "AfterAccel" in mgr.fired_events
+
+    bad = ELEMENT_STATE_XOSC.replace('state="completeState"',
+                                     'state="standbyState"')
+    p2 = tmp_path / "standby.xosc"
+    p2.write_text(bad)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_xosc(str(p2))
+    assert any(issubclass(x.category, UnsupportedOsc) for x in w)
