@@ -79,7 +79,12 @@ Supported subset (OpenSCENARIO 1.0):
 - ``Storyboard/StopTrigger``: ``SimulationTimeCondition`` and
   ``TraveledDistanceCondition`` end the episode; srunner's ``criteria_*``
   stop-trigger conditions are parsed and reported (the harness scores the
-  same criteria natively through ``harness.criteria``).
+  same criteria natively through ``harness.criteria``);
+- ``Act/StopTrigger``: once the act has started, a holding stop trigger
+  cancels it — in-flight transitional actions halt where they are (speed
+  pursuit freezes, lane shifts stop, timed trajectories release, syncs
+  detach) and the act's remaining events stay gated (srunner terminates
+  the act's parallel composite the same way, open_scenario.py:364-370).
 
 - ``VisibilityAction`` — another EXTENSION beyond the reference (which
   raises, openscenario_parser.py:1021-1022), with CARLA actor-visibility
@@ -233,6 +238,12 @@ class XoscEvent:
     # event level (the parser otherwise flattens the storyboard to events)
     maneuver: str = ""
     act_name: str = ""
+    # enclosing Act's StopTrigger: once it holds (for a started act), the
+    # act is cancelled — in-flight transitional actions halt and its
+    # remaining events never fire (srunner terminates the act's parallel
+    # composite the same way, open_scenario.py:364-370 + the StopTrigger
+    # END rule at :110-145)
+    act_stop: Trigger = field(default_factory=list)
 
 
 @dataclass
@@ -1298,6 +1309,8 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
     for act_el in root.findall(".//Storyboard/Story/Act"):
         act_trigger = _parse_trigger(act_el.find("StartTrigger"), params,
                                      cfg.entities)
+        act_stop = _parse_trigger(act_el.find("StopTrigger"), params,
+                                  cfg.entities)
         for group in act_el.findall("ManeuverGroup"):
             actors = tuple(
                 ref.get("entityRef", "")
@@ -1342,7 +1355,8 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
                         trigger=trigger, actions=actions,
                         act_trigger=act_trigger,
                         maneuver=man_el.get("name", ""),
-                        act_name=act_el.get("name", "")))
+                        act_name=act_el.get("name", ""),
+                        act_stop=act_stop))
 
     # ---- storyboard stop trigger (+ srunner criteria_* convention) ---- #
     cfg.stop_trigger = _parse_trigger(root.find(".//Storyboard/StopTrigger"),
@@ -1475,6 +1489,25 @@ class _ScriptedActor:
                 else:
                     self._overrides[name] = value
 
+    def cancel(self, action: XoscAction) -> None:
+        """Halt an in-flight transitional action (Act StopTrigger fired):
+        speed pursuit freezes at the current speed, a pending lane shift
+        stops where it is, a timed trajectory releases the actor at its
+        current pose, a synchronize stops retargeting. Instantaneous kinds
+        have nothing to cancel. Matches srunner terminating the act's
+        running atomics (open_scenario.py:364-370)."""
+        if action.kind == "speed":
+            self.target_speed = self.speed
+            self.rate = None
+            if self.controller is not None:
+                self.controller.update_target_speed(self.target_speed)
+        elif action.kind == "lane_change":
+            self._shift_left = 0.0
+        elif action.kind == "trajectory" and action.times:
+            self._traj = None
+        elif action.kind == "sync":
+            self._sync = None
+
     def step(self, dt: float,
              obstacles: Sequence[Obstacle] = ()) -> None:
         if self._traj is not None:
@@ -1602,6 +1635,9 @@ class OpenScenarioManager:
         # event index -> (scripted actor, action) pairs applied when it
         # fired; consumed by the 'element_state' end/running semantics
         self._applied: Dict[int, List[Tuple["_ScriptedActor", XoscAction]]] = {}
+        # acts whose StopTrigger fired: their in-flight actions were
+        # cancelled and their remaining events stay gated forever
+        self._stopped_acts: set = set()
         # world context for 'signal' and alongRoute 'distance' conditions;
         # ClosedLoopRunner.drive auto-wires both when left None, and likewise
         # the fake world + WeatherSim consumed by story-level GlobalActions
@@ -1939,8 +1975,31 @@ class OpenScenarioManager:
         def speed_lookup(name):
             return self._entity_speed(name)
 
+        # Act StopTriggers: for each STARTED act (StartTrigger holding or an
+        # event already fired), a holding StopTrigger cancels the act —
+        # in-flight transitional actions halt where they are and the act's
+        # remaining events stay gated (srunner terminates the act's parallel
+        # composite, open_scenario.py:364-370; a stop trigger before the act
+        # starts is inert there too, since the stop conditions only tick
+        # inside the started act's composite)
+        seen_acts: set = set()
         for idx, event in enumerate(self.config.events):
-            if idx in self._fired:
+            act = event.act_name
+            if not event.act_stop or act in self._stopped_acts \
+                    or act in seen_acts:
+                continue
+            seen_acts.add(act)
+            started = (idx in self._fired
+                       or self._trigger_holds(event.act_trigger, ego_xy))
+            if started and self._trigger_holds(event.act_stop, ego_xy):
+                self._stopped_acts.add(act)
+                for j, ev in enumerate(self.config.events):
+                    if ev.act_name == act and j in self._fired:
+                        for scripted, action in self._applied.get(j, ()):
+                            scripted.cancel(action)
+
+        for idx, event in enumerate(self.config.events):
+            if idx in self._fired or event.act_name in self._stopped_acts:
                 continue
             if self._trigger_holds(event.act_trigger, ego_xy) \
                     and self._trigger_holds(event.trigger, ego_xy):

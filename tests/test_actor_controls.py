@@ -848,14 +848,14 @@ def test_unsupported_condition_warns_at_parse(tmp_path):
     which silently disables the event it gates (VERDICT r2 weak #6)."""
     from mmfn_tpu.harness.openscenario import UnsupportedOsc
 
-    # every OSC 1.0 ByEntityCondition kind is now in the subset; the
-    # canonical out-of-subset construct is a ByValueCondition kind the
-    # engine has no story-state for
+    # every OSC 1.0 ByEntityCondition kind — and every ByValueCondition
+    # kind the reference supports — is now in the subset; the canonical
+    # out-of-subset construct is one the reference itself refuses
+    # (openscenario_parser.py:878-879)
     xosc = _condition_xosc(
-        "<ByValueCondition><StoryboardElementStateCondition "
-        'storyboardElementType="act" storyboardElementRef="a" '
-        'state="completeState"/></ByValueCondition>')
-    with pytest.warns(UnsupportedOsc, match="StoryboardElementStateCondition"):
+        "<ByValueCondition><TrafficSignalControllerCondition "
+        'trafficSignalControllerRef="ctrl" phase="go"/></ByValueCondition>')
+    with pytest.warns(UnsupportedOsc, match="TrafficSignalControllerCondition"):
         cfg = parse_xosc(_write(tmp_path, xosc))
     assert cfg.events[0].trigger[0][0].kind == "unsupported"
     # and the event indeed never fires

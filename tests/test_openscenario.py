@@ -1594,3 +1594,85 @@ def test_element_state_running_and_unsupported_state_warns(tmp_path):
         warnings.simplefilter("always")
         parse_xosc(str(p2))
     assert any(issubclass(x.category, UnsupportedOsc) for x in w)
+
+
+def test_act_stop_trigger_cancels_act(tmp_path):
+    """An Act's StopTrigger terminates the act: in-flight transitional
+    actions halt where they are and the act's remaining events never fire
+    (srunner terminates the act's parallel composite the same way,
+    open_scenario.py:364-370)."""
+    xosc = ELEMENT_STATE_XOSC.replace(
+        """        </ManeuverGroup>
+      </Act>""",
+        """        </ManeuverGroup>
+        <StopTrigger>
+          <ConditionGroup>
+            <Condition name="ActEnds" delay="0" conditionEdge="rising">
+              <ByValueCondition>
+                <SimulationTimeCondition value="1" rule="greaterThan"/>
+              </ByValueCondition>
+            </Condition>
+          </ConditionGroup>
+        </StopTrigger>
+      </Act>""")
+    assert xosc != ELEMENT_STATE_XOSC
+    p = tmp_path / "actstop.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    assert cfg.events[0].act_stop            # parsed onto the events
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    for _ in range(120):                     # 6 s, stop fires at t=1
+        mgr.tick(ego, 0.05)
+    lead = mgr.scripted["lead"]
+    # the 0 -> 4 m/s @ 2 m/s^2 ramp was cancelled at ~1 s: speed froze
+    # around 2 m/s and never reached the target
+    assert 1.8 <= lead.speed <= 2.2, lead.speed
+    assert lead.speed == lead.target_speed   # pursuit released
+    # the act's gated lane change never fired, even though the cancelled
+    # speed action now reports complete (stopTransition ends the element)
+    assert "AfterAccel" not in mgr.fired_events
+    assert "Accelerate" in mgr.fired_events
+
+
+def test_act_stop_trigger_inert_before_start(tmp_path):
+    """A StopTrigger on a NOT-yet-started act is inert — srunner's stop
+    conditions only tick inside the started act's composite."""
+    xosc = ELEMENT_STATE_XOSC.replace(
+        '<Act name="MainAct">',
+        """<Act name="MainAct">
+        <StartTrigger>
+          <ConditionGroup>
+            <Condition name="ActStarts" delay="0" conditionEdge="rising">
+              <ByValueCondition>
+                <SimulationTimeCondition value="3" rule="greaterThan"/>
+              </ByValueCondition>
+            </Condition>
+          </ConditionGroup>
+        </StartTrigger>""").replace(
+        """        </ManeuverGroup>
+      </Act>""",
+        """        </ManeuverGroup>
+        <StopTrigger>
+          <ConditionGroup>
+            <Condition name="ActEnds" delay="0" conditionEdge="rising">
+              <ByValueCondition>
+                <SimulationTimeCondition value="1" rule="greaterThan"/>
+              </ByValueCondition>
+            </Condition>
+          </ConditionGroup>
+        </StopTrigger>
+      </Act>""")
+    p = tmp_path / "actstop2.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    for _ in range(50):                      # t = 2.5 s: act not started,
+        mgr.tick(ego, 0.05)                  # stop (t>1) must stay inert
+    assert mgr.scripted["lead"].speed == 0.0
+    assert "Accelerate" not in mgr.fired_events
+    assert not mgr._stopped_acts
+    for _ in range(20):                      # t = 3.5 s: act starts, and the
+        mgr.tick(ego, 0.05)                  # already-true stop kills it
+    assert "MainAct" in mgr._stopped_acts
