@@ -84,7 +84,12 @@ Supported subset (OpenSCENARIO 1.0):
   cancels it — in-flight transitional actions halt where they are (speed
   pursuit freezes, lane shifts stop, timed trajectories release, syncs
   detach) and the act's remaining events stay gated (srunner terminates
-  the act's parallel composite the same way, open_scenario.py:364-370).
+  the act's parallel composite the same way, open_scenario.py:364-370);
+- ``ManeuverGroup maximumExecutionCount``: the group's events re-fire once
+  per iteration, a new iteration starting only after every event of the
+  group fired and completed in the current one (srunner repeats the group
+  subtree in sequence, open_scenario.py:271; a never-firing event stalls
+  the group in both engines).
 
 - ``VisibilityAction`` — another EXTENSION beyond the reference (which
   raises, openscenario_parser.py:1021-1022), with CARLA actor-visibility
@@ -244,6 +249,12 @@ class XoscEvent:
     # composite the same way, open_scenario.py:364-370 + the StopTrigger
     # END rule at :110-145)
     act_stop: Trigger = field(default_factory=list)
+    # enclosing ManeuverGroup name + its maximumExecutionCount: the group's
+    # events re-fire once per iteration, a new iteration starting only after
+    # every event of the group fired and completed in the current one
+    # (srunner repeats the group subtree in sequence, open_scenario.py:271)
+    group: str = ""
+    max_exec: int = 1
 
 
 @dataclass
@@ -1315,6 +1326,12 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
             actors = tuple(
                 ref.get("entityRef", "")
                 for ref in group.findall("Actors/EntityRef"))
+            try:
+                max_exec = max(1, int(float(
+                    _resolve(group.get("maximumExecutionCount"), params)
+                    or "1")))
+            except ValueError:
+                max_exec = 1
             # a ManeuverGroup holds inline Maneuvers and/or a
             # CatalogReference to a maneuver catalog entry (resolved with
             # the same local-parameter scoping as entity catalogs)
@@ -1356,7 +1373,9 @@ def _parse_xosc_impl(path: str) -> OpenScenarioConfig:
                         act_trigger=act_trigger,
                         maneuver=man_el.get("name", ""),
                         act_name=act_el.get("name", ""),
-                        act_stop=act_stop))
+                        act_stop=act_stop,
+                        group=group.get("name", ""),
+                        max_exec=max_exec))
 
     # ---- storyboard stop trigger (+ srunner criteria_* convention) ---- #
     cfg.stop_trigger = _parse_trigger(root.find(".//Storyboard/StopTrigger"),
@@ -1638,6 +1657,16 @@ class OpenScenarioManager:
         # acts whose StopTrigger fired: their in-flight actions were
         # cancelled and their remaining events stay gated forever
         self._stopped_acts: set = set()
+        # ManeuverGroup repetition (maximumExecutionCount): per-event fire
+        # counts and per-group current iteration; an event re-fires once per
+        # iteration, the iteration advancing only when every event of the
+        # group fired and completed in the current one
+        self._count: Dict[int, int] = {}
+        self._group_iter: Dict[tuple, int] = {}
+        self._groups: Dict[tuple, List[int]] = {}
+        for i, ev in enumerate(config.events):
+            if ev.max_exec > 1:
+                self._groups.setdefault((ev.act_name, ev.group), []).append(i)
         # world context for 'signal' and alongRoute 'distance' conditions;
         # ClosedLoopRunner.drive auto-wires both when left None, and likewise
         # the fake world + WeatherSim consumed by story-level GlobalActions
@@ -1998,12 +2027,28 @@ class OpenScenarioManager:
                         for scripted, action in self._applied.get(j, ()):
                             scripted.cancel(action)
 
+        # ManeuverGroup repetition: advance a group's iteration when every
+        # one of its events fired in the current iteration and its applied
+        # actions completed (sequence-of-iterations, open_scenario.py:271)
+        for key, idxs in self._groups.items():
+            it = self._group_iter.get(key, 0)
+            if it + 1 < self.config.events[idxs[0]].max_exec and all(
+                    self._count.get(i, 0) == it + 1 and self._event_ended(i)
+                    for i in idxs):
+                self._group_iter[key] = it + 1
+
         for idx, event in enumerate(self.config.events):
-            if idx in self._fired or event.act_name in self._stopped_acts:
+            fired_n = self._count.get(idx, 0)
+            if fired_n >= event.max_exec \
+                    or event.act_name in self._stopped_acts:
                 continue
+            if fired_n > self._group_iter.get((event.act_name, event.group),
+                                              0):
+                continue                 # already fired this iteration
             if self._trigger_holds(event.act_trigger, ego_xy) \
                     and self._trigger_holds(event.trigger, ego_xy):
                 self._fired.add(idx)
+                self._count[idx] = fired_n + 1
                 world_actions = [a for a in event.actions
                                  if a.kind in ("weather", "signal_state")]
                 entity_actions = [a for a in event.actions

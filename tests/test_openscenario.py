@@ -1676,3 +1676,112 @@ def test_act_stop_trigger_inert_before_start(tmp_path):
     for _ in range(20):                      # t = 3.5 s: act starts, and the
         mgr.tick(ego, 0.05)                  # already-true stop kills it
     assert "MainAct" in mgr._stopped_acts
+
+
+REPEAT_XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="repetition-test" author=""/>
+  <CatalogLocations/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="lead">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="40" y="1.75" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="Story">
+      <Act name="MainAct">
+        <ManeuverGroup name="Lead" maximumExecutionCount="2">
+          <Actors selectTriggeringEntities="false">
+            <EntityRef entityRef="lead"/>
+          </Actors>
+          <Maneuver name="LeadManeuver">
+            <Event name="Shift" priority="parallel">
+              <Action name="Shift">
+                <PrivateAction>
+                  <LateralAction><LaneChangeAction>
+                    <LaneChangeActionDynamics dynamicsShape="sinusoidal"
+                        value="2" dynamicsDimension="time"/>
+                    <LaneChangeTarget>
+                      <RelativeTargetLane entityRef="lead" value="1"/>
+                    </LaneChangeTarget>
+                  </LaneChangeAction></LateralAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="Soon" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="0.5" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+          </Maneuver>
+        </ManeuverGroup>
+      </Act>
+    </Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_maneuver_group_maximum_execution_count(tmp_path):
+    """maximumExecutionCount repeats the group in sequence: each iteration
+    re-fires its events once their previous run completed (srunner repeats
+    the group subtree, open_scenario.py:271). Two iterations of a +1
+    relative-lane change accumulate two 3.5 m shifts."""
+    p = tmp_path / "repeat.xosc"
+    p.write_text(REPEAT_XOSC)
+    cfg = parse_xosc(str(p))
+    assert all(e.max_exec == 2 for e in cfg.events)
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    y0 = float(mgr.scripted["lead"].actor.position[1])
+    for _ in range(200):                   # 10 s: 2x (trigger + 2 s shift)
+        mgr.tick(ego, 0.05)
+    lead = mgr.scripted["lead"]
+    # two full 3.5 m shifts, the second only after the first completed
+    assert abs(abs(float(lead.actor.position[1]) - y0) - 7.0) < 0.3, \
+        lead.actor.position
+    assert mgr._count[0] == 2
+
+    # a group stalls (srunner SUCCESS_ON_ALL) if an event can't complete —
+    # capped by max_exec: no third shift ever happens
+    for _ in range(200):
+        mgr.tick(ego, 0.05)
+    assert abs(abs(float(lead.actor.position[1]) - y0) - 7.0) < 0.3
+
+
+def test_maximum_execution_count_one_fires_once(tmp_path):
+    """The default single execution is unchanged: one firing per event."""
+    p = tmp_path / "once.xosc"
+    p.write_text(ELEMENT_STATE_XOSC)
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    y0 = float(mgr.scripted["lead"].actor.position[1])
+    for _ in range(300):
+        mgr.tick(ego, 0.05)
+    lead = mgr.scripted["lead"]
+    assert abs(abs(float(lead.actor.position[1]) - y0) - 3.5) < 0.3
+    assert max(mgr._count.values()) == 1
