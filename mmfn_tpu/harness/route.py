@@ -32,6 +32,11 @@ class RouteConfig:
     trajectory: List[Tuple[float, float, float]]  # (x, y, z) keypoints
     index: int = 0
     scenarios: list = field(default_factory=list)
+    # per-route weather preset from the route's <weather> element
+    # (route_parser.py:62-110 reads raw carla.WeatherParameters fields;
+    # here they quantize onto the preset table) — None = no element,
+    # the caller's global weather config applies
+    weather: str = None
 
 
 def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
@@ -44,8 +49,19 @@ def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
         waypoints = [
             (float(w.attrib["x"]), float(w.attrib["y"]), float(w.attrib.get("z", 0.0)))
             for w in route.iter("waypoint")]
+        weather = None
+        weather_el = route.find("weather")
+        if weather_el is not None:
+            from mmfn_tpu.harness.weather import preset_from_params
+
+            attrs = {k: float(weather_el.attrib[k])
+                     for k in ("cloudiness", "precipitation",
+                               "precipitation_deposits", "wetness",
+                               "sun_altitude_angle")
+                     if k in weather_el.attrib}
+            weather = preset_from_params(**attrs)
         configs.append(RouteConfig(route_id=route_id, town=route.attrib["town"],
-                                   trajectory=waypoints))
+                                   trajectory=waypoints, weather=weather))
     for i, c in enumerate(configs):
         c.index = i
     return configs

@@ -301,11 +301,16 @@ def main():
                 seed=config.index, signals=signals,
                 ego_start=config.trajectory[0][:2])
         max_ticks = cfg.get("max_ticks")
-        # weather: the .xosc EnvironmentAction preset, or the eval.yaml
-        # `weather:` knob — rain degrades the fake world's lidar and adds
-        # radar clutter (KinematicWorld.RAIN_LEVELS)
-        weather = (xcfg.weather if is_xosc and xcfg.weather
-                   else cfg.get("weather")) or "ClearNoon"
+        # weather: the .xosc EnvironmentAction preset, the route XML's
+        # per-route <weather> element (route_parser.py:62-110 — overrides
+        # the global knob like the reference), or the eval.yaml `weather:`
+        # knob — rain degrades the fake world's lidar and adds radar
+        # clutter (KinematicWorld.RAIN_LEVELS)
+        if is_xosc and xcfg.weather:
+            weather = xcfg.weather
+        else:
+            weather = (getattr(config, "weather", None)
+                       or cfg.get("weather") or "ClearNoon")
         # weather_animation: sun position evolves over game time (srunner
         # weather_sim.py analog); value = time compression factor (true/1
         # = real-time like the reference, 60 = a minute of route per hour

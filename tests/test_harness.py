@@ -453,3 +453,39 @@ def test_closed_loop_recording_shows_weather_evolving(tmp_path):
     n = log.get_total_frame_count()
     assert log.get_weather(0) == "ClearNoon"
     assert log.get_weather(n - 1) == "ClearSunset"   # the sun set en route
+
+
+def test_parse_route_weather_element(tmp_path):
+    """Per-route <weather> elements (route_parser.py:62-110) quantize onto
+    the preset table and override the global weather knob; routes without
+    one keep weather=None so the global default applies."""
+    from mmfn_tpu.harness.weather import preset_from_params
+
+    xml = """<routes>
+      <route id="0" town="Town01">
+        <weather cloudiness="80" precipitation="90" sun_altitude_angle="10"/>
+        <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
+      </route>
+      <route id="1" town="Town01">
+        <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
+      </route>
+      <route id="2" town="Town01">
+        <weather cloudiness="85"/>
+        <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
+      </route>
+    </routes>"""
+    p = tmp_path / "weather_routes.xml"
+    p.write_text(xml)
+    configs = parse_routes_file(str(p))
+    assert configs[0].weather == "HardRainSunset"
+    assert configs[1].weather is None
+    assert configs[2].weather == "CloudyNoon"   # default sun altitude: noon
+    # the quantizer itself covers every family
+    assert preset_from_params(precipitation=50) == "MidRainyNoon"
+    assert preset_from_params(precipitation=50,
+                              sun_altitude_angle=5) == "MidRainSunset"
+    assert preset_from_params(precipitation=10) == "SoftRainNoon"
+    assert preset_from_params(wetness=60) == "WetNoon"
+    assert preset_from_params(precipitation_deposits=60,
+                              cloudiness=70) == "WetCloudyNoon"
+    assert preset_from_params() == "ClearNoon"
