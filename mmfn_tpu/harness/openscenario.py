@@ -2018,8 +2018,10 @@ class OpenScenarioManager:
                     or act in seen_acts:
                 continue
             seen_acts.add(act)
-            started = (idx in self._fired
-                       or self._trigger_holds(event.act_trigger, ego_xy))
+            started = (self._trigger_holds(event.act_trigger, ego_xy)
+                       or any(j in self._fired
+                              for j, ev in enumerate(self.config.events)
+                              if ev.act_name == act))
             if started and self._trigger_holds(event.act_stop, ego_xy):
                 self._stopped_acts.add(act)
                 for j, ev in enumerate(self.config.events):
