@@ -938,10 +938,20 @@ def _parse_condition(cond: ET.Element, params: Dict[str, str],
             want = _resolve(par.get("value"), params) or ""
             rule = par.get("rule", "equalTo")
             holds = False
-            if cur is not None:
+            if cur is None:
+                warnings.warn(
+                    "OSC ParameterCondition references undeclared parameter "
+                    f"'{par.get('parameterRef', '')}'; condition never holds")
+            else:
                 try:
-                    holds = OpenScenarioManager._cmp(float(cur), rule,
-                                                     float(want))
+                    fc, fw = float(cur), float(want)
+                    # _cmp only knows lessThan/equalTo/greaterThan; handle
+                    # notEqualTo explicitly (same epsilon as equalTo) so it
+                    # does not silently fold to greaterThan
+                    if rule == "notEqualTo":
+                        holds = abs(fc - fw) >= 1e-6
+                    else:
+                        holds = OpenScenarioManager._cmp(fc, rule, fw)
                 except ValueError:
                     # non-numeric parameters compare as strings
                     if rule == "equalTo":
@@ -1663,6 +1673,11 @@ class OpenScenarioManager:
         # group fired and completed in the current one
         self._count: Dict[int, int] = {}
         self._group_iter: Dict[tuple, int] = {}
+        # events whose group iteration advanced but which have not re-fired
+        # yet: their completeState from the PREVIOUS iteration must not leak
+        # into element_state 'end' checks (srunner's OSCStartEndCondition
+        # only fires on transitions observed after it started ticking)
+        self._pending_refire: set = set()
         self._groups: Dict[tuple, List[int]] = {}
         for i, ev in enumerate(config.events):
             if ev.max_exec > 1:
@@ -1750,6 +1765,8 @@ class OpenScenarioManager:
         return True
 
     def _event_ended(self, idx: int) -> bool:
+        if idx in self._pending_refire:
+            return False    # ended last iteration, not yet re-fired in this
         return idx in self._fired and all(
             self._action_complete(s, a) for s, a in self._applied.get(idx, ()))
 
@@ -1763,7 +1780,9 @@ class OpenScenarioManager:
                 out.append(i)
             elif etype == "act" and ev.act_name == ref:
                 out.append(i)
-            elif etype in ("maneuver", "maneuverGroup") and ev.maneuver == ref:
+            elif etype == "maneuverGroup" and ev.group == ref:
+                out.append(i)
+            elif etype == "maneuver" and ev.maneuver == ref:
                 out.append(i)
             elif etype in ("event", "action") and ev.name == ref:
                 out.append(i)
@@ -2038,6 +2057,7 @@ class OpenScenarioManager:
                     self._count.get(i, 0) == it + 1 and self._event_ended(i)
                     for i in idxs):
                 self._group_iter[key] = it + 1
+                self._pending_refire.update(idxs)
 
         for idx, event in enumerate(self.config.events):
             fired_n = self._count.get(idx, 0)
@@ -2050,6 +2070,7 @@ class OpenScenarioManager:
             if self._trigger_holds(event.act_trigger, ego_xy) \
                     and self._trigger_holds(event.trigger, ego_xy):
                 self._fired.add(idx)
+                self._pending_refire.discard(idx)
                 self._count[idx] = fired_n + 1
                 world_actions = [a for a in event.actions
                                  if a.kind in ("weather", "signal_state")]

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from mmfn_tpu.harness.events import RoadOption
 from mmfn_tpu.harness.statistics import fetch_checkpoint
@@ -32,11 +32,11 @@ class RouteConfig:
     trajectory: List[Tuple[float, float, float]]  # (x, y, z) keypoints
     index: int = 0
     scenarios: list = field(default_factory=list)
-    # per-route weather preset from the route's <weather> element
+    # per-route weather preset from the route's <weather> element(s)
     # (route_parser.py:62-110 reads raw carla.WeatherParameters fields;
     # here they quantize onto the preset table) — None = no element,
     # the caller's global weather config applies
-    weather: str = None
+    weather: Optional[str] = None
 
 
 def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
@@ -50,15 +50,19 @@ def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
             (float(w.attrib["x"]), float(w.attrib["y"]), float(w.attrib.get("z", 0.0)))
             for w in route.iter("waypoint")]
         weather = None
-        weather_el = route.find("weather")
-        if weather_el is not None:
+        # the reference merges attributes across ALL <weather> elements of a
+        # route, later elements overriding (RouteParser.parse_weather iterates
+        # route.iter('weather'), route_parser.py:62-110)
+        attrs = {}
+        for weather_el in route.iter("weather"):
+            attrs.update({k: float(weather_el.attrib[k])
+                          for k in ("cloudiness", "precipitation",
+                                    "precipitation_deposits", "wetness",
+                                    "sun_altitude_angle")
+                          if k in weather_el.attrib})
+        if attrs:
             from mmfn_tpu.harness.weather import preset_from_params
 
-            attrs = {k: float(weather_el.attrib[k])
-                     for k in ("cloudiness", "precipitation",
-                               "precipitation_deposits", "wetness",
-                               "sun_altitude_angle")
-                     if k in weather_el.attrib}
             weather = preset_from_params(**attrs)
         configs.append(RouteConfig(route_id=route_id, town=route.attrib["town"],
                                    trajectory=waypoints, weather=weather))
@@ -145,7 +149,7 @@ class RouteIndexer:
         configs = [
             RouteConfig(route_id=c.route_id, town=c.town,
                         trajectory=list(c.trajectory),
-                        scenarios=list(c.scenarios))
+                        scenarios=list(c.scenarios), weather=c.weather)
             for _ in range(repetitions) for c in base]
         for i, c in enumerate(configs):
             c.index = i

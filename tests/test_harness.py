@@ -473,6 +473,11 @@ def test_parse_route_weather_element(tmp_path):
         <weather cloudiness="85"/>
         <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
       </route>
+      <route id="3" town="Town01">
+        <weather cloudiness="80" precipitation="90"/>
+        <weather sun_altitude_angle="10"/>
+        <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
+      </route>
     </routes>"""
     p = tmp_path / "weather_routes.xml"
     p.write_text(xml)
@@ -480,6 +485,15 @@ def test_parse_route_weather_element(tmp_path):
     assert configs[0].weather == "HardRainSunset"
     assert configs[1].weather is None
     assert configs[2].weather == "CloudyNoon"   # default sun altitude: noon
+    # attributes accumulate across ALL <weather> elements, as the reference's
+    # RouteParser.parse_weather iterates route.iter('weather')
+    assert configs[3].weather == "HardRainSunset"
+    # repetition expansion keeps the per-route weather
+    from mmfn_tpu.harness.route import RouteIndexer
+
+    idx = RouteIndexer.from_configs(configs, repetitions=2)
+    weathers = [idx.next().weather for _ in range(len(idx))]
+    assert weathers.count("HardRainSunset") == 4
     # the quantizer itself covers every family
     assert preset_from_params(precipitation=50) == "MidRainyNoon"
     assert preset_from_params(precipitation=50,

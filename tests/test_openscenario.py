@@ -1785,3 +1785,207 @@ def test_maximum_execution_count_one_fires_once(tmp_path):
     lead = mgr.scripted["lead"]
     assert abs(abs(float(lead.actor.position[1]) - y0) - 3.5) < 0.3
     assert max(mgr._count.values()) == 1
+
+
+def test_maneuver_group_element_ref_matches_group_name(tmp_path):
+    """A storyboardElementType='maneuverGroup' ref resolves against the
+    ManeuverGroup NAME ('Lead'), not the Maneuver name ('LeadManeuver') —
+    srunner registers group names as their own element type
+    (openscenario_parser.py:850-861). A maneuverGroup ref that only matches
+    a maneuver name resolves to nothing and keeps its event gated."""
+    xosc = ELEMENT_STATE_XOSC.replace(
+        'storyboardElementType="maneuver"\n'
+        '                          storyboardElementRef="LeadManeuver"',
+        'storyboardElementType="maneuverGroup"\n'
+        '                          storyboardElementRef="Lead"')
+    assert xosc != ELEMENT_STATE_XOSC
+    p = tmp_path / "groupref.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    mgr.tick(ego, 0.05)
+    # the group started (Accelerate fired), so the group-ref condition holds
+    assert "Accelerate" in mgr.fired_events
+    assert "ManeuverStarted" in mgr.fired_events
+
+    # referencing the MANEUVER's name as a maneuverGroup matches nothing
+    wrong = ELEMENT_STATE_XOSC.replace(
+        'storyboardElementType="maneuver"\n'
+        '                          storyboardElementRef="LeadManeuver"',
+        'storyboardElementType="maneuverGroup"\n'
+        '                          storyboardElementRef="LeadManeuver"')
+    p2 = tmp_path / "groupref_wrong.xosc"
+    p2.write_text(wrong)
+    mgr2 = OpenScenarioManager(parse_xosc(str(p2)))
+    for _ in range(40):
+        mgr2.tick(ego, 0.05)
+    assert "ManeuverStarted" not in mgr2.fired_events
+
+
+def test_parameter_condition_not_equal_numeric(tmp_path):
+    """Numeric ParameterCondition rule='notEqualTo' must not fold to
+    greaterThan: nLaps=3 vs 3 is False, vs 2 is True; an undeclared
+    parameterRef warns and never holds."""
+    import warnings
+
+    ne_same = ELEMENT_STATE_XOSC.replace(
+        'parameterRef="nLaps" value="2"\n'
+        '                                          rule="greaterThan"',
+        'parameterRef="nLaps" value="3"\n'
+        '                                          rule="notEqualTo"')
+    assert ne_same != ELEMENT_STATE_XOSC
+    p = tmp_path / "ne_same.xosc"
+    p.write_text(ne_same)
+    cfg = parse_xosc(str(p))
+    by_name = {e.name: e for e in cfg.events}
+    assert any(c.kind == "parameter" and c.value == 0.0
+               for c in by_name["Accelerate"].trigger[0])
+
+    ne_diff = ELEMENT_STATE_XOSC.replace(
+        'parameterRef="nLaps" value="2"\n'
+        '                                          rule="greaterThan"',
+        'parameterRef="nLaps" value="2"\n'
+        '                                          rule="notEqualTo"')
+    p2 = tmp_path / "ne_diff.xosc"
+    p2.write_text(ne_diff)
+    cfg2 = parse_xosc(str(p2))
+    by_name2 = {e.name: e for e in cfg2.events}
+    assert all(c.value == 1.0 for c in by_name2["Accelerate"].trigger[0])
+
+    missing = ELEMENT_STATE_XOSC.replace('parameterRef="nLaps"',
+                                         'parameterRef="noSuchParam"')
+    p3 = tmp_path / "missing_param.xosc"
+    p3.write_text(missing)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg3 = parse_xosc(str(p3))
+    assert any("undeclared parameter" in str(x.message) for x in w)
+    by_name3 = {e.name: e for e in cfg3.events}
+    assert any(c.kind == "parameter" and c.value == 0.0
+               for c in by_name3["Accelerate"].trigger[0])
+
+
+LEAK_XOSC = """<?xml version="1.0" encoding="UTF-8"?>
+<OpenSCENARIO>
+  <FileHeader revMajor="1" revMinor="0" date="2026-01-01T00:00:00"
+              description="end-state-leak-test" author=""/>
+  <CatalogLocations/>
+  <RoadNetwork><LogicFile filepath="TownTest"/></RoadNetwork>
+  <Entities>
+    <ScenarioObject name="hero">
+      <Vehicle name="vehicle.lincoln.mkz2017" vehicleCategory="car">
+        <Properties><Property name="type" value="ego_vehicle"/></Properties>
+      </Vehicle>
+    </ScenarioObject>
+    <ScenarioObject name="lead">
+      <Vehicle name="vehicle.tesla.model3" vehicleCategory="car"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init>
+      <Actions>
+        <Private entityRef="lead">
+          <PrivateAction>
+            <TeleportAction>
+              <Position><WorldPosition x="40" y="1.75" h="0"/></Position>
+            </TeleportAction>
+          </PrivateAction>
+        </Private>
+      </Actions>
+    </Init>
+    <Story name="Story">
+      <Act name="MainAct">
+        <ManeuverGroup name="Lead" maximumExecutionCount="2">
+          <Actors selectTriggeringEntities="false">
+            <EntityRef entityRef="lead"/>
+          </Actors>
+          <Maneuver name="LeadManeuver">
+            <Event name="SpeedUp" priority="overwrite">
+              <Action name="SpeedUp">
+                <PrivateAction>
+                  <LongitudinalAction><SpeedAction>
+                    <SpeedActionDynamics dynamicsShape="linear" value="2"
+                                         dynamicsDimension="rate"/>
+                    <SpeedActionTarget>
+                      <AbsoluteTargetSpeed value="2"/>
+                    </SpeedActionTarget>
+                  </SpeedAction></LongitudinalAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="Soon" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <SimulationTimeCondition value="0.2" rule="greaterThan"/>
+                    </ByValueCondition>
+                  </Condition>
+                  <Condition name="StillSlow" delay="0" conditionEdge="rising">
+                    <ByEntityCondition>
+                      <TriggeringEntities triggeringEntitiesRule="any">
+                        <EntityRef entityRef="lead"/>
+                      </TriggeringEntities>
+                      <EntityCondition>
+                        <SpeedCondition value="1" rule="lessThan"/>
+                      </EntityCondition>
+                    </ByEntityCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+            <Event name="Shift" priority="parallel">
+              <Action name="Shift">
+                <PrivateAction>
+                  <LateralAction><LaneChangeAction>
+                    <LaneChangeActionDynamics dynamicsShape="sinusoidal"
+                        value="2" dynamicsDimension="time"/>
+                    <LaneChangeTarget>
+                      <RelativeTargetLane entityRef="lead" value="1"/>
+                    </LaneChangeTarget>
+                  </LaneChangeAction></LateralAction>
+                </PrivateAction>
+              </Action>
+              <StartTrigger>
+                <ConditionGroup>
+                  <Condition name="SpedUp" delay="0" conditionEdge="rising">
+                    <ByValueCondition>
+                      <StoryboardElementStateCondition
+                          storyboardElementType="event"
+                          storyboardElementRef="SpeedUp"
+                          state="completeState"/>
+                    </ByValueCondition>
+                  </Condition>
+                </ConditionGroup>
+              </StartTrigger>
+            </Event>
+          </Maneuver>
+        </ManeuverGroup>
+      </Act>
+    </Story>
+    <StopTrigger/>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_element_end_state_does_not_leak_across_iterations(tmp_path):
+    """After a ManeuverGroup iteration advances, an event's completeState
+    from the PREVIOUS iteration must not satisfy downstream element_state
+    'end' gates before the event re-fires in the new one (srunner's
+    OSCStartEndCondition only reacts to transitions it observes). Here
+    SpeedUp can never re-fire in iteration 2 (the lead is no longer slow),
+    so Shift must fire exactly once."""
+    p = tmp_path / "leak.xosc"
+    p.write_text(LEAK_XOSC)
+    cfg = parse_xosc(str(p))
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    y0 = float(mgr.scripted["lead"].actor.position[1])
+    for _ in range(300):                   # 15 s: iter 1 completes fully
+        mgr.tick(ego, 0.05)
+    lead = mgr.scripted["lead"]
+    by_name = {e.name: i for i, e in enumerate(cfg.events)}
+    assert mgr._count[by_name["SpeedUp"]] == 1
+    # the leak would re-fire Shift in iteration 2 -> a second 3.5 m shift
+    assert mgr._count[by_name["Shift"]] == 1
+    assert abs(abs(float(lead.actor.position[1]) - y0) - 3.5) < 0.3
