@@ -1,0 +1,393 @@
+"""Device-side fake-world sensor synthesis: the fleet's TPU fast path.
+
+The round-3 fleet sweep showed the host fleet flat at ~3 vehicles@20Hz against
+a measured device ceiling of ~112: the cap was NOT host compute but the
+~340 KB/vehicle/tick of synthesized sensors shipped through a ~44 MB/s relay
+link (camera raster + BEV grid + lanes). The fake world's sensors are pure
+array math (harness/replay.py KinematicWorld._synth_*), so this module moves
+the synthesis INTO the jitted forward: the host ships only the compact world
+state (~260 B/vehicle/tick — pose, target, speed, actor slab, weather), and
+one fused XLA program per tick synthesizes camera/lidar-BEV/radar for the
+whole fleet, crops the vectormap around each pose (the SAT test as batched
+matmuls), and runs the MMFN forward.
+
+Semantics mirror the host synthesis in KinematicWorld distribution-for-
+distribution (same ranges, rates, and weather degradation模型) — not RNG-
+stream-identical (jax PRNG vs numpy Generator), which is immaterial: the
+sensors are synthetic either way, and the model, criteria, and scoring are
+shared with the host path. The reference has no analog — its evaluator runs
+one vehicle per GPU against a CARLA server
+(leaderboard/leaderboard/leaderboard_evaluator.py:386-411).
+
+Pieces:
+- :func:`crop_lanes` — RoughMap.process_padded on device (SAT keep + ego-
+  frame transform + static max_lanes padding), parity-tested vs the numpy
+  cropper.
+- :func:`synth_camera` / :func:`synth_lidar_points` / :func:`synth_radar` —
+  KinematicWorld._synth_* analogs over static-shape slabs with validity masks.
+- :func:`radar_fit` — radar_to_size (dataloader.py:336-346) on device:
+  drop the largest-|v/d| surplus rows, preserve survivor order, zero-pad.
+- :class:`DeviceWorldPipeline` — the JitPipeline-shaped wrapper FleetRunner
+  drives: ``dispatch_fleet`` stacks compact payloads and runs the fused
+  synthesize+forward program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.data.batch import Batch
+from mmfn_tpu.ops.lidar import lidar_to_histogram_features
+from mmfn_tpu.ops.radar import radar_adjacency
+
+# actor slab width: scenario/background actors visible to the synthesizers
+# (static shape; extra actors beyond the slab are dropped nearest-first)
+ACTOR_SLAB = 8
+
+# KinematicWorld sensor constants (harness/replay.py) — kept equal so the
+# device and host worlds produce the same sensor statistics
+GROUND_POINTS = 1200
+GROUND_Z = -2.4
+LIDAR_RANGE = 30.0
+LIDAR_PER_ACTOR = 40
+RAIN_POINTS = 150
+RADAR_FOV = float(np.radians(35.0))
+RADAR_RANGE = 100.0
+RADAR_CLUTTER = 20
+
+
+# --------------------------------------------------------------------------- #
+# Vectormap crop on device
+# --------------------------------------------------------------------------- #
+
+def map_tables(rough_map) -> dict:
+    """Static per-map arrays the device cropper needs (from the RoughMap's
+    crop cache): lane polygons, the zero-padded node table, and the per-node
+    validity mask."""
+    if getattr(rough_map, "_nodes_padded", None) is None \
+            or rough_map._nodes_padded.shape[0] != len(rough_map.lanes):
+        rough_map._build_crop_cache()
+    return {
+        "polys": np.asarray(rough_map._polys, np.float32),
+        "nodes": np.asarray(rough_map._nodes_padded, np.float32),
+        "node_mask": np.asarray(rough_map._node_mask[..., 0], np.float32),
+        "base_polygon": np.asarray(rough_map.base_polygon, np.float32),
+    }
+
+
+def crop_lanes(pose, tables: dict, max_lanes: int):
+    """Device RoughMap.process_padded: pose [x, y, theta] ->
+    ((max_lanes, N, F) ego-frame lanes, lane_num). Kept lanes appear in
+    original map order (the numpy cropper's np.nonzero order); no kept lane
+    -> all-zero lanes with lane_num 1 (the reference's empty-crop fallback,
+    mmfn_vectornet.py:179-181)."""
+    polys = tables["polys"]                    # (L, 4, 2)
+    nodes = tables["nodes"]                    # (L, N, F)
+    node_mask = tables["node_mask"]            # (L, N)
+    L = polys.shape[0]
+    x, y, theta = pose[0], pose[1], pose[2]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array([[1.0, 0.0], [0.0, 1.0]]) * c \
+        + jnp.array([[0.0, -1.0], [1.0, 0.0]]) * s   # [[c,-s],[s,c]]
+    t = jnp.stack([x, y])
+    query = tables["base_polygon"] @ rot.T + t       # (4, 2)
+
+    # SAT separation on the query's axes ...
+    eq = jnp.roll(query, -1, axis=0) - query
+    qnorm = jnp.stack([-eq[:, 1], eq[:, 0]], axis=-1)      # (4, 2)
+    a = query @ qnorm.T                                    # (vert, axis)
+    b = jnp.einsum("lqc,ac->lqa", polys, qnorm)            # (L, q, axis)
+    sep_q = (a.max(0)[None] < b.min(1)) | (b.max(1) < a.min(0)[None])
+    # ... and on each lane polygon's axes
+    el = jnp.roll(polys, -1, axis=1) - polys
+    lnorm = jnp.stack([-el[..., 1], el[..., 0]], axis=-1)  # (L, 4, 2)
+    l_ok = jnp.any(lnorm != 0.0, axis=2)
+    self_proj = jnp.einsum("lqc,lac->laq", polys, lnorm)
+    a2 = jnp.einsum("pc,lac->lap", query, lnorm)
+    sep_l = ((a2.max(2) < self_proj.min(2))
+             | (self_proj.max(2) < a2.min(2))) & l_ok
+    keep = ~(sep_q.any(1) | sep_l.any(1))                  # (L,)
+
+    # stable compaction: kept lanes first, in index order
+    order = jnp.argsort(jnp.where(keep, jnp.arange(L), L + jnp.arange(L)))
+    take = order[:max_lanes]
+    valid = keep[take].astype(jnp.float32)                 # (max_lanes,)
+    sel = nodes[take]                                      # (max_lanes, N, F)
+    mask = node_mask[take][..., None] * valid[:, None, None]
+    local_xy = ((sel[..., :2] - t) @ rot) * mask
+    lanes = jnp.concatenate([local_xy, sel[..., 2:] * mask], axis=-1)
+    lane_num = jnp.clip(keep.sum(), 1, max_lanes).astype(jnp.int32)
+    return lanes, lane_num
+
+
+# --------------------------------------------------------------------------- #
+# Sensor synthesis (one vehicle; vmapped by the fused program)
+# --------------------------------------------------------------------------- #
+
+def synth_camera(key, brightness, resolution: int = 256):
+    """Noise camera, already at the model's input crop: uint8-quantized
+    uniform noise dimmed by the sun (KinematicWorld._camera_brightness)."""
+    raw = jax.random.randint(key, (resolution, resolution, 3), 0, 255)
+    return jnp.floor(raw.astype(jnp.float32) * brightness)
+
+
+def _actor_ego_frame(rel, yaw):
+    """World-frame offsets (A, 2) -> (lateral, forward) in the sensor frame
+    (KinematicWorld._ego_frame)."""
+    fwd = rel @ jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    lat = rel @ jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
+    return lat, fwd
+
+
+def synth_lidar_points(key, actors, actors_valid, yaw, rain):
+    """Two merged sweeps of the fake lidar as post-y-flip points4
+    (P, 4 [x, y, z, valid]) ready for BEV binning. actors: (A, 6) slab of
+    [rel_x, rel_y, vel_x, vel_y, extent, id%5] world-frame offsets."""
+    A = actors.shape[0]
+    per_sweep = GROUND_POINTS + A * LIDAR_PER_ACTOR + RAIN_POINTS
+    kg, ka, kr = jax.random.split(key, 3)
+
+    def sweep(kg, ka, kr):
+        g = jax.random.uniform(kg, (GROUND_POINTS, 4))
+        ground = jnp.stack([
+            g[:, 0] * 40.0 - 20.0,                       # lateral -> x
+            -(g[:, 1] * 32.0 - 8.0),                     # forward, y-flipped
+            GROUND_Z + (g[:, 2] - 0.5) * 0.3,            # ~N(0, .05) spread
+            jnp.ones((GROUND_POINTS,)),
+        ], axis=1)
+
+        lat, fwd = _actor_ego_frame(actors[:, :2], yaw)  # (A,)
+        dist = jnp.hypot(lat, fwd)
+        lidar_range = LIDAR_RANGE * (1.0 - 0.35 * rain)
+        keep_frac = 1.0 - 0.45 * rain
+        u = jax.random.uniform(ka, (A, LIDAR_PER_ACTOR, 3))
+        ang = u[..., 0] * 2 * jnp.pi
+        r = actors[:, 4:5] * (0.8 + 0.2 * u[..., 1])
+        ok = (actors_valid[:, None] > 0) \
+            & (dist[:, None] <= lidar_range) \
+            & (u[..., 2] < keep_frac)
+        apts = jnp.stack([
+            lat[:, None] + r * jnp.cos(ang),
+            -(fwd[:, None] + r * jnp.sin(ang)),
+            -1.8 + 1.3 * u[..., 1],                      # body band
+            ok.astype(jnp.float32),
+        ], axis=-1).reshape(A * LIDAR_PER_ACTOR, 4)
+
+        w = jax.random.uniform(kr, (RAIN_POINTS, 3))
+        rain_ok = (jnp.arange(RAIN_POINTS) < RAIN_POINTS * rain)
+        rpts = jnp.stack([
+            w[:, 0] * 24.0 - 12.0,
+            -(w[:, 1] * 24.0 - 12.0),
+            -2.0 + 2.0 * w[:, 2],
+            rain_ok.astype(jnp.float32),
+        ], axis=1)
+        return jnp.concatenate([ground, apts, rpts], axis=0)
+
+    kg2, ka2, kr2 = jax.random.split(jax.random.fold_in(key, 1), 3)
+    pts = jnp.concatenate([sweep(kg, ka, kr), sweep(kg2, ka2, kr2)], axis=0)
+    assert pts.shape == (2 * per_sweep, 4)
+    return pts
+
+
+def radar_fit(rows, valid, out_rows: int = 81):
+    """radar_to_size on device: if more than ``out_rows`` valid rows, delete
+    the surplus rows with the largest |velocity/depth| (reference
+    dataloader.py:336-346), preserving survivor order; zero-pad otherwise."""
+    R = rows.shape[0]
+    n_valid = valid.sum().astype(jnp.int32)
+    n_extra = jnp.maximum(n_valid - out_rows, 0)
+    ttc = jnp.abs(rows[:, 0] / jnp.where(rows[:, 3] == 0, 1e-9, rows[:, 3]))
+    score = jnp.where(valid > 0, ttc, -jnp.inf)
+    rank = jnp.argsort(jnp.argsort(-score))          # descending-score rank
+    keep = (valid > 0) & (rank >= n_extra)
+    pos = jnp.cumsum(keep) - 1
+    idx = jnp.where(keep & (pos < out_rows), pos, out_rows)
+    out = jnp.zeros((out_rows + 1, rows.shape[1]), rows.dtype)
+    out = out.at[idx].set(rows * keep[:, None])
+    return out[:out_rows]
+
+
+def synth_radar(key, actors, actors_valid, yaw, ego_vel, rain,
+                radar_points: int = 81):
+    """Front+rear radar rows [velocity, altitude, azimuth, depth, tag]
+    fitted to the model's (radar_points, 5) input — the device analog of
+    KinematicWorld._synth_radar + the agents' front/rear tag-and-stack +
+    radar_to_size fit."""
+    A = actors.shape[0]
+    MAXC = 2 * RADAR_CLUTTER                           # rain cap: 20*(1+1)
+    n_clut = jnp.round(RADAR_CLUTTER * (1.0 + rain)).astype(jnp.int32)
+
+    def face_rows(kc, face_yaw, tag):
+        g = jax.random.normal(kc, (MAXC, 2))
+        u = jax.random.uniform(kc, (MAXC, 2))
+        clut_valid = jnp.arange(MAXC) < n_clut
+        clutter = jnp.stack([
+            g[:, 0] * 0.05 * (1 + rain),
+            g[:, 1] * 0.02,
+            (u[:, 0] - 0.5) * RADAR_FOV,
+            5.0 + u[:, 1] * (RADAR_RANGE - 5.0),
+            jnp.full((MAXC,), tag),
+        ], axis=1)
+        rel = actors[:, :2]
+        depth = jnp.linalg.norm(rel, axis=1)
+        face = jnp.stack([jnp.cos(face_yaw), jnp.sin(face_yaw)])
+        side = jnp.stack([jnp.sin(face_yaw), -jnp.cos(face_yaw)])
+        azim = jnp.arctan2(rel @ side, rel @ face)
+        safe_d = jnp.where(depth > 0, depth, 1.0)
+        closing = jnp.einsum("ac,ac->a", rel / safe_d[:, None],
+                             actors[:, 2:4] - ego_vel[None])
+        alt = jnp.arctan2(-1.0 + 0.1 * actors[:, 5], safe_d)
+        a_ok = ((actors_valid > 0) & (depth > 0.5) & (depth < RADAR_RANGE)
+                & (jnp.abs(azim) <= RADAR_FOV / 2))
+        arows = jnp.stack([closing, alt, azim, depth,
+                           jnp.full((A,), tag)], axis=1)
+        return (jnp.concatenate([clutter, arows], axis=0),
+                jnp.concatenate([clut_valid, a_ok], axis=0))
+
+    kf, kr = jax.random.split(key)
+    front, front_ok = face_rows(kf, yaw, 1.0)
+    rear, rear_ok = face_rows(kr, yaw + jnp.pi, 0.0)
+    rows = jnp.concatenate([front, rear], axis=0)
+    ok = jnp.concatenate([front_ok, rear_ok], axis=0)
+    return radar_fit(rows, ok.astype(jnp.float32), radar_points)
+
+
+# --------------------------------------------------------------------------- #
+# The fused synthesize+forward program
+# --------------------------------------------------------------------------- #
+
+class DeviceWorldPipeline:
+    """JitPipeline-shaped wrapper whose ``dispatch_fleet`` consumes COMPACT
+    world-state payloads (MMFNAgent with ``device_world: True`` running in a
+    ``KinematicWorld(compact_sensors=True)``) and synthesizes all sensors on
+    device inside the forward program. Variants 'vec'/'rad' only (the 'img'
+    variant needs the birdview raster stream, which is host geometry).
+
+    The vectormap tables are registered via :meth:`set_map` (called by the
+    agent's map bootstrap); a fleet shares ONE pipeline and therefore one
+    map — registering a materially different map raises.
+    """
+
+    # surface parity with JitPipeline for bench/introspection
+    packed = False
+    host_bev = False
+
+    def __init__(self, model, variables, config: GlobalConfig, mesh=None,
+                 seed: int = 0, actor_slab: int = ACTOR_SLAB):
+        if model.variant not in ("vec", "rad"):
+            raise ValueError("device-world synthesis supports vec/rad "
+                             "variants (img needs the host raster stream)")
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.variant = model.variant
+        self.mesh = mesh
+        self.actor_slab = actor_slab
+        self._base_key = jax.random.PRNGKey(seed)
+        self._tables: Optional[dict] = None
+        self._fingerprint = None
+        self._jit = {}      # batch size N -> compiled program
+
+    def set_map(self, rough_map) -> None:
+        tables = map_tables(rough_map)
+        fp = (tables["polys"].shape, float(tables["polys"].sum()),
+              float(tables["nodes"].sum()))
+        if self._fingerprint is not None and fp != self._fingerprint:
+            raise ValueError(
+                "device-world fleet agents share one pipeline and therefore "
+                "one map; a different map was registered mid-run")
+        if self._fingerprint == fp:
+            return
+        self._fingerprint = fp
+        self._tables = {k: jnp.asarray(v) for k, v in tables.items()}
+        self._jit.clear()
+
+    # ---- fused program ---------------------------------------------------- #
+
+    def _program(self, n: int):
+        fn = self._jit.get(n)
+        if fn is not None:
+            return fn
+        model, cfg = self.model, self.config
+        base_key = self._base_key
+        max_lanes, radar_points = cfg.max_lanes, cfg.radar_points
+        resolution = cfg.input_resolution
+
+        def step(variables, tables, pose, target, speed, actors, avalid,
+                 rain, bright, frame):
+            def one(i, pose, speed, actors, avalid, rain, bright, frame):
+                key = jax.random.fold_in(jax.random.fold_in(base_key, frame), i)
+                kc, kl, kr = jax.random.split(key, 3)
+                image = synth_camera(kc, bright, resolution)
+                pts = synth_lidar_points(kl, actors, avalid, pose[2], rain)
+                bev = lidar_to_histogram_features(pts)
+                ego_vel = speed * jnp.stack(
+                    [jnp.cos(pose[2]), jnp.sin(pose[2])])
+                radar = synth_radar(kr, actors, avalid, pose[2],
+                                    ego_vel, rain, radar_points)
+                lanes, lane_num = crop_lanes(pose, tables, max_lanes)
+                return image, bev, radar, lanes, lane_num
+
+            idx = jnp.arange(n)
+            image, bev, radar, lanes, lane_num = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+                idx, pose, speed, actors, avalid, rain, bright, frame)
+            batch = Batch(
+                image=image, lidar_bev=bev,
+                lanes=lanes, lane_num=lane_num,
+                radar=radar, radar_adj=radar_adjacency(radar),
+                target_point=target, velocity=speed,
+            )
+            return model.apply(variables, batch, False)
+
+        fn = jax.jit(step)
+        self._jit[n] = fn
+        return fn
+
+    def dispatch_fleet(self, payloads) -> jax.Array:
+        if self._tables is None:
+            raise RuntimeError("set_map() must run before dispatch_fleet "
+                               "(the agents' map bootstrap does this)")
+        n = len(payloads)
+
+        def col(k, dtype=np.float32):
+            return np.stack([np.asarray(p[k], dtype) for p in payloads])
+
+        return self._program(n)(
+            self.variables, self._tables,
+            col("pose"), col("target_point"),
+            col("speed"), col("actors"), col("actors_valid"),
+            col("rain"), col("brightness"), col("frame", np.int32))
+
+    def dispatch(self, payload) -> jax.Array:
+        return self.dispatch_fleet([payload])[0]
+
+    def __call__(self, payload) -> np.ndarray:
+        return np.asarray(self.dispatch(payload))
+
+
+def actor_slab_np(actors, ego_xy, slab: int = ACTOR_SLAB):
+    """Host helper: live scenario actors -> ((slab, 6) world-frame slab,
+    (slab,) validity), nearest actors first when over-full. Columns:
+    [rel_x, rel_y, vel_x, vel_y, extent, id%5] (the fields the synthesizers
+    consume; id%5 drives the radar altitude spread like the host world)."""
+    out = np.zeros((slab, 6), np.float32)
+    valid = np.zeros((slab,), np.float32)
+    vis = [a for a in actors if getattr(a, "visible_sensors", True)]
+    if not vis:
+        return out, valid
+    rel = np.stack([np.asarray(a.position, np.float64) - ego_xy for a in vis])
+    order = np.argsort(np.linalg.norm(rel, axis=1))[:slab]
+    for k, i in enumerate(order):
+        a = vis[i]
+        out[k, :2] = rel[i]
+        out[k, 2:4] = np.asarray(a.velocity, np.float32)
+        out[k, 4] = float(getattr(a, "extent", 1.0))
+        out[k, 5] = float(getattr(a, "actor_id", 0) % 5)
+        valid[k] = 1.0
+    return out, valid

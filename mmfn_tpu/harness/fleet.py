@@ -184,7 +184,9 @@ class FleetRunner:
 
 def _zero_like_payload(payload: dict) -> dict:
     def z(x):
-        return None if x is None else np.zeros_like(np.asarray(x))
+        if x is None or isinstance(x, (bool, str)):
+            return x        # flags (e.g. 'compact') pass through verbatim
+        return np.zeros_like(np.asarray(x))
 
     out = {k: z(v) for k, v in payload.items()}
     out["speed"] = 0.0

@@ -55,6 +55,11 @@ class KinematicWorld:
     # radar clutter — the kinematic analog of CARLA's weather affecting the
     # raycast sensors, so EnvironmentAction/`weather:` have physical meaning
     weather: str = "ClearNoon"
+    # compact_sensors=True: skip host sensor synthesis entirely and emit one
+    # "world_state" entry per tick (pose, speed, actor slab, weather) for
+    # agents that synthesize sensors ON DEVICE inside the jitted forward
+    # (harness/device_world.py) — ~260 B/vehicle/tick instead of ~340 KB
+    compact_sensors: bool = False
     x: float = field(init=False)
     y: float = field(init=False)
     yaw: float = field(init=False)
@@ -77,6 +82,14 @@ class KinematicWorld:
         self.x, self.y, self.yaw = self.start
         self._rng = np.random.default_rng(self.seed)
         self.sun_altitude_deg = 70.0
+        # noise-camera pool: the no-birdview camera is information-free
+        # noise, but regenerating 480 KB of random bytes per tick was the
+        # single largest host cost in the fleet profile
+        # (scripts/_fleet_profile.py: ~2 ms/vehicle-tick of the 4.6 total).
+        # A small seeded pool served round-robin keeps the signal identical
+        # in kind (fresh-looking noise every tick) at ~zero per-tick cost.
+        self._noise_pool: Optional[list] = None
+        self._noise_dim_cache: Dict[Tuple[int, int], np.ndarray] = {}
         self.set_weather(self.weather)
 
     def set_weather(self, preset: str, sun_altitude_deg: float = None) -> None:
@@ -211,9 +224,31 @@ class KinematicWorld:
     def sensor_frame(self) -> Dict[str, Tuple[int, object]]:
         f = self.frame
         rng = self._rng
-        lidar = self._synth_lidar()
         gps = np.array([self.x / GPS_SCALE[0], self.y / GPS_SCALE[1], 0.0])
         imu = np.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0, self.yaw])
+        if self.compact_sensors:
+            from mmfn_tpu.harness.device_world import actor_slab_np
+
+            slab, slab_valid = actor_slab_np(
+                self.actors, np.array([self.x, self.y]))
+            data = {
+                "gps": (f, gps),
+                "imu": (f, imu),
+                "speed": (f, {"speed": self.v}),
+                "world_state": (f, {
+                    "pose": np.array([self.x, self.y, self.yaw], np.float32),
+                    "speed": self.v,
+                    "actors": slab,
+                    "actors_valid": slab_valid,
+                    "rain": self._rain,
+                    "brightness": self._camera_brightness(),
+                    "frame": f,
+                }),
+            }
+            if f == 0:
+                data["opendrive"] = (f, {"opendrive": self.opendrive_str})
+            return data
+        lidar = self._synth_lidar()
         if self.camera_birdview is not None:
             from mmfn_tpu.mapping.birdview import BirdViewProducer
 
@@ -234,8 +269,23 @@ class KinematicWorld:
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
         else:
-            rgb = rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)
-            rgb = (rgb * self._camera_brightness()).astype(np.uint8)
+            if self._noise_pool is None:
+                self._noise_pool = [
+                    rng.integers(0, 255, size=(300, 400, 4), dtype=np.uint8)
+                    for _ in range(4)]
+            k = f % len(self._noise_pool)
+            bright = self._camera_brightness()
+            if bright >= 0.999:
+                rgb = self._noise_pool[k]
+            else:
+                # quantize brightness to 1/64 so dimmed frames cache too
+                qb = int(round(bright * 64))
+                rgb = self._noise_dim_cache.get((k, qb))
+                if rgb is None:
+                    rgb = (self._noise_pool[k] * (qb / 64.0)).astype(np.uint8)
+                    self._noise_dim_cache[(k, qb)] = rgb
+                    if len(self._noise_dim_cache) > 64:
+                        self._noise_dim_cache.clear()
         data = {
             "rgb": (f, rgb),
             "lidar": (f, lidar),

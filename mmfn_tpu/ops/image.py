@@ -41,7 +41,8 @@ def scale_and_crop_image(image: np.ndarray, scale: int = 1, crop: int = 256) -> 
         from PIL import Image  # host-side path; match the reference exactly
 
         new_w, new_h = int(w // scale), int(h // scale)
-        image = np.asarray(Image.fromarray(image).resize((new_w, new_h)))
+        image = np.asarray(Image.fromarray(
+            np.ascontiguousarray(image)).resize((new_w, new_h)))
         h, w = new_h, new_w
     row0 = h // 2 - crop // 2
     col0 = w // 2 - crop // 2

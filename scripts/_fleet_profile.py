@@ -1,0 +1,100 @@
+"""Profile the fleet's per-vehicle host cost with the device stubbed out.
+
+Answers VERDICT r3 weak #1 precisely: which host component eats the
+~17 ms/vehicle/tick that caps the fleet at ~3 vehicles@20Hz — world sensor
+synthesis, the sensor mux, agent prepare, or runner overhead. No jax import
+needed (the pipeline is a stub returning zero waypoints).
+"""
+
+import cProfile
+import pstats
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from mmfn_tpu.config import GlobalConfig
+from mmfn_tpu.harness.fleet import FleetRunner
+from mmfn_tpu.harness.route import RouteConfig
+
+XODR = open("/root/repo/tests/fixtures/straight.xodr").read() \
+    if False else """<?xml version="1.0" standalone="yes"?>
+<OpenDRIVE>
+  <header revMajor="1" revMinor="4" name="line"/>
+  <road name="R0" length="3000.0" id="0" junction="-1">
+    <planView>
+      <geometry s="0.0" x="0.0" y="0.0" hdg="0.0" length="3000.0"><line/></geometry>
+    </planView>
+    <lanes>
+      <laneSection s="0.0">
+        <center><lane id="0" type="none" level="false"/></center>
+        <right>
+          <lane id="-1" type="driving" level="false">
+            <width sOffset="0.0" a="3.5" b="0.0" c="0.0" d="0.0"/>
+          </lane>
+        </right>
+      </laneSection>
+    </lanes>
+  </road>
+</OpenDRIVE>
+"""
+
+
+class StubPipeline:
+    """Looks enough like JitPipeline for MMFNAgent + FleetRunner."""
+
+    packed = True
+    host_bev = True
+    mesh = None
+
+    def __init__(self, config):
+        self.config = config
+
+    def dispatch_fleet(self, payloads):
+        return np.zeros((len(payloads), 4, 2), np.float32)
+
+    def dispatch(self, *args):
+        return np.zeros((4, 2), np.float32)
+
+    def __call__(self, *args):
+        return np.zeros((4, 2), np.float32)
+
+
+def run(n, ticks):
+    from mmfn_tpu.harness.agents import MMFNAgent
+
+    cfg = GlobalConfig()
+    pipe = StubPipeline(cfg)
+    agents = [MMFNAgent({"variant": "rad", "pipeline": pipe, "config": cfg})
+              for _ in range(n)]
+    routes = [{"config": RouteConfig(
+                   route_id=str(k), town="TownBench",
+                   trajectory=[(0.0, 1.75, 0.0), (2900.0, 1.75, 0.0)],
+                   index=k),
+               "opendrive_str": XODR, "max_ticks": ticks}
+              for k in range(n)]
+    t0 = time.perf_counter()
+    FleetRunner(max_wall_seconds=3600, pipelined=True,
+                prep_workers=0).run(agents, routes)
+    wall = time.perf_counter() - t0
+    total = sum(a.step + 1 for a in agents)
+    print(f"n={n} ticks={ticks}: {total / wall:.1f} agg ticks/s "
+          f"({wall / total * 1e3:.2f} ms/vehicle-tick), "
+          f"vehicles@20Hz={total / wall / 20:.2f}")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    run(n, 30)   # warm caches
+    if "--profile" in sys.argv:
+        pr = cProfile.Profile()
+        pr.enable()
+        run(n, ticks)
+        pr.disable()
+        stats = pstats.Stats(pr)
+        stats.sort_stats("cumulative").print_stats(35)
+    else:
+        run(n, ticks)
