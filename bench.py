@@ -400,6 +400,22 @@ def main():
                                            ticks=120, pipelined=True)
         except Exception:
             fleet = None
+    # device-world fleet: same end-to-end loop, sensors synthesized INSIDE
+    # the forward (harness/device_world.py) — host ships ~260 B/vehicle/tick,
+    # so the loop stops being transport-bound (VERDICT r3 next #2)
+    fleet_dw = None
+    dw_n = int(os.environ.get("MMFN_BENCH_FLEET_DW", "32"))
+    if fleet_n > 0 and dw_n > 0:
+        try:
+            import bench_loop
+            from mmfn_tpu.harness.device_world import DeviceWorldPipeline
+
+            dw_pipe = DeviceWorldPipeline(model, variables, cfg)
+            fleet_dw = bench_loop._fleet_mode(dw_pipe, cfg, dw_n, ticks=120,
+                                              pipelined=True,
+                                              compact_world=True)
+        except Exception:
+            fleet_dw = None
     # device-side fleet ceiling: the batched pipeline at width 128 in a
     # fori_loop chain (host prep + relay RTT amortized away) — what the CHIP
     # sustains; the host-fleet number above shows what this host delivers
@@ -463,6 +479,9 @@ def main():
         "fleet_vehicles": fleet_n if fleet else None,
         "fleet_agg_ticks_per_sec": fleet and fleet["agg_ticks_per_sec"],
         "fleet_vehicles_at_20hz": fleet and fleet["vehicles_at_20hz"],
+        "fleet_vehicles_at_20hz_devworld": fleet_dw
+        and fleet_dw["vehicles_at_20hz"],
+        "fleet_devworld_width": fleet_dw and dw_n,
         "fleet_vehicles_at_20hz_device": fleet_dev,
         "transport": transport,
         "disk_loader_fps": disk and disk["loader_fps"],

@@ -102,11 +102,15 @@ Expressions cover the full OSC 1.1 spec 10.8 surface: arithmetic
 operators plus the five defined functions (round/floor/ceil/sqrt/pow,
 round-half-up); anything else in an expression is a hard parse error.
 
-Positions: ``WorldPosition``, ``RelativeWorldPosition``, and — when
-``parse_xosc(..., rough_map=...)`` is given a vectorized map —
-``LanePosition`` (roadId/laneId/s/offset resolved through the native
-vectorizer's rmap v3 id/arclength columns, with relative or absolute
-``Orientation``; srunner resolves the same through the CARLA map API).
+Positions: ``WorldPosition``, ``RelativeWorldPosition``,
+``RelativeObjectPosition``, and — when ``parse_xosc(..., rough_map=...)``
+is given a vectorized map — ``LanePosition`` / ``RelativeLanePosition``
+(roadId/laneId/s/offset resolved through the native vectorizer's rmap v3
+id/arclength columns, with relative or absolute ``Orientation``) plus
+``RoadPosition`` / ``RelativeRoadPosition`` (road (s, t) against the
+reference line reconstructed from the innermost lane's centerline + width
+columns). That is every position kind the reference converts
+(srunner/tools/openscenario_parser.py:548-550, via the CARLA map API).
 
 Conventions: positions are CARLA world frame like the rest of the harness
 (x east, y south in CARLA's left-handed frame — whatever the .xodr uses);
@@ -432,10 +436,34 @@ def _parse_position(pos: ET.Element, params: Dict[str, str],
             _PARSE_RMAP, road, new_lane, s_new,
             _f(rlane, "offset", params, 0.0))
         return oriented(rlane, x, y, yaw)
+    road = pos.find("RoadPosition")
+    if road is not None:
+        need_map("RoadPosition")
+        from mmfn_tpu.mapping.rough_map import resolve_road_position
+
+        x, y, yaw = resolve_road_position(
+            _PARSE_RMAP, _resolve(road.get("roadId", "0"), params),
+            _f(road, "s", params), _f(road, "t", params, 0.0))
+        return oriented(road, x, y, yaw)
+    rroad = pos.find("RelativeRoadPosition")
+    if rroad is not None:
+        need_map("RelativeRoadPosition")
+        from mmfn_tpu.mapping.rough_map import (resolve_road_position,
+                                                road_position_of)
+
+        ref = entities.get(rroad.get("entityRef", ""), None)
+        if ref is None:
+            raise ValueError("RelativeRoadPosition needs a known entityRef")
+        road_id, s, t = road_position_of(_PARSE_RMAP, ref.x, ref.y)
+        x, y, yaw = resolve_road_position(
+            _PARSE_RMAP, road_id, s + _f(rroad, "ds", params),
+            t + _f(rroad, "dt", params, 0.0))
+        return oriented(rroad, x, y, yaw)
     raise ValueError(
         f"unsupported Position kind: {[c.tag for c in pos]} "
         "(subset supports WorldPosition / RelativeWorldPosition / "
-        "RelativeObjectPosition / LanePosition / RelativeLanePosition)")
+        "RelativeObjectPosition / LanePosition / RelativeLanePosition / "
+        "RoadPosition / RelativeRoadPosition)")
 
 
 def _parse_speed_action(act: ET.Element, params: Dict[str, str]) -> XoscAction:

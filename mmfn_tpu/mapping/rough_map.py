@@ -300,6 +300,111 @@ def resolve_lane_position(rough_map: "RoughMap", road_id: str, lane_id: int,
     return x, y, yaw
 
 
+def _lane_at_s(rough_map: "RoughMap", road_id: str, s: float,
+               prefer_inner: bool = True):
+    """Pick the lane chunk of ``road_id`` covering arclength ``s``.
+    ``prefer_inner`` favors the smallest |lane_id| (adjacent to the road
+    reference line), ties to the right side (id < 0). Raises like
+    :func:`resolve_lane_position`."""
+    chunks = [l for l in rough_map.lanes
+              if l.road_id == str(road_id)
+              and l.node_s is not None and len(l.node_s) >= 2]
+    if not chunks:
+        raise KeyError(f"no road {road_id} in the map (rmap v3 ids required)")
+    best = None
+    for lane in chunks:
+        lo, hi = float(np.min(lane.node_s)), float(np.max(lane.node_s))
+        gap = max(lo - s, s - hi, 0.0)
+        key = (gap > 1e-6, abs(lane.lane_id) if prefer_inner else 0,
+               lane.lane_id > 0, gap)
+        if best is None or key < best[0]:
+            best = (key, lane)
+    key, lane = best
+    if key[0]:
+        raise ValueError(f"s={s} outside road {road_id}")
+    return lane
+
+
+def _lane_frame_at(lane: RoughLane, s: float):
+    """(center_xy, s_dir unit vector of increasing s, lane width) at ``s``."""
+    if lane.widths is None:
+        raise KeyError("rmap v2 lane widths required for road (s, t) "
+                       "resolution — rebuild the map with the current tool")
+    s_arr, xy, widths = lane.node_s, lane.nodes[:, :2], lane.widths
+    if s_arr[0] > s_arr[-1]:
+        s_arr, xy, widths = s_arr[::-1], xy[::-1], widths[::-1]
+    cx = float(np.interp(s, s_arr, xy[:, 0]))
+    cy = float(np.interp(s, s_arr, xy[:, 1]))
+    w = float(np.interp(s, s_arr, widths))
+    k = int(np.clip(np.searchsorted(s_arr, s), 1, len(s_arr) - 1))
+    seg = xy[k] - xy[k - 1]
+    seg = seg / (np.linalg.norm(seg) + 1e-12)
+    return np.array([cx, cy]), seg, w
+
+
+def _t_axis(s_dir: np.ndarray) -> np.ndarray:
+    """The road's +t axis in the y-flipped CARLA frame: OpenDRIVE's +t
+    (left of the reference line) maps to rotate(+s, -90 deg) here — the
+    same handedness :func:`resolve_lane_position` applies per lane side."""
+    return np.array([s_dir[1], -s_dir[0]])
+
+
+def _t_of_lane_center(rough_map: "RoughMap", road_id: str, lane_id: int,
+                      s: float) -> float:
+    """t-coordinate of a lane's centerline at ``s``: the signed cumulative
+    width of the lanes between it and the reference line plus half its own.
+    Missing intermediate lanes (non-driving lanes the vectorizer skips)
+    fall back to this lane's width."""
+    side = {}
+    for lane in rough_map.lanes:
+        if lane.road_id != str(road_id) or lane.node_s is None \
+                or np.sign(lane.lane_id) != np.sign(lane_id):
+            continue
+        lo, hi = float(np.min(lane.node_s)), float(np.max(lane.node_s))
+        if lo - 1e-6 <= s <= hi + 1e-6 and lane.widths is not None:
+            sa, wd = lane.node_s, lane.widths
+            if sa[0] > sa[-1]:
+                sa, wd = sa[::-1], wd[::-1]
+            side[abs(lane.lane_id)] = float(np.interp(s, sa, wd))
+    own = side.get(abs(lane_id), 3.5)
+    total = sum(side.get(k, own) for k in range(1, abs(lane_id))) + own / 2.0
+    return float(np.sign(lane_id)) * total
+
+
+def resolve_road_position(rough_map: "RoughMap", road_id: str, s: float,
+                          t: float = 0.0) -> Tuple[float, float, float]:
+    """OpenSCENARIO RoadPosition (roadId, s, t) -> (x, y, yaw) in the CARLA
+    world frame. The road reference line is reconstructed from the innermost
+    emitted lane's centerline and width columns (rmap v2/v3): its center sits
+    at t = sign(id) * (cumulative inner widths + w/2), so the reference line
+    is that center displaced back to t = 0 along the road's t-axis. ``yaw``
+    is the direction of increasing ``s`` (OSC's road-relative default).
+    Reference conversion: srunner/tools/openscenario_parser.py:548-550
+    (via the CARLA map API, which this environment has no server for)."""
+    lane = _lane_at_s(rough_map, road_id, s, prefer_inner=True)
+    center, s_dir, _ = _lane_frame_at(lane, s)
+    t_center = _t_of_lane_center(rough_map, str(road_id), lane.lane_id, s)
+    n_t = _t_axis(s_dir)
+    p = center + n_t * (t - t_center)
+    yaw = math.atan2(float(s_dir[1]), float(s_dir[0]))
+    return float(p[0]), float(p[1]), yaw
+
+
+def road_position_of(rough_map: "RoughMap", x: float, y: float
+                     ) -> Tuple[str, float, float]:
+    """Inverse of :func:`resolve_road_position`: world point -> road-frame
+    (road_id, s, t) via the nearest lane (the srunner RelativeRoadPosition
+    base: CARLA get_waypoint + the entity's own road coordinates)."""
+    road_id, lane_id, s, _ = locate_on_lane(rough_map, x, y)
+    lane = next(l for l in rough_map.lanes
+                if l.road_id == road_id and l.lane_id == lane_id
+                and l.node_s is not None and len(l.node_s) >= 2)
+    center, s_dir, _ = _lane_frame_at(lane, s)
+    t_center = _t_of_lane_center(rough_map, road_id, lane_id, s)
+    lateral = float(_t_axis(s_dir) @ (np.array([x, y]) - center))
+    return road_id, s, t_center + lateral
+
+
 # --------------------------------------------------------------------------- #
 # Native-tool driver + writer
 # --------------------------------------------------------------------------- #

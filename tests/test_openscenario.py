@@ -1989,3 +1989,94 @@ def test_element_end_state_does_not_leak_across_iterations(tmp_path):
     # the leak would re-fire Shift in iteration 2 -> a second 3.5 m shift
     assert mgr._count[by_name["Shift"]] == 1
     assert abs(abs(float(lead.actor.position[1]) - y0) - 3.5) < 0.3
+
+
+def test_road_position_resolves_through_rmap(tool, tmp_path):
+    """RoadPosition (roadId, s, t) resolves against the road reference line
+    reconstructed from the innermost lane's centerline + width columns
+    (the last OSC position kind: srunner converts it via the CARLA map API,
+    openscenario_parser.py:548-550). t=0 is the reference line, negative t
+    the right-side lanes (CARLA y-flip: lane -1 center at y=+1.75)."""
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+    from mmfn_tpu.mapping.rough_map import (resolve_road_position,
+                                            road_position_of)
+
+    d = tmp_path / "map"
+    d.mkdir()
+    (d / "opstr.txt").write_text(TWO_LANE_XODR)
+    assert build_rmap([str(d)], tool_path=tool) is False
+    rmap = RoughMap().read(str(d / "a.rmap"))
+
+    x, y, yaw = resolve_road_position(rmap, "0", 40.0, 0.0)
+    assert abs(x - 40.0) < 1e-6 and abs(y) < 1e-6      # reference line
+    assert abs(yaw) < 1e-9                             # +s direction
+    x, y, _ = resolve_road_position(rmap, "0", 60.0, -1.75)
+    assert abs(x - 60.0) < 1e-6 and abs(y - 1.75) < 1e-6   # lane -1 center
+    x, y, _ = resolve_road_position(rmap, "0", 60.0, 1.75)
+    assert abs(y + 1.75) < 1e-6                        # lane +1 center
+
+    # inverse: world point -> (road, s, t) round-trips
+    road_id, s, t = road_position_of(rmap, 75.0, 1.0)
+    assert road_id == "0"
+    assert abs(s - 75.0) < 0.51     # node sampling granularity
+    assert abs(t + 1.0) < 1e-6      # CARLA y=+1 is t=-1
+
+    with pytest.raises(ValueError):
+        resolve_road_position(rmap, "0", 1e6, 0.0)
+    with pytest.raises(KeyError):
+        resolve_road_position(rmap, "99", 10.0, 0.0)
+
+
+def test_road_position_scenario_runs(tool, tmp_path):
+    """A storyboard using RoadPosition (init teleport) and
+    RelativeRoadPosition (acquire target) parses and drives: the lead spawns
+    on the reference-line t-offset and chases a point ds ahead of itself."""
+    from mmfn_tpu.mapping import RoughMap, build_rmap
+
+    d = tmp_path / "map"
+    d.mkdir()
+    (d / "opstr.txt").write_text(TWO_LANE_XODR)
+    assert build_rmap([str(d)], tool_path=tool) is False
+    rmap = RoughMap().read(str(d / "a.rmap"))
+
+    xosc = _story_xosc_lane_position().replace(
+        """<LanePosition roadId="0" laneId="-1" s="40" offset="0.5">
+                  <Orientation type="relative" h="0.1"/>
+                </LanePosition>""",
+        '<RoadPosition roadId="0" s="40" t="-1.75"/>')
+    xosc = xosc.replace(
+        """<Action name="go"><PrivateAction>
+            <LongitudinalAction><SpeedAction>
+              <SpeedActionDynamics dynamicsShape="step"/>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="5"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction>
+          </PrivateAction></Action>""",
+        """<Action name="go"><PrivateAction>
+            <LongitudinalAction><SpeedAction>
+              <SpeedActionDynamics dynamicsShape="step"/>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="5"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction>
+          </PrivateAction></Action>
+          <Action name="chase"><PrivateAction>
+            <RoutingAction><AcquirePositionAction>
+              <Position><RelativeRoadPosition entityRef="lead" ds="30" dt="0"/></Position>
+            </AcquirePositionAction></RoutingAction>
+          </PrivateAction></Action>""")
+    p = tmp_path / "roadpos.xosc"
+    p.write_text(xosc)
+    cfg = parse_xosc(str(p), rough_map=rmap)
+    spec = cfg.entities["lead"]
+    assert abs(spec.x - 40.0) < 1e-6
+    assert abs(spec.y - 1.75) < 1e-6    # t=-1.75 -> lane -1 center
+    mgr = OpenScenarioManager(cfg)
+    ego = np.array([0.0, 1.75])
+    for _ in range(40):
+        mgr.tick(ego, 0.05)
+    lead = mgr.scripted["lead"]
+    assert "e" in mgr.fired_events
+    # chasing the RelativeRoadPosition goal 30 m down its own road coords
+    assert float(lead.actor.position[0]) > 41.0
+    assert abs(float(lead.actor.position[1]) - 1.75) < 0.5
+
+    with pytest.raises(ValueError, match="vectorized map"):
+        parse_xosc(str(p))
