@@ -65,3 +65,10 @@ def clean_subprocess_env():
            if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
     env["JAX_PLATFORMS"] = "cpu"
     return env
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy full-config parity / subprocess-mesh tests; default dev "
+        "lane is -m 'not slow' (~10 min), run the FULL suite before shipping")
