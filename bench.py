@@ -102,6 +102,11 @@ def _require_device(timeout_s: float = None):
     threading.Thread(target=watchdog, daemon=True).start()
     devices = jax.devices()
     done.set()
+    # warm re-runs: the full-model compiles dominate bench wall-clock; the
+    # persistent cache makes repeat shots (early + end-of-round) cheap
+    from mmfn_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return devices
 
 

@@ -29,10 +29,9 @@ import jax
 # persistent compile cache: the full train-step + inference-pipeline compiles
 # dominate demo wall-clock on a cold start (TPU backend only: reloading cached
 # XLA:CPU executables can abort on machine-feature mismatch, see CLAUDE.md)
-if jax.default_backend() == "tpu":
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/mmfn_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mmfn_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.data.collate import data_loader

@@ -307,13 +307,17 @@ class Engine:
             # (phase2_train_net.py:319-322)
             return False
         save_best = bool(self.val_loss) and self.val_loss[-1] <= self.bestval
+        # serialize ONCE: to_bytes fetches every leaf from the device and
+        # msgpacks ~12 B/param — doing it per output file doubled the save
+        # stall (measured ~2x on the relay link, round 4)
+        blob = serialization.to_bytes(state)
         if save_best:
             self.bestval = self.val_loss[-1]
             self.bestval_epoch = self.cur_epoch
             with open(os.path.join(self.logdir, "best_model.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(state))
+                f.write(blob)
         with open(os.path.join(self.logdir, "model.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(state))
+            f.write(blob)
         with open(os.path.join(self.logdir, "recent.log"), "w") as f:
             json.dump(self._log_table(), f)
         return save_best

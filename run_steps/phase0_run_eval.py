@@ -35,6 +35,10 @@ from mmfn_tpu.harness.statistics import StatisticsManager
 from mmfn_tpu.models import build_model
 from mmfn_tpu.utils.cli import load_config
 from mmfn_tpu.utils.logging import bcolors as bc
+from mmfn_tpu.utils.compile_cache import enable_persistent_cache
+
+# warm re-runs/resumes: full-model compiles dominate cold-start wall-clock
+enable_persistent_cache()
 
 FALLBACK_XODR = """<?xml version="1.0" standalone="yes"?>
 <OpenDRIVE><header revMajor="1" revMinor="4" name="line"/>

@@ -32,6 +32,10 @@ from mmfn_tpu.parallel import make_mesh, replicate, shard_batch
 from mmfn_tpu.train import Engine, create_train_state
 from mmfn_tpu.utils.cli import load_config
 from mmfn_tpu.utils.logging import MetricsLogger, bcolors as bc
+from mmfn_tpu.utils.compile_cache import enable_persistent_cache
+
+# warm re-runs/resumes: full-model compiles dominate cold-start wall-clock
+enable_persistent_cache()
 
 
 def main():
