@@ -37,7 +37,11 @@ class BaselineAgent(AutonomousAgent):
         self.kind = conf.get("kind", "aim")
         self.config: GlobalConfig = conf.get("config") or GlobalConfig()
         self.model = conf["model"]
-        self.variables = conf["variables"]
+        from mmfn_tpu.harness.agents.pipeline import _pin_variables
+
+        # device-resident once: checkpoint loads are numpy trees, and numpy
+        # params re-upload on every jitted call (see JitPipeline)
+        self.variables = _pin_variables(conf["variables"])
         self.points_per_sweep = conf.get("points_per_sweep", 32768)
         self.controller = WaypointController(self.config)
         self.step = -1

@@ -73,6 +73,18 @@ def _unpack_columns(bufs, spec):
     return out
 
 
+def _pin_variables(variables, mesh=None):
+    """Place model variables on device once, so per-tick jitted dispatches
+    reuse resident buffers instead of re-uploading host (numpy) leaves —
+    flax's ``from_bytes`` checkpoint restore returns numpy trees. With a
+    serving mesh, replicate (the fleet ``shard_map`` takes params as P())."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(variables, NamedSharding(mesh, PartitionSpec()))
+    return jax.device_put(variables)
+
+
 class JitPipeline:
     """Wraps (model, variables) into a single jitted sensor->waypoints call.
 
@@ -105,7 +117,12 @@ class JitPipeline:
                  points_per_sweep: int = MAX_SWEEP_POINTS,
                  host_bev: bool = False, mesh=None, packed: bool = True):
         self.model = model
-        self.variables = variables
+        # pin the params on device ONCE: checkpoint loads hand this numpy
+        # leaves (flax from_bytes), and passing those to a jitted call
+        # re-uploads every parameter every tick — measured ~4.5 s/tick for
+        # the full MMFN-rad through the relay (round 4). Replicate over the
+        # mesh when serving sharded (dispatch_fleet shard_map expects P()).
+        self.variables = _pin_variables(variables, mesh)
         self.config = config
         self.variant = model.variant
         self.points_per_sweep = points_per_sweep

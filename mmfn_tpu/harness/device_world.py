@@ -283,7 +283,11 @@ class DeviceWorldPipeline:
             raise ValueError("device-world synthesis supports vec/rad "
                              "variants (img needs the host raster stream)")
         self.model = model
-        self.variables = variables
+        from mmfn_tpu.harness.agents.pipeline import _pin_variables
+
+        # device-resident params (checkpoint restores are numpy; see
+        # JitPipeline — re-uploading them per tick dwarfs the forward)
+        self.variables = _pin_variables(variables, mesh)
         self.config = config
         self.variant = model.variant
         self.mesh = mesh
