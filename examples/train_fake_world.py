@@ -140,18 +140,11 @@ def make_map(out_dir):
     return rmap_path, birdview
 
 
-def _offset_start(traj, lateral):
-    """Shift the first keypoint laterally: the expert starts off-lane and
-    its PID corrects back, recording recovery demonstrations (the classic
-    behavior-cloning covariate-shift fix; the reference gets the same effect
-    from its steering dither + weather/traffic variation over long runs)."""
-    if not lateral:
-        return traj
-    (x0, y0, z0), (x1, y1, _) = traj[0], traj[1]
-    import math
-    yaw = math.atan2(y1 - y0, x1 - x0)
-    return [(x0 - math.sin(yaw) * lateral, y0 + math.cos(yaw) * lateral, z0)] \
-        + list(traj[1:])
+# recovery offsets live in the harness now (phase0 collect_offsets uses the
+# same schedule): harness/route.py offset_route_start / collect_offset_for
+from mmfn_tpu.harness.route import collect_offset_for, offset_route_start
+
+_offset_start = offset_route_start
 
 
 def collect(out_dir, birdview, cfg, rmap_path, traffic=0, repetitions=1):
@@ -160,8 +153,7 @@ def collect(out_dir, birdview, cfg, rmap_path, traffic=0, repetitions=1):
     n = 0
     for rep in range(repetitions):
         # rep 0 drives on-lane; later reps start offset by alternating ±0.9 m
-        lateral = 0.0 if rep == 0 else (0.9 if rep % 2 else -0.9) * \
-            (1.0 + 0.5 * ((rep - 1) // 2))
+        lateral = collect_offset_for(rep)
         for i, traj in enumerate(COLLECT_ROUTES):
             agent = ExpertCollectionAgent({
                 "config": cfg,

@@ -126,6 +126,31 @@ def interpolate_trajectory(keypoints: Sequence[Tuple[float, float, float]],
     return dense
 
 
+def offset_route_start(trajectory: Sequence[Tuple[float, float, float]],
+                       lateral: float) -> List[Tuple[float, float, float]]:
+    """Shift the first keypoint laterally (left-positive along the initial
+    heading): the expert starts off-lane and its PID corrects back, recording
+    recovery demonstrations — the classic behavior-cloning covariate-shift
+    fix (the reference gets the same effect from steering dither +
+    weather/traffic variation over long runs; see README's demo results:
+    without recovery passes the cloned policy deviates)."""
+    if not lateral or len(trajectory) < 2:
+        return list(trajectory)
+    (x0, y0, z0), (x1, y1, _) = trajectory[0], trajectory[1]
+    yaw = math.atan2(y1 - y0, x1 - x0)
+    return [(x0 - math.sin(yaw) * lateral, y0 + math.cos(yaw) * lateral, z0)] \
+        + list(trajectory[1:])
+
+
+def collect_offset_for(repetition: int, magnitude: float = 0.9) -> float:
+    """The demo's alternating-and-growing recovery-offset schedule: rep 0
+    drives on-lane; later reps start ±magnitude, ±1.5*magnitude, ..."""
+    if repetition <= 0:
+        return 0.0
+    side = magnitude if repetition % 2 else -magnitude
+    return side * (1.0 + 0.5 * ((repetition - 1) // 2))
+
+
 class RouteIndexer:
     """Iterates route configs with checkpoint resume (route_indexer.py:13-71)."""
 

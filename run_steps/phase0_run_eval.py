@@ -375,6 +375,23 @@ def main():
         else:
             config = configs[0]
             agent = build_agent(cfg, shared, route_index=config.index)
+            # expert collection with repetitions>1: start later repetitions
+            # laterally offset so the dataset carries recovery-to-lane
+            # demonstrations (collect_offsets: true, the covariate-shift fix
+            # the demo measures — see harness/route.py:offset_route_start)
+            if cfg.get("collect_offsets") \
+                    and cfg["agent"].get("type") in ("expert", "auto"):
+                from mmfn_tpu.harness.route import (collect_offset_for,
+                                                    offset_route_start)
+
+                reps = max(1, int(cfg.get("repetitions", 1)))
+                rep = config.index // max(1, indexer.total // reps)
+                lateral = collect_offset_for(rep)
+                if lateral:
+                    config.trajectory = offset_route_start(
+                        config.trajectory, lateral)
+                    print(f"{bc.OKCYAN}collect offset {lateral:+.1f} m "
+                          f"(rep {rep}){bc.ENDC}")
             print(f"{bc.OKCYAN}route {config.route_id} "
                   f"({config.index + 1}/{indexer.total}){bc.ENDC}")
             # record: DIR — per-route ground-truth recordings for post-hoc
