@@ -151,6 +151,23 @@ class MMFNAgent(AutonomousAgent):
         rp = self._route_planner
         return (gps_latlon[:2] - rp.mean) * rp.scale
 
+    def _ego_target(self, input_data: dict):
+        """Compass (NaN-guarded), GPS position, ego-frame target point from
+        the route planner, and the next command — shared by the full-sensor
+        (:meth:`_tick`) and compact-world (:meth:`_prepare_compact`) paths
+        so the theta convention can never diverge between them."""
+        compass = input_data["imu"][1][-1]
+        if math.isnan(compass):
+            compass = 0.0
+        pos = self._position(np.asarray(input_data["gps"][1]))
+        next_wp, next_cmd = self._route_planner.run_step(pos)
+        theta = compass + np.pi / 2
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        target_point = rot.T @ np.array([next_wp[0] - pos[0],
+                                         next_wp[1] - pos[1]])
+        return compass, pos, target_point, next_cmd
+
     def _tick(self, input_data: dict) -> dict:
         if self.step == -1:
             self._save_map(input_data["opendrive"][1]["opendrive"])
@@ -161,19 +178,9 @@ class MMFNAgent(AutonomousAgent):
                                  np.ones((input_data["radar_front"][1].shape[0], 1))])
         radar_rear = np.hstack([input_data["radar_rear"][1],
                                 np.zeros((input_data["radar_rear"][1].shape[0], 1))])
-        compass = input_data["imu"][1][-1]
-        if math.isnan(compass):
-            compass = 0.0
-
-        pos = self._position(np.asarray(input_data["gps"][1]))
+        compass, pos, target_point, next_cmd = self._ego_target(input_data)
         pose2d = np.array([pos[0], pos[1], compass], dtype=np.float64)
         lanes, lane_num = self.rough_map.process_padded(pose2d, self.config.max_lanes)
-
-        next_wp, next_cmd = self._route_planner.run_step(pos)
-        theta = compass + np.pi / 2
-        rot = np.array([[np.cos(theta), -np.sin(theta)],
-                        [np.sin(theta), np.cos(theta)]])
-        target_point = rot.T @ np.array([next_wp[0] - pos[0], next_wp[1] - pos[1]])
 
         return {
             # raw frame passes through uncopied: the downstream center crop
@@ -213,16 +220,7 @@ class MMFNAgent(AutonomousAgent):
             self._init_route()
             return "control", control
         ws = input_data["world_state"][1]
-        compass = input_data["imu"][1][-1]
-        if math.isnan(compass):
-            compass = 0.0
-        pos = self._position(np.asarray(input_data["gps"][1]))
-        next_wp, _ = self._route_planner.run_step(pos)
-        theta = compass + np.pi / 2
-        rot = np.array([[np.cos(theta), -np.sin(theta)],
-                        [np.sin(theta), np.cos(theta)]])
-        target_point = rot.T @ np.array([next_wp[0] - pos[0],
-                                         next_wp[1] - pos[1]])
+        compass, pos, target_point, _ = self._ego_target(input_data)
         return "forward", {
             "compact": True,
             "pose": np.array([pos[0], pos[1], compass], np.float32),

@@ -73,6 +73,27 @@ def _unpack_columns(bufs, spec):
     return out
 
 
+def shard_over_mesh(mesh, fn, n_batch_inputs: int, n_replicated: int = 1):
+    """shard_map ``fn(replicated..., *batch_inputs)`` over the 1-D ``mesh``:
+    the first ``n_replicated`` args replicate (P() prefix over the whole
+    pytree — model variables, map tables); batch inputs split on their
+    leading axis. None inputs are empty pytrees — their spec applies to zero
+    leaves."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    specs = dict(mesh=mesh,
+                 in_specs=(P(),) * n_replicated + (P(axis),) * n_batch_inputs,
+                 out_specs=P(axis))
+    try:
+        from jax import shard_map              # jax >= 0.8
+        return shard_map(fn, check_vma=False, **specs)
+    except ImportError:                        # pragma: no cover
+        # the pre-0.8 API spells the replication check 'check_rep'
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, check_rep=False, **specs)
+
+
 def _pin_variables(variables, mesh=None):
     """Place model variables on device once, so per-tick jitted dispatches
     reuse resident buffers instead of re-uploading host (numpy) leaves —
@@ -186,23 +207,7 @@ class JitPipeline:
                 apply_batched, n_batch_inputs=8))
 
     def _shard_over_mesh(self, fn, n_batch_inputs: int):
-        """shard_map ``fn(variables, *batch_inputs)`` over the 1-D mesh:
-        variables replicate (P() prefix over the whole pytree); batch inputs
-        split on their leading axis. None inputs (lanes / map_img per
-        variant) are empty pytrees — their spec applies to zero leaves."""
-        from jax.sharding import PartitionSpec as P
-
-        axis = self.mesh.axis_names[0]
-        specs = dict(mesh=self.mesh,
-                     in_specs=(P(),) + (P(axis),) * n_batch_inputs,
-                     out_specs=P(axis))
-        try:
-            from jax import shard_map              # jax >= 0.8
-            return shard_map(fn, check_vma=False, **specs)
-        except ImportError:                        # pragma: no cover
-            # the pre-0.8 API spells the replication check 'check_rep'
-            from jax.experimental.shard_map import shard_map
-            return shard_map(fn, check_rep=False, **specs)
+        return shard_over_mesh(self.mesh, fn, n_batch_inputs)
 
     def _packed_call(self, spec, fleet: bool = False):
         """The jitted (variables, uint8[N, L]) -> waypoints program for one

@@ -12,7 +12,7 @@ whole fleet, crops the vectormap around each pose (the SAT test as batched
 matmuls), and runs the MMFN forward.
 
 Semantics mirror the host synthesis in KinematicWorld distribution-for-
-distribution (same ranges, rates, and weather degradation模型) — not RNG-
+distribution (same ranges, rates, and weather degradation model) — not RNG-
 stream-identical (jax PRNG vs numpy Generator), which is immaterial: the
 sensors are synthetic either way, and the model, criteria, and scoring are
 shared with the host path. The reference has no analog — its evaluator runs
@@ -49,16 +49,20 @@ from mmfn_tpu.ops.radar import radar_adjacency
 # (static shape; extra actors beyond the slab are dropped nearest-first)
 ACTOR_SLAB = 8
 
-# KinematicWorld sensor constants (harness/replay.py) — kept equal so the
-# device and host worlds produce the same sensor statistics
-GROUND_POINTS = 1200
-GROUND_Z = -2.4
-LIDAR_RANGE = 30.0
-LIDAR_PER_ACTOR = 40
-RAIN_POINTS = 150
-RADAR_FOV = float(np.radians(35.0))
-RADAR_RANGE = 100.0
-RADAR_CLUTTER = 20
+# KinematicWorld owns the sensor constants (harness/replay.py) — referencing
+# them keeps the device and host worlds' sensor statistics equal by
+# construction (a tuned host constant propagates here). replay.py only
+# imports this module lazily inside methods, so no cycle.
+from mmfn_tpu.harness.replay import KinematicWorld as _KW
+
+GROUND_POINTS = 1200            # KinematicWorld's default lidar_points field
+GROUND_Z = _KW.GROUND_Z
+LIDAR_RANGE = _KW.LIDAR_RANGE
+LIDAR_PER_ACTOR = _KW.LIDAR_PER_ACTOR
+RAIN_POINTS = _KW.RAIN_POINTS
+RADAR_FOV = float(_KW.RADAR_FOV)
+RADAR_RANGE = _KW.RADAR_RANGE
+RADAR_CLUTTER = _KW.RADAR_CLUTTER
 
 
 # --------------------------------------------------------------------------- #
@@ -113,10 +117,19 @@ def crop_lanes(pose, tables: dict, max_lanes: int):
              | (self_proj.max(2) < a2.min(2))) & l_ok
     keep = ~(sep_q.any(1) | sep_l.any(1))                  # (L,)
 
-    # stable compaction: kept lanes first, in index order
+    # stable compaction: kept lanes first, in index order; always emit the
+    # STATIC (max_lanes, N, F) shape — maps with fewer chunks than max_lanes
+    # pad with invalid rows (the mask below zeroes them), matching the host
+    # cropper's static-pad contract
     order = jnp.argsort(jnp.where(keep, jnp.arange(L), L + jnp.arange(L)))
-    take = order[:max_lanes]
-    valid = keep[take].astype(jnp.float32)                 # (max_lanes,)
+    if L >= max_lanes:
+        take = order[:max_lanes]
+        valid = keep[take].astype(jnp.float32)             # (max_lanes,)
+    else:
+        pad = max_lanes - L
+        take = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+        valid = jnp.concatenate(
+            [keep[order], jnp.zeros((pad,), bool)]).astype(jnp.float32)
     sel = nodes[take]                                      # (max_lanes, N, F)
     mask = node_mask[take][..., None] * valid[:, None, None]
     local_xy = ((sel[..., :2] - t) @ rot) * mask
@@ -165,7 +178,7 @@ def synth_lidar_points(key, actors, actors_valid, yaw, rain):
         dist = jnp.hypot(lat, fwd)
         lidar_range = LIDAR_RANGE * (1.0 - 0.35 * rain)
         keep_frac = 1.0 - 0.45 * rain
-        u = jax.random.uniform(ka, (A, LIDAR_PER_ACTOR, 3))
+        u = jax.random.uniform(ka, (A, LIDAR_PER_ACTOR, 4))
         ang = u[..., 0] * 2 * jnp.pi
         r = actors[:, 4:5] * (0.8 + 0.2 * u[..., 1])
         ok = (actors_valid[:, None] > 0) \
@@ -174,7 +187,10 @@ def synth_lidar_points(key, actors, actors_valid, yaw, rain):
         apts = jnp.stack([
             lat[:, None] + r * jnp.cos(ang),
             -(fwd[:, None] + r * jnp.sin(ang)),
-            -1.8 + 1.3 * u[..., 1],                      # body band
+            # body band: independent of the radius draw (the host world
+            # samples radius and z separately — a shared sample collapses
+            # the actor shell onto a diagonal)
+            -1.8 + 1.3 * u[..., 3],
             ok.astype(jnp.float32),
         ], axis=-1).reshape(A * LIDAR_PER_ACTOR, 4)
 
@@ -223,8 +239,9 @@ def synth_radar(key, actors, actors_valid, yaw, ego_vel, rain,
     n_clut = jnp.round(RADAR_CLUTTER * (1.0 + rain)).astype(jnp.int32)
 
     def face_rows(kc, face_yaw, tag):
-        g = jax.random.normal(kc, (MAXC, 2))
-        u = jax.random.uniform(kc, (MAXC, 2))
+        kcg, kcu = jax.random.split(kc)    # independent draws, like the host
+        g = jax.random.normal(kcg, (MAXC, 2))
+        u = jax.random.uniform(kcu, (MAXC, 2))
         clut_valid = jnp.arange(MAXC) < n_clut
         clutter = jnp.stack([
             g[:, 0] * 0.05 * (1 + rain),
@@ -271,6 +288,12 @@ class DeviceWorldPipeline:
     The vectormap tables are registered via :meth:`set_map` (called by the
     agent's map bootstrap); a fleet shares ONE pipeline and therefore one
     map — registering a materially different map raises.
+
+    ``mesh`` (1-D) shards ``dispatch_fleet`` across devices exactly like
+    JitPipeline's fleet path: variables + map tables replicate, the vehicle
+    axis splits, batches pad to the mesh size and slice back. Per-vehicle
+    RNG is keyed by the GLOBAL vehicle index, so results are independent of
+    the device layout.
     """
 
     # surface parity with JitPipeline for bench/introspection
@@ -322,7 +345,7 @@ class DeviceWorldPipeline:
         max_lanes, radar_points = cfg.max_lanes, cfg.radar_points
         resolution = cfg.input_resolution
 
-        def step(variables, tables, pose, target, speed, actors, avalid,
+        def step(variables, tables, idx, pose, target, speed, actors, avalid,
                  rain, bright, frame):
             def one(i, pose, speed, actors, avalid, rain, bright, frame):
                 key = jax.random.fold_in(jax.random.fold_in(base_key, frame), i)
@@ -337,7 +360,9 @@ class DeviceWorldPipeline:
                 lanes, lane_num = crop_lanes(pose, tables, max_lanes)
                 return image, bev, radar, lanes, lane_num
 
-            idx = jnp.arange(n)
+            # idx is the GLOBAL vehicle index (an input, not arange(n)): a
+            # sharded program sees only its slice, and per-vehicle RNG
+            # streams must not depend on the device layout
             image, bev, radar, lanes, lane_num = jax.vmap(
                 one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
                 idx, pose, speed, actors, avalid, rain, bright, frame)
@@ -349,6 +374,14 @@ class DeviceWorldPipeline:
             )
             return model.apply(variables, batch, False)
 
+        if self.mesh is not None:
+            # collective-free data-parallel serving, like JitPipeline's
+            # fleet path: variables + map tables replicate, every batch
+            # column splits on the vehicle axis
+            from mmfn_tpu.harness.agents.pipeline import shard_over_mesh
+
+            step = shard_over_mesh(self.mesh, step, n_batch_inputs=9,
+                                   n_replicated=2)
         fn = jax.jit(step)
         self._jit[n] = fn
         return fn
@@ -358,15 +391,24 @@ class DeviceWorldPipeline:
             raise RuntimeError("set_map() must run before dispatch_fleet "
                                "(the agents' map bootstrap does this)")
         n = len(payloads)
+        n_pad = n
+        if self.mesh is not None:   # pad to the mesh size, slice back below
+            k = int(self.mesh.devices.size)
+            n_pad = -(-n // k) * k
 
-        def col(k, dtype=np.float32):
-            return np.stack([np.asarray(p[k], dtype) for p in payloads])
+        def col(key, dtype=np.float32):
+            arr = np.stack([np.asarray(p[key], dtype) for p in payloads])
+            if n_pad > n:
+                arr = np.concatenate(
+                    [arr, np.zeros((n_pad - n,) + arr.shape[1:], dtype)])
+            return arr
 
-        return self._program(n)(
-            self.variables, self._tables,
+        out = self._program(n_pad)(
+            self.variables, self._tables, np.arange(n_pad, dtype=np.int32),
             col("pose"), col("target_point"),
             col("speed"), col("actors"), col("actors_valid"),
             col("rain"), col("brightness"), col("frame", np.int32))
+        return out[:n]
 
     def dispatch(self, payload) -> jax.Array:
         return self.dispatch_fleet([payload])[0]

@@ -137,6 +137,7 @@ class KinematicWorld:
     RADAR_FOV = math.radians(35.0)
     RADAR_RANGE = 100.0
     RADAR_CLUTTER = 20
+    RAIN_POINTS = 150           # backscatter cloud size at full rain
 
     def _ego_frame(self, position: np.ndarray) -> Tuple[float, float]:
         """(lateral, forward) offsets of a world point in the sensor frame
@@ -177,7 +178,7 @@ class KinematicWorld:
             pts[:, 3] = rng.uniform(0.4, 0.9, keep)
             chunks.append(pts)
         if self._rain > 0:
-            n_rain = int(150 * self._rain)
+            n_rain = int(self.RAIN_POINTS * self._rain)
             rain = np.empty((n_rain, 4), np.float32)
             rain[:, 0] = rng.uniform(-12, 12, n_rain)
             rain[:, 1] = rng.uniform(-12, 12, n_rain)

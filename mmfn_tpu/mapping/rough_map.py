@@ -396,9 +396,14 @@ def road_position_of(rough_map: "RoughMap", x: float, y: float
     (road_id, s, t) via the nearest lane (the srunner RelativeRoadPosition
     base: CARLA get_waypoint + the entity's own road coordinates)."""
     road_id, lane_id, s, _ = locate_on_lane(rough_map, x, y)
-    lane = next(l for l in rough_map.lanes
-                if l.road_id == road_id and l.lane_id == lane_id
-                and l.node_s is not None and len(l.node_s) >= 2)
+    # long lanes split into multiple chunks sharing (road_id, lane_id):
+    # pick the one whose arclength range covers s (the first match may sit
+    # hundreds of meters away, and _lane_frame_at clamps to chunk ends)
+    cands = [l for l in rough_map.lanes
+             if l.road_id == road_id and l.lane_id == lane_id
+             and l.node_s is not None and len(l.node_s) >= 2]
+    lane = min(cands, key=lambda l: max(float(np.min(l.node_s)) - s,
+                                        s - float(np.max(l.node_s)), 0.0))
     center, s_dir, _ = _lane_frame_at(lane, s)
     t_center = _t_of_lane_center(rough_map, road_id, lane_id, s)
     lateral = float(_t_axis(s_dir) @ (np.array([x, y]) - center))

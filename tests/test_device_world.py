@@ -225,3 +225,93 @@ def test_device_world_single_agent_sync_and_map_guard(tool, tmp_path):
     other = RoughMap().read(str(other_dir / "a.rmap"))
     with pytest.raises(ValueError, match="different map"):
         agent.pipeline.set_map(other)
+
+
+def test_crop_lanes_static_shape_on_small_maps(curved_map):
+    """Maps with fewer chunks than max_lanes still yield the STATIC
+    (max_lanes, N, F) lane tensor (padding rows zeroed) — the host cropper's
+    static-pad contract (CLAUDE.md: ragged -> pad + mask)."""
+    from mmfn_tpu.harness.device_world import crop_lanes, map_tables
+
+    tables = {k: jnp.asarray(v) for k, v in map_tables(curved_map).items()}
+    L = tables["polys"].shape[0]
+    max_lanes = L + 11
+    pose = jnp.asarray([5.0, 1.75, 0.0], jnp.float32)
+    lanes, lane_num = jax.jit(crop_lanes, static_argnums=(2,))(
+        pose, tables, max_lanes)
+    assert lanes.shape[0] == max_lanes
+    assert 1 <= int(lane_num) <= L
+    # padding rows (beyond the map's chunk count) are all-zero
+    assert not np.asarray(lanes[L:]).any()
+
+
+def test_road_position_of_picks_chunk_covering_s(tool, tmp_path):
+    """Long lanes split into chunks sharing (road_id, lane_id):
+    road_position_of must use the chunk covering s, not the first match —
+    on the curved road the first chunk's frame is hundreds of meters away
+    and points the wrong way (round-trips exactly after the fix)."""
+    from mmfn_tpu.mapping.rough_map import (resolve_road_position,
+                                            road_position_of)
+
+    d = tmp_path / "opendrive"
+    d.mkdir()
+    (d / "opstr.txt").write_text(CURVED_XODR)
+    assert not build_rmap([str(d)], tool_path=tool)
+    rmap = RoughMap().read(str(d / "a.rmap"))
+    n_chunks = sum(1 for l in rmap.lanes
+                   if l.road_id == "0" and l.lane_id == -1
+                   and l.node_s is not None)
+    assert n_chunks > 1, "fixture must exercise multi-chunk lanes"
+    # deep into the last straight (s=250, past every earlier chunk)
+    x, y, _ = resolve_road_position(rmap, "0", 250.0, -1.0)
+    rid, s, t = road_position_of(rmap, x, y)
+    assert rid == "0"
+    assert abs(s - 250.0) < 1.0
+    assert abs(t + 1.0) < 0.1
+
+
+def test_device_world_mesh_matches_single_device(curved_map):
+    """dispatch_fleet over a 4-device mesh == the meshless program, including
+    a fleet size that does not divide the mesh (pad + slice back); RNG keys
+    ride the GLOBAL vehicle index, so the device layout cannot shift them."""
+    from jax.sharding import Mesh
+    from mmfn_tpu.data.synthetic import synthetic_batch
+    from mmfn_tpu.harness.device_world import DeviceWorldPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "rad")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    rng = np.random.default_rng(7)
+    payloads = []
+    for i in range(3):                      # 3 does not divide 4
+        actors = np.zeros((ACTOR_SLAB, 6), np.float32)
+        actors[0] = [8.0 + i, 0.5, 1.0, 0.0, 1.5, float(i % 5)]
+        avalid = np.zeros(ACTOR_SLAB, np.float32)
+        avalid[0] = 1.0
+        payloads.append({
+            "pose": np.array([4.0 * i, 1.75, 0.1 * i], np.float32),
+            "target_point": rng.normal(size=2).astype(np.float32),
+            "speed": np.float32(3.0 + i),
+            "actors": actors, "actors_valid": avalid,
+            "rain": np.float32(0.0), "brightness": np.float32(1.0),
+            "frame": np.int32(5 + i),
+        })
+
+    plain = DeviceWorldPipeline(model, variables, cfg)
+    plain.set_map(curved_map)
+    want = np.asarray(plain.dispatch_fleet(payloads))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("fleet",))
+    sharded = DeviceWorldPipeline(model, variables, cfg, mesh=mesh)
+    sharded.set_map(curved_map)
+    got = np.asarray(sharded.dispatch_fleet(payloads))
+
+    assert got.shape == want.shape == (3, cfg.pred_len, 2)
+    # n=3 and the padded n=4 compile to different reduction orders; the
+    # residual is pure f32 reassociation (measured max rel ~2.6e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.02)
