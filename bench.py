@@ -23,6 +23,7 @@ publishes no model-throughput numbers, see BASELINE.md).
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -38,6 +39,14 @@ from mmfn_tpu.ops.radar import radar_adjacency
 MAX_POINTS = 65536  # two 64-ch sweeps at 600k pts/s / 20 Hz, padded
 BATCH = 8
 ITERS = 200
+
+
+def _log_leg_failure(leg: str) -> None:
+    """A failed optional leg keeps the JSON line flowing, but NEVER silently:
+    a null field in the driver artifact must be explainable from stderr."""
+    import traceback
+    print(f"bench: {leg} leg failed:", file=sys.stderr)
+    traceback.print_exc()
 
 
 def _require_device(timeout_s: float = None):
@@ -368,6 +377,7 @@ def main():
         try:
             disk = disk_train_bench(model, cfg, batch_size=train_batch)
         except Exception:
+            _log_leg_failure("disk pipeline")
             disk = None
     if train_mode != "0":
         try:
@@ -375,6 +385,7 @@ def main():
                                        compute_dtype=jnp.bfloat16)
             train_fps = round(train_batch / train_step_s, 2)
         except Exception:
+            _log_leg_failure("train step")
             train_fps = None
         # peak single-chip throughput: same step at the largest batch that
         # fits HBM (+12.5% measured over batch 24 — docs/PERFORMANCE.md)
@@ -383,6 +394,7 @@ def main():
                                       compute_dtype=jnp.bfloat16)
             train_fps_peak = round(peak_batch / peak_step_s, 2)
         except Exception:
+            _log_leg_failure("train step (peak batch)")
             train_fps_peak = None
 
     # Fleet serving-scale metric (opt out: MMFN_BENCH_FLEET=0): N fake-world
@@ -404,6 +416,7 @@ def main():
             fleet = bench_loop._fleet_mode(agent.pipeline, cfg, fleet_n,
                                            ticks=120, pipelined=True)
         except Exception:
+            _log_leg_failure("host-fleet")
             fleet = None
     # device-world fleet: same end-to-end loop, sensors synthesized INSIDE
     # the forward (harness/device_world.py) — host ships ~260 B/vehicle/tick,
@@ -420,6 +433,7 @@ def main():
                                               pipelined=True,
                                               compact_world=True)
         except Exception:
+            _log_leg_failure("device-world fleet")
             fleet_dw = None
     # device-side fleet ceiling: the batched pipeline at width 128 in a
     # fori_loop chain (host prep + relay RTT amortized away) — what the CHIP
@@ -432,6 +446,7 @@ def main():
                                make_inputs(dev_width, rng), 25)
             fleet_dev = round(dev_width / dev_s / 20.0, 1)
         except Exception:
+            _log_leg_failure("device-side fleet ceiling")
             fleet_dev = None
 
     # Pallas self-check: the BEV histogram kernel vs its XLA reference,

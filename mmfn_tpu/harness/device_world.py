@@ -321,9 +321,14 @@ class DeviceWorldPipeline:
         self._jit = {}      # batch size N -> compiled program
 
     def set_map(self, rough_map) -> None:
-        tables = map_tables(rough_map)
-        fp = (tables["polys"].shape, float(tables["polys"].sum()),
-              float(tables["nodes"].sum()))
+        self.set_map_tables(map_tables(rough_map))
+
+    def set_map_tables(self, tables: dict) -> None:
+        """Register the cropper's static map arrays directly (what
+        :meth:`set_map` extracts from a RoughMap) — the handle for synthetic
+        maps in dryruns/tests, same keys/shapes as :func:`map_tables`."""
+        fp = (tables["polys"].shape, float(np.asarray(tables["polys"]).sum()),
+              float(np.asarray(tables["nodes"]).sum()))
         if self._fingerprint is not None and fp != self._fingerprint:
             raise ValueError(
                 "device-world fleet agents share one pipeline and therefore "

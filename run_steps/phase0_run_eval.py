@@ -168,7 +168,11 @@ def build_agent(cfg, shared=None, route_index=None):
             # docs/PARITY.md): agent.async_dispatch=true; agent.host_bev=true
             # bins lidar on host and ships the uint8 count grid (thin links)
             "async_dispatch": agent_cfg.get("async_dispatch", False),
-            "host_bev": agent_cfg.get("host_bev", False)}
+            "host_bev": agent_cfg.get("host_bev", False),
+            # agent.device_world=true: synthesize sensors ON DEVICE inside
+            # the forward program (harness/device_world.py) — pairs with
+            # compact_sensors on the fake world (wired below); vec/rad only
+            "device_world": bool(agent_cfg.get("device_world", False))}
     # agent.fleet_devices=N: shard the fleet's batched forward across the
     # first N local devices (collective-free data-parallel serving; pairs
     # with the top-level `fleet:` width — see harness/agents/pipeline.py)
@@ -328,10 +332,14 @@ def main():
                 preset=weather,
                 time_scale=1.0 if anim is True else float(anim),
                 start_hour=float(cfg.get("weather_start_hour", 11.0)))
+        world_kwargs = {"camera_birdview": birdview, "weather": weather}
+        if cfg.get("agent", {}).get("device_world"):
+            # on-device sensor synthesis: the world skips host synthesis and
+            # emits one compact world_state frame per tick
+            world_kwargs["compact_sensors"] = True
         return dict(triggers=triggers, rough_map=rough_map, signals=signals,
                     background=background,
-                    world_kwargs={"camera_birdview": birdview,
-                                  "weather": weather},
+                    world_kwargs=world_kwargs,
                     scenario_manager=scenario_manager,
                     weather_sim=weather_sim,
                     max_ticks=None if max_ticks is None else int(max_ticks))

@@ -245,6 +245,37 @@ def test_phase0_fleet_cli(tmp_path):
         assert record["status"].startswith(("Failed", "Completed"))
 
 
+def test_phase0_device_world_cli(tmp_path):
+    """``agent.device_world: true`` runs the eval with on-device sensor
+    synthesis: the fake world emits compact world_state frames
+    (compact_sensors, wired by the CLI) and the agent serves through
+    DeviceWorldPipeline instead of JitPipeline."""
+    cfg = {
+        "routes": os.path.join(ROOT, "tests", "fixtures", "route_straight.xml"),
+        "max_ticks": 6, "resume": False,
+        "checkpoint": str(tmp_path / "results" / "dw.json"),
+        # rad at n_layer=1/max_lanes=16 rides the device-world program
+        # test_device_world.py already left in the persistent cache
+        "agent": {"variant": "rad", "n_layer": 1, "max_lanes": 16,
+                  "device_world": True, "model_path": None},
+        "simulator": "fake",
+    }
+    cfg_path = tmp_path / "dw.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    env = _clean_env()
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(ROOT, "tests", ".jax_cache")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_steps", "phase0_run_eval.py"),
+         "--config", str(cfg_path)],
+        capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "driving score" in proc.stdout
+    records = json.load(open(tmp_path / "results" / "dw.json"))[
+        "_checkpoint"]["records"]
+    assert len(records) == 1
+    assert records[0]["status"].startswith(("Failed", "Completed"))
+
+
 def test_dotdict_attribute_protocol():
     """Missing attributes raise AttributeError (not KeyError) so
     deepcopy / hasattr / getattr-with-default work."""
