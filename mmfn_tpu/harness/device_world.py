@@ -301,7 +301,7 @@ class DeviceWorldPipeline:
     host_bev = False
 
     def __init__(self, model, variables, config: GlobalConfig, mesh=None,
-                 seed: int = 0, actor_slab: int = ACTOR_SLAB):
+                 seed: int = 0):
         if model.variant not in ("vec", "rad"):
             raise ValueError("device-world synthesis supports vec/rad "
                              "variants (img needs the host raster stream)")
@@ -314,7 +314,6 @@ class DeviceWorldPipeline:
         self.config = config
         self.variant = model.variant
         self.mesh = mesh
-        self.actor_slab = actor_slab
         self._base_key = jax.random.PRNGKey(seed)
         self._tables: Optional[dict] = None
         self._fingerprint = None
@@ -327,8 +326,12 @@ class DeviceWorldPipeline:
         """Register the cropper's static map arrays directly (what
         :meth:`set_map` extracts from a RoughMap) — the handle for synthetic
         maps in dryruns/tests, same keys/shapes as :func:`map_tables`."""
-        fp = (tables["polys"].shape, float(np.asarray(tables["polys"]).sum()),
-              float(np.asarray(tables["nodes"]).sum()))
+        # cover EVERY table the cropper reads — two maps sharing lane
+        # geometry but differing in crop window (base_polygon) or node
+        # validity must still trip the shared-pipeline guard
+        fp = (tables["polys"].shape,
+              *(float(np.asarray(tables[k]).sum())
+                for k in ("polys", "nodes", "node_mask", "base_polygon")))
         if self._fingerprint is not None and fp != self._fingerprint:
             raise ValueError(
                 "device-world fleet agents share one pipeline and therefore "

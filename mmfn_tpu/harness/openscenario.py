@@ -1829,8 +1829,12 @@ class OpenScenarioManager:
                 return any(i in self._fired for i in matches)
             if cond.state == "end":
                 return all(self._event_ended(i) for i in matches)
-            return any(i in self._fired and not self._event_ended(i)
-                       for i in matches)  # 'running'
+            # 'running': executing NOW — an event parked between group
+            # iterations (ended last iteration, next trigger not yet held)
+            # is standby, not running, even though _event_ended() reports
+            # False for it to keep 'end' gates un-satisfied across the gap
+            return any(i in self._fired and i not in self._pending_refire
+                       and not self._event_ended(i) for i in matches)
         if cond.kind == "traveled":
             # subset: traveled distance is tracked for the ego; scripted
             # actors' odometers would need per-actor tracking nobody uses

@@ -54,13 +54,18 @@ def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
         # route, later elements overriding (RouteParser.parse_weather iterates
         # route.iter('weather'), route_parser.py:62-110)
         attrs = {}
+        saw_element = False
         for weather_el in route.iter("weather"):
+            saw_element = True
             attrs.update({k: float(weather_el.attrib[k])
                           for k in ("cloudiness", "precipitation",
                                     "precipitation_deposits", "wetness",
                                     "sun_altitude_angle")
                           if k in weather_el.attrib})
-        if attrs:
+        if saw_element:
+            # element PRESENCE is the override (the reference always builds
+            # a WeatherParameters when any <weather> exists — an empty
+            # <weather/> means defaults, i.e. clear noon — not "no opinion")
             from mmfn_tpu.harness.weather import preset_from_params
 
             weather = preset_from_params(**attrs)

@@ -483,6 +483,10 @@ def test_parse_route_weather_element(tmp_path):
         <weather sun_altitude_angle="10"/>
         <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
       </route>
+      <route id="4" town="Town01">
+        <weather/>
+        <waypoint x="0" y="0" z="0"/><waypoint x="50" y="0" z="0"/>
+      </route>
     </routes>"""
     p = tmp_path / "weather_routes.xml"
     p.write_text(xml)
@@ -493,6 +497,10 @@ def test_parse_route_weather_element(tmp_path):
     # attributes accumulate across ALL <weather> elements, as the reference's
     # RouteParser.parse_weather iterates route.iter('weather')
     assert configs[3].weather == "HardRainSunset"
+    # element PRESENCE is the override: an empty <weather/> means carla
+    # defaults (clear noon), not "no opinion" — the reference always builds
+    # a WeatherParameters when the element exists
+    assert configs[4].weather == "ClearNoon"
     # repetition expansion keeps the per-route weather
     from mmfn_tpu.harness.route import RouteIndexer
 

@@ -8,7 +8,7 @@ import pytest
 
 from mmfn_tpu.config import GlobalConfig
 from mmfn_tpu.harness.openscenario import (
-    OpenScenarioManager, hero_trajectory, parse_xosc)
+    OpenScenarioManager, XoscCondition, hero_trajectory, parse_xosc)
 from mmfn_tpu.harness.replay import ClosedLoopRunner
 from mmfn_tpu.harness.route import RouteConfig
 from tests.test_harness import STRAIGHT_XODR
@@ -2080,3 +2080,57 @@ def test_road_position_scenario_runs(tool, tmp_path):
 
     with pytest.raises(ValueError, match="vectorized map"):
         parse_xosc(str(p))
+
+
+def test_running_state_false_between_group_iterations(tmp_path):
+    """An event that completed its run and is parked awaiting re-fire in the
+    next ManeuverGroup iteration is STANDBY, not running: a runningState
+    gate must not hold during the gap (srunner parks repeated elements in
+    standbyState until the restart transition), and an 'end' gate must not
+    hold either (the previous iteration's completion is consumed)."""
+    xosc = REPEAT_XOSC.replace(
+        """<ByValueCondition>
+                      <SimulationTimeCondition value="0.5" rule="greaterThan"/>
+                    </ByValueCondition>""",
+        """<ByEntityCondition>
+                      <TriggeringEntities triggeringEntitiesRule="any">
+                        <EntityRef entityRef="hero"/>
+                      </TriggeringEntities>
+                      <EntityCondition>
+                        <RelativeDistanceCondition entityRef="lead"
+                            freespace="false"
+                            relativeDistanceType="cartesianDistance"
+                            value="15" rule="lessThan"/>
+                      </EntityCondition>
+                    </ByEntityCondition>""")
+    assert xosc != REPEAT_XOSC
+    p = tmp_path / "refire_gap.xosc"
+    p.write_text(xosc)
+    mgr = OpenScenarioManager(parse_xosc(str(p)))
+    cond_running = XoscCondition("element_state", entity="Shift",
+                                 rule="event", state="running")
+    cond_end = XoscCondition("element_state", entity="Shift",
+                             rule="event", state="end")
+    near = np.array([30.0, 1.75])            # <15 m from lead at x=40
+    far = np.array([0.0, 1.75])              # trigger false here
+
+    # approach the lead -> iteration 1 fires; retreat while the 2 s shift
+    # completes, so the trigger is FALSE at the moment the group advances
+    for _ in range(5):
+        mgr.tick(near, 0.05)
+    assert mgr._count[0] == 1
+    for _ in range(60):                      # 3 s: shift completes far away
+        mgr.tick(far, 0.05)
+    assert 0 in mgr._pending_refire
+    # the gap: the event is parked awaiting re-fire — neither running
+    # nor ended
+    assert not mgr._holds(cond_running, far)
+    assert not mgr._holds(cond_end, far)
+
+    # approach again -> iteration 2 fires; while the shift executes it IS
+    # running (and not ended)
+    for _ in range(5):
+        mgr.tick(near, 0.05)
+    assert mgr._count[0] == 2
+    assert mgr._holds(cond_running, near)
+    assert not mgr._holds(cond_end, near)
