@@ -77,13 +77,17 @@ class RoutePlanner:
             return self.route[0]
 
         to_pop = 0
-        farthest_in_range = -np.inf
+        farthest_in_range = -math.inf
         cumulative_distance = 0.0
+        gx, gy = float(gps[0]), float(gps[1])
         for i in range(1, len(self.route)):
             if cumulative_distance > self.max_distance:
                 break
-            cumulative_distance += np.linalg.norm(self.route[i][0] - self.route[i - 1][0])
-            distance = np.linalg.norm(self.route[i][0] - gps)
+            a, b = self.route[i][0], self.route[i - 1][0]
+            # scalar hypot: this loop runs per-vehicle-per-tick in the fleet
+            # hot path; tiny-vector np.linalg.norm dominates it otherwise
+            cumulative_distance += math.hypot(a[0] - b[0], a[1] - b[1])
+            distance = math.hypot(a[0] - gx, a[1] - gy)
             if distance <= self.min_distance and distance > farthest_in_range:
                 farthest_in_range = distance
                 to_pop = i

@@ -12,6 +12,7 @@ consumes whatever events exist.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -64,12 +65,15 @@ class RouteCompletionCriterion(Criterion):
             return
         pos = np.asarray(position, dtype=np.float64)
         end = min(self._index + self._window, len(self.route))
-        d = np.linalg.norm(self.route[self._index:end] - pos, axis=1)
-        near = np.nonzero(d < self.DISTANCE_THRESHOLD)[0]
+        seg = self.route[self._index:end] - pos
+        d2 = np.einsum("ij,ij->i", seg, seg)     # squared: no sqrt needed
+        near = np.nonzero(d2 < self.DISTANCE_THRESHOLD ** 2)[0]
         if near.size:
             self._index += int(near[-1])
             self._percent = 100.0 * self.cumdist[self._index] / self.total
-        if (np.linalg.norm(self.route[-1] - pos) < self.TERMINATION_THRESHOLD
+        end_d = math.hypot(self.route[-1][0] - pos[0],
+                           self.route[-1][1] - pos[1])
+        if (end_d < self.TERMINATION_THRESHOLD
                 and self._percent > 99.0) or self._percent >= 99.5:
             self._completed = True
             self.events.append(TrafficEvent(TrafficEventType.ROUTE_COMPLETED,
@@ -120,16 +124,36 @@ class RouteDeviationCriterion(Criterion):
         super().__init__()
         self.route = np.asarray(route_xy, dtype=np.float64)
         self.triggered = False
+        self._idx = 0       # last nearest route index (motion is continuous)
+        self._window = 50
 
     def update(self, position, speed, game_time) -> None:
         if self.triggered:
             return
         pos = np.asarray(position, dtype=np.float64)
-        if np.min(np.linalg.norm(self.route - pos, axis=1)) > self.MAX_DISTANCE:
-            self.triggered = True
-            self.events.append(TrafficEvent(
-                TrafficEventType.ROUTE_DEVIATION,
-                f"Agent deviated from the route at ({pos[0]:.2f}, {pos[1]:.2f})"))
+        # windowed scan around the last nearest point first — the full-route
+        # distance field every tick was the single largest criteria cost in
+        # the fleet host profile (scripts/_fleet_profile.py). The full scan
+        # only runs as a fallback before TRIGGERING, so the decision is
+        # identical to the all-points test (looping routes whose tail passes
+        # near the ego still count).
+        lo = max(0, self._idx - 10)
+        seg = self.route[lo:self._idx + self._window] - pos
+        d2 = np.einsum("ij,ij->i", seg, seg)
+        j = int(np.argmin(d2))
+        if d2[j] <= self.MAX_DISTANCE ** 2:
+            self._idx = lo + j
+            return
+        full = self.route - pos
+        d2f = np.einsum("ij,ij->i", full, full)
+        j = int(np.argmin(d2f))
+        if d2f[j] <= self.MAX_DISTANCE ** 2:
+            self._idx = j
+            return
+        self.triggered = True
+        self.events.append(TrafficEvent(
+            TrafficEventType.ROUTE_DEVIATION,
+            f"Agent deviated from the route at ({pos[0]:.2f}, {pos[1]:.2f})"))
 
 
 def subdivide_lane_ribbon(lane_polylines: Sequence[np.ndarray],

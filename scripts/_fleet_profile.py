@@ -61,8 +61,11 @@ class StubPipeline:
     def __call__(self, *args):
         return np.zeros((4, 2), np.float32)
 
+    def set_map(self, rough_map):        # compact mode registers the map
+        pass
 
-def run(n, ticks):
+
+def run(n, ticks, compact=False):
     from mmfn_tpu.harness.agents import MMFNAgent
 
     cfg = GlobalConfig()
@@ -73,7 +76,9 @@ def run(n, ticks):
                    route_id=str(k), town="TownBench",
                    trajectory=[(0.0, 1.75, 0.0), (2900.0, 1.75, 0.0)],
                    index=k),
-               "opendrive_str": XODR, "max_ticks": ticks}
+               "opendrive_str": XODR, "max_ticks": ticks,
+               **({"world_kwargs": {"compact_sensors": True}}
+                  if compact else {})}
               for k in range(n)]
     t0 = time.perf_counter()
     FleetRunner(max_wall_seconds=3600, pipelined=True,
@@ -86,15 +91,17 @@ def run(n, ticks):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    run(n, 30)   # warm caches
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 8
+    ticks = int(args[1]) if len(args) > 1 else 120
+    compact = "--compact" in sys.argv
+    run(n, 30, compact)   # warm caches
     if "--profile" in sys.argv:
         pr = cProfile.Profile()
         pr.enable()
-        run(n, ticks)
+        run(n, ticks, compact)
         pr.disable()
         stats = pstats.Stats(pr)
         stats.sort_stats("cumulative").print_stats(35)
     else:
-        run(n, ticks)
+        run(n, ticks, compact)
