@@ -422,7 +422,9 @@ def main():
     # the forward (harness/device_world.py) — host ships ~260 B/vehicle/tick,
     # so the loop stops being transport-bound (VERDICT r3 next #2)
     fleet_dw = None
-    dw_n = int(os.environ.get("MMFN_BENCH_FLEET_DW", "32"))
+    # 64 = the measured best single-chip width (docs/PERFORMANCE.md sweep;
+    # wider programs hit an XLA compile wall, narrower leaves throughput)
+    dw_n = int(os.environ.get("MMFN_BENCH_FLEET_DW", "64"))
     if fleet_n > 0 and dw_n > 0:
         try:
             import bench_loop
