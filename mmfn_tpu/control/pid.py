@@ -31,10 +31,14 @@ class PIDController:
 
     def step(self, error: float) -> float:
         w = self._window
-        self._sum += error - w[0]       # evicted by the append below
-        w.append(error)
-        integral = self._sum / len(w)
-        derivative = w[-1] - w[-2]
+        if w:
+            self._sum += error - w[0]   # evicted by the append below
+            w.append(error)
+        if len(w) >= 2:
+            integral = self._sum / len(w)
+            derivative = w[-1] - w[-2]
+        else:
+            integral = derivative = 0.0  # degenerate window: P-only
         return self.k_p * error + self.k_i * integral + self.k_d * derivative
 
     def reset(self) -> None:

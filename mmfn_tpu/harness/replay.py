@@ -80,13 +80,16 @@ class KinematicWorld:
 
     def __post_init__(self):
         self.x, self.y, self.yaw = self.start
-        if self.compact_sensors and self.lidar_points != 1200:
-            import warnings
-            warnings.warn(
-                f"compact_sensors ignores lidar_points={self.lidar_points}: "
-                "the device world synthesizes its compiled-in ground density "
-                "(device_world.GROUND_POINTS=1200); host and device sensor "
-                "statistics will diverge", stacklevel=2)
+        if self.compact_sensors:
+            from mmfn_tpu.harness.device_world import GROUND_POINTS
+            if self.lidar_points != GROUND_POINTS:
+                import warnings
+                warnings.warn(
+                    f"compact_sensors ignores lidar_points="
+                    f"{self.lidar_points}: the device world synthesizes its "
+                    f"compiled-in ground density (device_world.GROUND_POINTS"
+                    f"={GROUND_POINTS}); host and device sensor statistics "
+                    "will diverge", stacklevel=2)
         self._rng = np.random.default_rng(self.seed)
         self.sun_altitude_deg = 70.0
         # noise-camera pool: the no-birdview camera is information-free

@@ -63,9 +63,15 @@ def parse_routes_file(path: str, single_route: str = None) -> List[RouteConfig]:
                                     "sun_altitude_angle")
                           if k in weather_el.attrib})
         if saw_element:
-            # element PRESENCE is the override (the reference always builds
-            # a WeatherParameters when any <weather> exists — an empty
-            # <weather/> means defaults, i.e. clear noon — not "no opinion")
+            # element PRESENCE is the override: the reference builds a
+            # zero-initialized carla.WeatherParameters() when any <weather>
+            # exists (route_parser.py:93-94) — unset attributes are 0.0,
+            # which puts the sun at the horizon (Sunset suffix), NOT the
+            # quantizer's no-element noon default
+            for key in ("cloudiness", "precipitation",
+                        "precipitation_deposits", "wetness",
+                        "sun_altitude_angle"):
+                attrs.setdefault(key, 0.0)
             from mmfn_tpu.harness.weather import preset_from_params
 
             weather = preset_from_params(**attrs)

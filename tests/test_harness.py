@@ -493,14 +493,16 @@ def test_parse_route_weather_element(tmp_path):
     configs = parse_routes_file(str(p))
     assert configs[0].weather == "HardRainSunset"
     assert configs[1].weather is None
-    assert configs[2].weather == "CloudyNoon"   # default sun altitude: noon
+    # unset attrs are 0.0 like the reference's zero-initialized
+    # WeatherParameters() base — sun at the horizon quantizes to Sunset
+    assert configs[2].weather == "CloudySunset"
     # attributes accumulate across ALL <weather> elements, as the reference's
     # RouteParser.parse_weather iterates route.iter('weather')
     assert configs[3].weather == "HardRainSunset"
-    # element PRESENCE is the override: an empty <weather/> means carla
-    # defaults (clear noon), not "no opinion" — the reference always builds
-    # a WeatherParameters when the element exists
-    assert configs[4].weather == "ClearNoon"
+    # element PRESENCE is the override: an empty <weather/> means the
+    # reference's zero-initialized WeatherParameters() (sun at horizon),
+    # not "no opinion"
+    assert configs[4].weather == "ClearSunset"
     # repetition expansion keeps the per-route weather
     from mmfn_tpu.harness.route import RouteIndexer
 
