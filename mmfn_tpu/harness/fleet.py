@@ -70,16 +70,26 @@ class FleetRunner:
         self._prep_workers = (prep_workers if prep_workers is not None
                               else min(8, os.cpu_count() or 1))
         self._pool = None
+        self._fetcher = None
 
     def run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
         if self._prep_workers > 1:
             self._pool = ThreadPoolExecutor(self._prep_workers)
+        if self.pipelined:
+            # one background thread fetches the in-flight dispatch while the
+            # main thread runs world ticks + next prep: the fetch round-trip
+            # (~RTT on a relay link) otherwise serializes with host work.
+            # Same pattern as MMFNAgent.async_dispatch's _fetcher.
+            self._fetcher = ThreadPoolExecutor(1)
         try:
             return self._run(agents, routes)
         finally:
             if self._pool is not None:
                 self._pool.shutdown(wait=False)
                 self._pool = None
+            if self._fetcher is not None:
+                self._fetcher.shutdown(wait=False)
+                self._fetcher = None
 
     def _run(self, agents: list, routes: List[dict]) -> List[RouteRecord]:
         if len(agents) != len(routes):
@@ -154,10 +164,14 @@ class FleetRunner:
                     # the tick whose sensors produced them (finish_step's
                     # contract — same pairing as single-agent async_dispatch)
                     prev_fut, prev_rows, prev_pays = pending
-                    prev_wps = np.asarray(prev_fut)
+                    prev_wps = prev_fut.result()   # fetched in the background
                     use = {i: (prev_pays[i], prev_wps[prev_rows[i]])
                            for i in row_of}
-                pending = (fut, row_of, pay_of) if self.pipelined else None
+                # hand the un-fetched dispatch to the fetcher thread NOW: its
+                # round-trip overlaps the world ticks + next tick's prep
+                pending = ((self._fetcher.submit(np.asarray, fut),
+                            row_of, pay_of)
+                           if self.pipelined else None)
                 for i in sorted(row_of):
                     agent = agents[i]
                     try:
