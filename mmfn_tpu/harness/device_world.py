@@ -170,7 +170,10 @@ def synth_lidar_points(key, actors, actors_valid, yaw, rain):
         ground = jnp.stack([
             g[:, 0] * 40.0 - 20.0,                       # lateral -> x
             -(g[:, 1] * 32.0 - 8.0),                     # forward, y-flipped
-            GROUND_Z + (g[:, 2] - 0.5) * 0.3,            # ~N(0, .05) spread
+            # N(0, .05) spread like the host world (replay.py _synth_lidar);
+            # inverse-CDF transform of the uniform draw keeps one key
+            GROUND_Z + 0.05 * jax.scipy.special.ndtri(
+                jnp.clip(g[:, 2], 1e-6, 1.0 - 1e-6)),
             jnp.ones((GROUND_POINTS,)),
         ], axis=1)
 

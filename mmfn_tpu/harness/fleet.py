@@ -168,10 +168,13 @@ class FleetRunner:
                     use = {i: (prev_pays[i], prev_wps[prev_rows[i]])
                            for i in row_of}
                 # hand the un-fetched dispatch to the fetcher thread NOW: its
-                # round-trip overlaps the world ticks + next tick's prep
+                # round-trip overlaps the world ticks + next tick's prep.
+                # (_run called without run()'s setup leaves _fetcher None —
+                # degrade to the synchronous fetch rather than crash)
                 pending = ((self._fetcher.submit(np.asarray, fut),
                             row_of, pay_of)
-                           if self.pipelined else None)
+                           if self.pipelined and self._fetcher is not None
+                           else None)
                 for i in sorted(row_of):
                     agent = agents[i]
                     try:
