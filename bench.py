@@ -422,9 +422,11 @@ def main():
     # the forward (harness/device_world.py) — host ships ~260 B/vehicle/tick,
     # so the loop stops being transport-bound (VERDICT r3 next #2)
     fleet_dw = None
-    # 64 = the measured best single-chip width (docs/PERFORMANCE.md sweep;
-    # wider programs hit an XLA compile wall, narrower leaves throughput)
-    dw_n = int(os.environ.get("MMFN_BENCH_FLEET_DW", "64"))
+    # 128 = the measured best single-chip width (docs/PERFORMANCE.md sweep:
+    # 64->62.8, 96->76.6, 128->82.0, 192->60.5 vehicles@20Hz; the round-4
+    # width-96 compile wall is gone — chunked lax.map synthesis keeps the
+    # program size constant in width)
+    dw_n = int(os.environ.get("MMFN_BENCH_FLEET_DW", "128"))
     if fleet_n > 0 and dw_n > 0:
         try:
             import bench_loop

@@ -229,6 +229,9 @@ class MMFNAgent(AutonomousAgent):
             "actors": ws["actors"], "actors_valid": ws["actors_valid"],
             "rain": ws["rain"], "brightness": ws["brightness"],
             "frame": ws["frame"],
+            # traffic-light slab for the device birdview raster (absent on
+            # old-format frames -> the pipeline substitutes zeros)
+            **({"lights": ws["lights"]} if "lights" in ws else {}),
         }
 
     def prepare_step(self, input_data: dict):

@@ -49,6 +49,10 @@ from mmfn_tpu.ops.radar import radar_adjacency
 # (static shape; extra actors beyond the slab are dropped nearest-first)
 ACTOR_SLAB = 8
 
+# traffic-light slab for the on-device birdview raster (nearest lights kept)
+LIGHT_SLAB = 8
+_LIGHT_CODE = {"green": 0.0, "yellow": 1.0, "red": 2.0}
+
 # KinematicWorld owns the sensor constants (harness/replay.py) — referencing
 # them keeps the device and host worlds' sensor statistics equal by
 # construction (a tuned host constant propagates here). replay.py only
@@ -136,6 +140,130 @@ def crop_lanes(pose, tables: dict, max_lanes: int):
     lanes = jnp.concatenate([local_xy, sel[..., 2:] * mask], axis=-1)
     lane_num = jnp.clip(keep.sum(), 1, max_lanes).astype(jnp.int32)
     return lanes, lane_num
+
+
+# --------------------------------------------------------------------------- #
+# Bird's-eye-view raster on device (the img variant's map/camera stream)
+# --------------------------------------------------------------------------- #
+
+def raster_tables(producer) -> dict:
+    """Static per-map arrays for the on-device birdview: the full-map
+    road/lane-marking/centerline canvases stacked as one (H, W, 3) uint8
+    table (device-resident; a few MB for the fake towns) plus the canvas
+    origin. The reference rasterizes these once per map and caches them
+    (carla_birdeye_view/__init__.py:162-198); here they become HBM tables
+    the fused program samples per vehicle."""
+    canvas = np.stack([producer._road, producer._lanes_mask, producer._center],
+                      axis=-1)
+    return {
+        "bv_canvas": np.asarray(canvas, np.uint8),
+        "bv_min_xy": np.asarray(producer.min_xy, np.float32),
+    }
+
+
+def synth_birdview(pose, actors, lights, tables: dict,
+                   ppm: int, target: int, crop_size: int):
+    """Device BirdViewProducer.produce + as_rgb: ego-centric heading-up
+    256x256 RGB map raster (float 0..255, undimmed).
+
+    Static layers: inverse-rotation bilinear sampling of the full-map canvas
+    (the exact inverse of the host's crop -> cv2.warpAffine -> center-crop
+    chain; `> 0` thresholding matches as_rgb's binarization of the bilinear
+    edge pixels). Dynamic layers: analytic point-in-rotated-rect tests for
+    vehicle/walker/ego boxes and circle tests for the 3-state lights —
+    cv2.fillPoly/circle rasterization differs by at most the edge pixels.
+
+    actors: (A, 9) slab [rel_x, rel_y, vel_x, vel_y, extent, id%5, yaw,
+    is_walker, vis_graphics]; lights: (L, 4) [x, y, state_code, valid]
+    in WORLD coordinates (state 0 green / 1 yellow / 2 red).
+    """
+    from mmfn_tpu.mapping import birdview as bv
+
+    x, y, theta = pose[0], pose[1], pose[2]
+    half = crop_size // 2
+    off = (crop_size - target) // 2
+    canvas = tables["bv_canvas"]
+    min_xy = tables["bv_min_xy"]
+    H, W = canvas.shape[0], canvas.shape[1]
+
+    # output pixel (i=row, j=col) -> pre-rotation crop-frame float coords
+    # (src_x=col, src_y=row): cv2.getRotationMatrix2D's linear part is
+    # [[cos, sin], [-sin, cos]] about the crop center, warpAffine samples
+    # src = M^-1 @ dst
+    ii, jj = jnp.meshgrid(jnp.arange(target, dtype=jnp.float32),
+                          jnp.arange(target, dtype=jnp.float32), indexing="ij")
+    a = theta + jnp.pi / 2
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    dx = jj + off - half
+    dy = ii + off - half
+    src_x = ca * dx - sa * dy + half
+    src_y = sa * dx + ca * dy + half
+
+    # static canvases: the host crops at the ROUNDED ego pixel
+    cx = jnp.round((x - min_xy[0]) * ppm)
+    cy = jnp.round((y - min_xy[1]) * ppm)
+    u = cx - half + src_x                  # canvas col
+    v = cy - half + src_y                  # canvas row
+    u0, v0 = jnp.floor(u), jnp.floor(v)
+    fu, fv = u - u0, v - v0
+
+    def tap(vi, ui, w):
+        ok = (vi >= 0) & (vi < H) & (ui >= 0) & (ui < W) & (w > 0)
+        val = canvas[jnp.clip(vi, 0, H - 1).astype(jnp.int32),
+                     jnp.clip(ui, 0, W - 1).astype(jnp.int32)]
+        return val.astype(jnp.float32) * (w * ok)[..., None]
+
+    static = (tap(v0, u0, (1 - fu) * (1 - fv)) + tap(v0, u0 + 1, fu * (1 - fv))
+              + tap(v0 + 1, u0, (1 - fu) * fv) + tap(v0 + 1, u0 + 1, fu * fv))
+    road, lane_m, center = (static[..., k] > 0 for k in range(3))
+
+    # dynamic layers live in the UNROUNDED ego frame (draw_box subtracts the
+    # exact ego position); world-frame offset of each output pixel:
+    wx = (src_x - half) / ppm
+    wy = (src_y - half) / ppm
+
+    def boxes(sel):
+        ox = wx[..., None] - actors[None, None, :, 0]
+        oy = wy[..., None] - actors[None, None, :, 1]
+        cb, sb = jnp.cos(actors[:, 6]), jnp.sin(actors[:, 6])
+        fwd = ox * cb + oy * sb
+        side = -ox * sb + oy * cb
+        length = 2.0 * actors[:, 4]
+        width = 1.4 * actors[:, 4]
+        inside = ((jnp.abs(fwd) <= length / 2) & (jnp.abs(side) <= width / 2)
+                  & sel[None, None, :])
+        return inside.any(-1)
+
+    gfx = actors[:, 8] > 0
+    walker = actors[:, 7] > 0
+    vehicles = boxes(gfx & ~walker)
+    peds = boxes(gfx & walker)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    ego = ((jnp.abs(wx * ct + wy * st) <= 4.9 / 2)
+           & (jnp.abs(-wx * st + wy * ct) <= 2.1 / 2))
+
+    # lights: circles of LIGHT_RADIUS_M at the rounded crop-frame center
+    r_px = max(2, int(bv.LIGHT_RADIUS_M * ppm))
+    lpx = jnp.round((lights[:, 0] - x) * ppm + half)
+    lpy = jnp.round((lights[:, 1] - y) * ppm + half)
+    d2 = ((src_x[..., None] - lpx[None, None]) ** 2
+          + (src_y[..., None] - lpy[None, None]) ** 2)
+    hit = (d2 <= float(r_px) ** 2) & (lights[None, None, :, 3] > 0)
+    code = lights[:, 2]
+    green = (hit & (code == 0.0)).any(-1)
+    yellow = (hit & (code == 1.0)).any(-1)
+    red = (hit & ((code != 0.0) & (code != 1.0))).any(-1)
+
+    # palette composition, bottom to top (birdview._BOTTOM_TO_TOP)
+    layers = [(road, bv.ROAD), (lane_m, bv.LANES), (center, bv.CENTERLINES),
+              (green, bv.GREEN_LIGHTS), (yellow, bv.YELLOW_LIGHTS),
+              (red, bv.RED_LIGHTS), (ego, bv.AGENT), (vehicles, bv.VEHICLES),
+              (peds, bv.PEDESTRIANS)]
+    rgb = jnp.zeros((target, target, 3), jnp.float32)
+    for mask, idx in layers:
+        color = jnp.asarray(bv._PALETTE[idx], jnp.float32)
+        rgb = jnp.where(mask[..., None], color, rgb)
+    return rgb
 
 
 # --------------------------------------------------------------------------- #
@@ -285,8 +413,10 @@ class DeviceWorldPipeline:
     """JitPipeline-shaped wrapper whose ``dispatch_fleet`` consumes COMPACT
     world-state payloads (MMFNAgent with ``device_world: True`` running in a
     ``KinematicWorld(compact_sensors=True)``) and synthesizes all sensors on
-    device inside the forward program. Variants 'vec'/'rad' only (the 'img'
-    variant needs the birdview raster stream, which is host geometry).
+    device inside the forward program. All three variants: 'img' synthesizes
+    its map/camera raster from device-resident birdview canvas tables
+    (``birdview`` mode; reference contrast: mmfn_imgnet.py:129-245 rebuilds
+    the raster on HOST every tick).
 
     The vectormap tables are registered via :meth:`set_map` (called by the
     agent's map bootstrap); a fleet shares ONE pipeline and therefore one
@@ -304,10 +434,26 @@ class DeviceWorldPipeline:
     host_bev = False
 
     def __init__(self, model, variables, config: GlobalConfig, mesh=None,
-                 seed: int = 0):
-        if model.variant not in ("vec", "rad"):
-            raise ValueError("device-world synthesis supports vec/rad "
-                             "variants (img needs the host raster stream)")
+                 seed: int = 0, synth_chunk: Optional[int] = 32,
+                 birdview: Optional[bool] = None):
+        # birdview: synthesize the ego-centric map raster ON DEVICE from the
+        # static per-map canvas tables (set_map builds them) — the camera
+        # stream becomes the dimmed raster (KinematicWorld(camera_birdview=…)
+        # semantics) and the img variant's map stream the undimmed raster.
+        # None = auto: on for 'img' (which needs the raster), off for
+        # vec/rad (noise-camera world parity).
+        if birdview is None:
+            birdview = model.variant == "img"
+        if model.variant == "img" and not birdview:
+            raise ValueError("the img variant needs the birdview raster "
+                             "stream (DeviceWorldPipeline(birdview=True))")
+        self.birdview = birdview
+        # synth_chunk: synthesize at most this many vehicles per vmap inside
+        # a lax.map scan, so the synthesis program SIZE stays constant in
+        # fleet width (XLA's compile cost on the monolithic width-96 vmapped
+        # synthesis graph was a >40 min wall, docs/PERFORMANCE.md); the
+        # forward stays one batched program. None = monolithic vmap.
+        self.synth_chunk = synth_chunk
         self.model = model
         from mmfn_tpu.harness.agents.pipeline import _pin_variables
 
@@ -319,22 +465,39 @@ class DeviceWorldPipeline:
         self.mesh = mesh
         self._base_key = jax.random.PRNGKey(seed)
         self._tables: Optional[dict] = None
+        self._raster_meta = None           # (ppm, target, crop_size)
         self._fingerprint = None
         self._jit = {}      # batch size N -> compiled program
 
     def set_map(self, rough_map) -> None:
-        self.set_map_tables(map_tables(rough_map))
+        tables = map_tables(rough_map)
+        if self.birdview:
+            # the same .rmap lanes the host producer rasterizes
+            # (vectorize_xodr -> BirdViewProducer.from_opendrive): building
+            # from the agent's RoughMap yields identical static canvases
+            from mmfn_tpu.mapping.birdview import BirdViewProducer
+
+            producer = BirdViewProducer(
+                rough_map, target_size=self.config.input_resolution)
+            tables.update(raster_tables(producer))
+            self._raster_meta = (producer.ppm, producer.target_size,
+                                 producer.crop_size)
+        self.set_map_tables(tables)
 
     def set_map_tables(self, tables: dict) -> None:
         """Register the cropper's static map arrays directly (what
         :meth:`set_map` extracts from a RoughMap) — the handle for synthetic
         maps in dryruns/tests, same keys/shapes as :func:`map_tables`."""
-        # cover EVERY table the cropper reads — two maps sharing lane
-        # geometry but differing in crop window (base_polygon) or node
-        # validity must still trip the shared-pipeline guard
+        if self.birdview and "bv_canvas" not in tables:
+            raise ValueError("birdview mode needs the raster canvas tables "
+                             "(set_map builds them from the RoughMap)")
+        # cover EVERY table the program reads — two maps sharing lane
+        # geometry but differing in crop window (base_polygon), node
+        # validity, or raster canvas must still trip the shared-pipeline
+        # guard
         fp = (tables["polys"].shape,
               *(float(np.asarray(tables[k]).sum())
-                for k in ("polys", "nodes", "node_mask", "base_polygon")))
+                for k in sorted(tables)))
         if self._fingerprint is not None and fp != self._fingerprint:
             raise ValueError(
                 "device-world fleet agents share one pipeline and therefore "
@@ -355,13 +518,32 @@ class DeviceWorldPipeline:
         base_key = self._base_key
         max_lanes, radar_points = cfg.max_lanes, cfg.radar_points
         resolution = cfg.input_resolution
+        synth_chunk = self.synth_chunk
+
+        birdview = self.birdview and self._tables is not None \
+            and "bv_canvas" in self._tables
+        raster_meta = self._raster_meta
+        variant = self.variant
 
         def step(variables, tables, idx, pose, target, speed, actors, avalid,
-                 rain, bright, frame):
-            def one(i, pose, speed, actors, avalid, rain, bright, frame):
+                 rain, bright, frame, lights):
+            def one(i, pose, speed, actors, avalid, rain, bright, frame,
+                    lights):
                 key = jax.random.fold_in(jax.random.fold_in(base_key, frame), i)
                 kc, kl, kr = jax.random.split(key, 3)
-                image = synth_camera(kc, bright, resolution)
+                map_img = None
+                if birdview:
+                    ppm, tgt, crop_sz = raster_meta
+                    raster = synth_birdview(pose, actors, lights, tables,
+                                            ppm, tgt, crop_sz)
+                    # camera = sun-dimmed raster (the host world embeds the
+                    # dimmed raster in the frame the agent center-crops back
+                    # out, replay.py sensor_frame); map stream = undimmed
+                    image = jnp.floor(raster * bright)
+                    if variant == "img":
+                        map_img = raster
+                else:
+                    image = synth_camera(kc, bright, resolution)
                 pts = synth_lidar_points(kl, actors, avalid, pose[2], rain)
                 bev = lidar_to_histogram_features(pts)
                 ego_vel = speed * jnp.stack(
@@ -369,16 +551,26 @@ class DeviceWorldPipeline:
                 radar = synth_radar(kr, actors, avalid, pose[2],
                                     ego_vel, rain, radar_points)
                 lanes, lane_num = crop_lanes(pose, tables, max_lanes)
-                return image, bev, radar, lanes, lane_num
+                return image, bev, radar, lanes, lane_num, map_img
 
             # idx is the GLOBAL vehicle index (an input, not arange(n)): a
             # sharded program sees only its slice, and per-vehicle RNG
             # streams must not depend on the device layout
-            image, bev, radar, lanes, lane_num = jax.vmap(
-                one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
-                idx, pose, speed, actors, avalid, rain, bright, frame)
+            cols = (idx, pose, speed, actors, avalid, rain, bright, frame,
+                    lights)
+            m = pose.shape[0]    # per-shard width under shard_over_mesh
+            if synth_chunk and m > synth_chunk:
+                # chunked synthesis: lax.map's internal scan-of-vmap keeps
+                # the compiled synthesis graph at chunk size regardless of
+                # fleet width; per-vehicle results are identical to the
+                # monolithic vmap (RNG is keyed by idx, not layout)
+                image, bev, radar, lanes, lane_num, map_img = jax.lax.map(
+                    lambda a: one(*a), cols, batch_size=synth_chunk)
+            else:
+                image, bev, radar, lanes, lane_num, map_img = jax.vmap(
+                    one, in_axes=(0,) * 9)(*cols)
             batch = Batch(
-                image=image, lidar_bev=bev,
+                image=image, lidar_bev=bev, map_img=map_img,
                 lanes=lanes, lane_num=lane_num,
                 radar=radar, radar_adj=radar_adjacency(radar),
                 target_point=target, velocity=speed,
@@ -391,7 +583,7 @@ class DeviceWorldPipeline:
             # column splits on the vehicle axis
             from mmfn_tpu.harness.agents.pipeline import shard_over_mesh
 
-            step = shard_over_mesh(self.mesh, step, n_batch_inputs=9,
+            step = shard_over_mesh(self.mesh, step, n_batch_inputs=10,
                                    n_replicated=2)
         fn = jax.jit(step)
         self._jit[n] = fn
@@ -407,8 +599,12 @@ class DeviceWorldPipeline:
             k = int(self.mesh.devices.size)
             n_pad = -(-n // k) * k
 
-        def col(key, dtype=np.float32):
-            arr = np.stack([np.asarray(p[key], dtype) for p in payloads])
+        zero_lights = np.zeros((LIGHT_SLAB, 4), np.float32)
+
+        def col(key, dtype=np.float32, default=None):
+            arr = np.stack([np.asarray(p.get(key, default)
+                                       if default is not None else p[key],
+                                       dtype) for p in payloads])
             if n_pad > n:
                 arr = np.concatenate(
                     [arr, np.zeros((n_pad - n,) + arr.shape[1:], dtype)])
@@ -418,7 +614,8 @@ class DeviceWorldPipeline:
             self.variables, self._tables, np.arange(n_pad, dtype=np.int32),
             col("pose"), col("target_point"),
             col("speed"), col("actors"), col("actors_valid"),
-            col("rain"), col("brightness"), col("frame", np.int32))
+            col("rain"), col("brightness"), col("frame", np.int32),
+            col("lights", default=zero_lights))
         return out[:n]
 
     def dispatch(self, payload) -> jax.Array:
@@ -429,13 +626,17 @@ class DeviceWorldPipeline:
 
 
 def actor_slab_np(actors, ego_xy, slab: int = ACTOR_SLAB):
-    """Host helper: live scenario actors -> ((slab, 6) world-frame slab,
-    (slab,) validity), nearest actors first when over-full. Columns:
-    [rel_x, rel_y, vel_x, vel_y, extent, id%5] (the fields the synthesizers
-    consume; id%5 drives the radar altitude spread like the host world)."""
-    out = np.zeros((slab, 6), np.float32)
+    """Host helper: live scenario actors -> ((slab, 9) world-frame slab,
+    (slab,) sensor validity), nearest actors first when over-full. Columns:
+    [rel_x, rel_y, vel_x, vel_y, extent, id%5, yaw, is_walker, vis_graphics]
+    — cols 0-5 feed the lidar/radar synthesizers (id%5 drives the radar
+    altitude spread like the host world), cols 6-8 the birdview box
+    rasterizer. ``valid`` keeps the SENSOR visibility flag; graphics-only
+    actors ride the slab with valid 0 + vis_graphics 1."""
+    out = np.zeros((slab, 9), np.float32)
     valid = np.zeros((slab,), np.float32)
-    vis = [a for a in actors if getattr(a, "visible_sensors", True)]
+    vis = [a for a in actors if getattr(a, "visible_sensors", True)
+           or getattr(a, "visible_graphics", True)]
     if not vis:
         return out, valid
     rel = np.stack([np.asarray(a.position, np.float64) - ego_xy for a in vis])
@@ -446,5 +647,23 @@ def actor_slab_np(actors, ego_xy, slab: int = ACTOR_SLAB):
         out[k, 2:4] = np.asarray(a.velocity, np.float32)
         out[k, 4] = float(getattr(a, "extent", 1.0))
         out[k, 5] = float(getattr(a, "actor_id", 0) % 5)
-        valid[k] = 1.0
+        out[k, 6] = float(getattr(a, "yaw", 0.0))
+        out[k, 7] = float(getattr(a, "kind", "vehicle") == "walker")
+        out[k, 8] = float(getattr(a, "visible_graphics", True))
+        valid[k] = float(getattr(a, "visible_sensors", True))
     return out, valid
+
+
+def light_slab_np(light_states, ego_xy, slab: int = LIGHT_SLAB):
+    """Host helper: SignalSet.light_states() rows [(x, y, state_str)] ->
+    (slab, 4) [x, y, state_code, valid] world-frame slab for the device
+    birdview, nearest lights first (unknown states draw RED like the host's
+    _LIGHT_MASK.get default)."""
+    out = np.zeros((slab, 4), np.float32)
+    if not light_states:
+        return out
+    rows = sorted(light_states,
+                  key=lambda r: (r[0] - ego_xy[0]) ** 2 + (r[1] - ego_xy[1]) ** 2)
+    for k, (lx, ly, state) in enumerate(rows[:slab]):
+        out[k] = [lx, ly, _LIGHT_CODE.get(state, 2.0), 1.0]
+    return out

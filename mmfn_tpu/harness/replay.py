@@ -238,10 +238,15 @@ class KinematicWorld:
         gps = np.array([self.x / GPS_SCALE[0], self.y / GPS_SCALE[1], 0.0])
         imu = np.array([0.0, 0.0, 9.81, 0.0, 0.0, 0.0, self.yaw])
         if self.compact_sensors:
-            from mmfn_tpu.harness.device_world import actor_slab_np
+            from mmfn_tpu.harness.device_world import (actor_slab_np,
+                                                       light_slab_np)
 
             slab, slab_valid = actor_slab_np(
                 self.actors, np.array([self.x, self.y]))
+            lights = light_slab_np(
+                self.signals.light_states(f * DT)
+                if self.signals is not None else None,
+                np.array([self.x, self.y]))
             data = {
                 "gps": (f, gps),
                 "imu": (f, imu),
@@ -251,6 +256,7 @@ class KinematicWorld:
                     "speed": self.v,
                     "actors": slab,
                     "actors_valid": slab_valid,
+                    "lights": lights,
                     "rain": self._rain,
                     "brightness": self._camera_brightness(),
                     "frame": f,
@@ -276,6 +282,11 @@ class KinematicWorld:
                 self.camera_birdview.produce([self.x, self.y, self.yaw],
                                              actors=boxes, lights=lights,
                                              walkers=walker_boxes))
+            # the img variant's map stream: the reference's e2e img agent
+            # rebuilds this raster host-side every tick (mmfn_imgnet.py:
+            # 129-245); the fake world ships it as a pseudo-sensor instead
+            # (undimmed — a map, not a camera)
+            map_raster = raster
             raster = (raster * self._camera_brightness()).astype(np.uint8)
             rgb = np.zeros((300, 400, 4), np.uint8)
             rgb[22:278, 72:328, :3] = raster[..., ::-1]  # BGR like CARLA frames
@@ -306,6 +317,8 @@ class KinematicWorld:
             "imu": (f, imu),
             "speed": (f, {"speed": self.v}),
         }
+        if self.camera_birdview is not None:
+            data["map_raster"] = (f, map_raster)
         if f == 0:
             data["opendrive"] = (f, {"opendrive": self.opendrive_str})
         return data

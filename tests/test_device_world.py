@@ -146,9 +146,13 @@ def test_actor_slab_orders_by_distance():
 
     actors = [A(1, (50, 0)), A(2, (5, 0)), A(3, (20, 0)), A(99, (1, 0))]
     slab, valid = actor_slab_np(actors, np.zeros(2), slab=3)
-    assert valid.tolist() == [1.0, 1.0, 1.0]
-    # nearest visible first; the sensor-invisible actor never appears
-    np.testing.assert_allclose(slab[:, 0], [5.0, 20.0, 50.0])
+    # nearest first; the sensor-invisible actor rides the slab for the
+    # birdview rasterizer but carries sensor-validity 0 (the lidar/radar
+    # synthesizers mask it out)
+    assert valid.tolist() == [0.0, 1.0, 1.0]
+    np.testing.assert_allclose(slab[:, 0], [1.0, 5.0, 20.0])
+    assert slab.shape == (3, 9)
+    assert slab[:, 8].tolist() == [1.0, 1.0, 1.0]    # vis_graphics column
 
 
 def test_device_world_fleet_closed_loop(tool, tmp_path):
@@ -315,3 +319,135 @@ def test_device_world_mesh_matches_single_device(curved_map):
     # n=3 and the padded n=4 compile to different reduction orders; the
     # residual is pure f32 reassociation (measured max rel ~2.6e-5)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.02)
+
+
+def test_device_world_chunked_synthesis_matches_monolithic(curved_map):
+    """synth_chunk (lax.map scan-of-vmap — the structural fix for the
+    width-96 XLA compile wall, docs/PERFORMANCE.md) produces the same
+    waypoints as the monolithic vmap: per-vehicle RNG is keyed by the global
+    index, so the chunking cannot shift any stream. Includes a width that
+    does not divide the chunk (lax.map's remainder path)."""
+    from mmfn_tpu.data.synthetic import synthetic_batch
+    from mmfn_tpu.harness.device_world import DeviceWorldPipeline
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "rad")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    for i in range(5):                      # 5 % 2 != 0: remainder path
+        actors = np.zeros((ACTOR_SLAB, 6), np.float32)
+        actors[0] = [6.0 + i, -0.5, 0.5, 0.0, 1.5, float(i % 5)]
+        avalid = np.zeros(ACTOR_SLAB, np.float32)
+        avalid[0] = 1.0
+        payloads.append({
+            "pose": np.array([3.0 * i, 1.75, 0.05 * i], np.float32),
+            "target_point": rng.normal(size=2).astype(np.float32),
+            "speed": np.float32(2.0 + i),
+            "actors": actors, "actors_valid": avalid,
+            "rain": np.float32(0.5), "brightness": np.float32(0.8),
+            "frame": np.int32(9 + i),
+        })
+
+    mono = DeviceWorldPipeline(model, variables, cfg, synth_chunk=None)
+    mono.set_map(curved_map)
+    want = np.asarray(mono.dispatch_fleet(payloads))
+
+    chunked = DeviceWorldPipeline(model, variables, cfg, synth_chunk=2)
+    chunked.set_map(curved_map)
+    got = np.asarray(chunked.dispatch_fleet(payloads))
+
+    assert got.shape == want.shape == (5, cfg.pred_len, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_synth_birdview_matches_host_producer(curved_map):
+    """Device birdview raster == host BirdViewProducer.produce + as_rgb
+    (static sampling, dynamic boxes, 3-state lights, palette order) up to
+    rasterization edge pixels: cv2 draws integer-rounded polygons and
+    bilinear-rotates; the device tests exact geometry per pixel."""
+    import jax.numpy as jnp
+    from mmfn_tpu.harness.device_world import (light_slab_np, raster_tables,
+                                               synth_birdview)
+    from mmfn_tpu.mapping.birdview import BirdViewProducer
+
+    producer = BirdViewProducer(curved_map)
+    pose = (120.0, 3.0, 0.35)
+
+    # boxes use the world's own 2e x 1.4e aspect (KinematicWorld box()):
+    # the device slab only carries the extent, so both rasterizers must
+    # derive the same rectangle from it
+    host_actors = [(130.0, 5.0, 0.4, 4.0, 2.8),     # x, y, yaw, length, width
+                   (112.0, -2.0, 3.3, 3.6, 2.52)]
+    host_walkers = [(124.0, 8.0, 1.0, 0.8, 0.56)]
+    host_lights = [(135.0, 3.5, "red"), (110.0, 0.0, "green")]
+    want = BirdViewProducer.as_rgb(
+        producer.produce(pose, actors=host_actors, lights=host_lights,
+                         walkers=host_walkers))
+
+    slab = np.zeros((8, 9), np.float32)
+    for k, (ax, ay, ayaw, length, width) in enumerate(
+            host_actors + host_walkers):
+        slab[k, :2] = [ax - pose[0], ay - pose[1]]
+        slab[k, 4] = length / 2.0
+        slab[k, 6] = ayaw
+        slab[k, 7] = float(k >= len(host_actors))
+        slab[k, 8] = 1.0
+    lights = light_slab_np(host_lights, np.asarray(pose[:2]))
+
+    tables = {k: jnp.asarray(v) for k, v in raster_tables(producer).items()}
+    got = np.asarray(synth_birdview(
+        jnp.asarray(pose, jnp.float32), jnp.asarray(slab),
+        jnp.asarray(lights), tables, producer.ppm, producer.target_size,
+        producer.crop_size))
+
+    assert got.shape == want.shape == (256, 256, 3)
+    same = (got.astype(np.int32) == want.astype(np.int32)).all(axis=-1)
+    # measured 99.2% — the residual is cv2's integer-rounded polygon edges
+    # + bilinear rotation smear vs the device's exact per-pixel geometry
+    assert same.mean() > 0.95, f"pixel agreement {same.mean():.3f}"
+    # every palette layer the host drew appears on the device raster too
+    # (few-pixel layers like the 6x4 px walker box are all edge, so gate on
+    # area; the walker's presence is still covered by the global number)
+    for rgb_val in np.unique(want.reshape(-1, 3), axis=0):
+        mask = (want == rgb_val).all(-1)
+        if mask.sum() < 200:
+            continue
+        got_there = (got[mask].astype(np.int32) == rgb_val).all(-1)
+        assert got_there.mean() > 0.7, f"layer {rgb_val} lost"
+
+
+def test_device_world_img_variant_closed_loop(tool, tmp_path):
+    """The img variant serves in device-world mode (VERDICT r4 #5): set_map
+    builds the birdview canvas tables, the fused program synthesizes the
+    camera (dimmed raster) + map stream (undimmed raster) on device, and the
+    closed loop completes with a scored record."""
+    from mmfn_tpu.data.synthetic import synthetic_batch
+    from mmfn_tpu.harness.replay import ClosedLoopRunner
+    from mmfn_tpu.harness.agents import MMFNAgent
+    from mmfn_tpu.models import build_model
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=16)
+    model = build_model(cfg, "img")
+    batch = synthetic_batch(batch_size=1, max_lanes=cfg.max_lanes)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+    agent = MMFNAgent({"variant": "img", "model": model,
+                       "variables": variables, "config": cfg,
+                       "device_world": True,
+                       "tmp_dir": str(tmp_path / "a0"), "rmap_tool": tool})
+    assert agent.pipeline.birdview
+    config = RouteConfig(route_id="0", town="TownTest",
+                         trajectory=[(0.0, 1.75, 0.0), (60.0, 1.75, 0.0)],
+                         index=0)
+    runner = ClosedLoopRunner(max_wall_seconds=600)
+    record = runner.run_route(agent, config, STRAIGHT_XODR, max_ticks=8,
+                              world_kwargs={"compact_sensors": True})
+    assert record.status.startswith(("Failed", "Completed"))
+    assert agent.pid_metadata, "img forward + PID never ran"
