@@ -147,16 +147,26 @@ def crop_lanes(pose, tables: dict, max_lanes: int):
 # --------------------------------------------------------------------------- #
 
 def raster_tables(producer) -> dict:
-    """Static per-map arrays for the on-device birdview: the full-map
-    road/lane-marking/centerline canvases stacked as one (H, W, 3) uint8
-    table (device-resident; a few MB for the fake towns) plus the canvas
-    origin. The reference rasterizes these once per map and caches them
-    (carla_birdeye_view/__init__.py:162-198); here they become HBM tables
-    the fused program samples per vehicle."""
+    """Static per-map arrays for the on-device birdview. The reference
+    rasterizes the road/lane-marking/centerline canvases once per map and
+    caches them (carla_birdeye_view/__init__.py:162-198); here they become
+    ONE device-resident bit-packed table: uint16[H, W] where bit (k*3 + c)
+    says channel c is occupied at 2x2-neighbor k = (dv, du) in
+    {(0,0),(0,1),(1,0),(1,1)}. as_rgb binarizes the raster anyway, so
+    bilinear sampling reduces to "any neighbor with a positive weight is
+    occupied" — the packed table answers all four taps with a SINGLE gather
+    (measured 4x cheaper than 4-tap gathers on v5e, scripts/_bv_micro.py)."""
     canvas = np.stack([producer._road, producer._lanes_mask, producer._center],
-                      axis=-1)
+                      axis=-1) > 0                        # (H, W, 3) bool
+    h, w = canvas.shape[:2]
+    packed = np.zeros((h, w), np.uint16)
+    for k, (dv, du) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        sh = np.zeros_like(canvas)
+        sh[:h - dv if dv else h, :w - du if du else w] = canvas[dv:, du:]
+        for c in range(3):
+            packed |= (sh[..., c].astype(np.uint16) << (k * 3 + c))
     return {
-        "bv_canvas": np.asarray(canvas, np.uint8),
+        "bv_packed": packed,
         "bv_min_xy": np.asarray(producer.min_xy, np.float32),
     }
 
@@ -182,9 +192,8 @@ def synth_birdview(pose, actors, lights, tables: dict,
     x, y, theta = pose[0], pose[1], pose[2]
     half = crop_size // 2
     off = (crop_size - target) // 2
-    canvas = tables["bv_canvas"]
+    packed = tables["bv_packed"]
     min_xy = tables["bv_min_xy"]
-    H, W = canvas.shape[0], canvas.shape[1]
 
     # output pixel (i=row, j=col) -> pre-rotation crop-frame float coords
     # (src_x=col, src_y=row): cv2.getRotationMatrix2D's linear part is
@@ -199,23 +208,35 @@ def synth_birdview(pose, actors, lights, tables: dict,
     src_x = ca * dx - sa * dy + half
     src_y = sa * dx + ca * dy + half
 
-    # static canvases: the host crops at the ROUNDED ego pixel
-    cx = jnp.round((x - min_xy[0]) * ppm)
-    cy = jnp.round((y - min_xy[1]) * ppm)
-    u = cx - half + src_x                  # canvas col
-    v = cy - half + src_y                  # canvas row
-    u0, v0 = jnp.floor(u), jnp.floor(v)
-    fu, fv = u - u0, v - v0
+    # static canvases: the host crops at the ROUNDED ego pixel. Slice the
+    # crop window out of the full-map table FIRST (dynamic_slice — one
+    # contiguous HBM read; random-access gathers against the multi-MB map
+    # canvas were ~5x slower, measured), then answer all four bilinear taps
+    # with ONE gather of the bit-packed 2x2-neighborhood table: a channel is
+    # on iff any tap with a positive bilinear weight lands on an occupied
+    # pixel — exactly warpAffine-bilinear folded through as_rgb's `> 0`
+    # (integer coordinates zero the du/dv=1 weights, so no over-dilation).
+    # dynamic_slice clamps at the map edge instead of zero-padding, but the
+    # producer builds a 2*target/ppm margin on every side, so any on-map
+    # ego sees the identical window.
+    cx = jnp.round((x - min_xy[0]) * ppm).astype(jnp.int32)
+    cy = jnp.round((y - min_xy[1]) * ppm).astype(jnp.int32)
+    crop = jax.lax.dynamic_slice(packed, (cy - half, cx - half),
+                                 (crop_size, crop_size))
+    u0, v0 = jnp.floor(src_x), jnp.floor(src_y)
+    fu, fv = src_x - u0, src_y - v0
+    ok = ((v0 >= 0) & (v0 < crop_size) & (u0 >= 0) & (u0 < crop_size))
+    bits = crop[jnp.clip(v0, 0, crop_size - 1).astype(jnp.int32),
+                jnp.clip(u0, 0, crop_size - 1).astype(jnp.int32)]
+    weights = ((1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv)
 
-    def tap(vi, ui, w):
-        ok = (vi >= 0) & (vi < H) & (ui >= 0) & (ui < W) & (w > 0)
-        val = canvas[jnp.clip(vi, 0, H - 1).astype(jnp.int32),
-                     jnp.clip(ui, 0, W - 1).astype(jnp.int32)]
-        return val.astype(jnp.float32) * (w * ok)[..., None]
+    def channel(c):
+        on = False
+        for k, w in enumerate(weights):
+            on = on | ((w > 0) & ((bits >> (k * 3 + c)) & 1).astype(bool))
+        return on & ok
 
-    static = (tap(v0, u0, (1 - fu) * (1 - fv)) + tap(v0, u0 + 1, fu * (1 - fv))
-              + tap(v0 + 1, u0, (1 - fu) * fv) + tap(v0 + 1, u0 + 1, fu * fv))
-    road, lane_m, center = (static[..., k] > 0 for k in range(3))
+    road, lane_m, center = channel(0), channel(1), channel(2)
 
     # dynamic layers live in the UNROUNDED ego frame (draw_box subtracts the
     # exact ego position); world-frame offset of each output pixel:
@@ -488,7 +509,7 @@ class DeviceWorldPipeline:
         """Register the cropper's static map arrays directly (what
         :meth:`set_map` extracts from a RoughMap) — the handle for synthetic
         maps in dryruns/tests, same keys/shapes as :func:`map_tables`."""
-        if self.birdview and "bv_canvas" not in tables:
+        if self.birdview and "bv_packed" not in tables:
             raise ValueError("birdview mode needs the raster canvas tables "
                              "(set_map builds them from the RoughMap)")
         # cover EVERY table the program reads — two maps sharing lane
@@ -521,7 +542,7 @@ class DeviceWorldPipeline:
         synth_chunk = self.synth_chunk
 
         birdview = self.birdview and self._tables is not None \
-            and "bv_canvas" in self._tables
+            and "bv_packed" in self._tables
         raster_meta = self._raster_meta
         variant = self.variant
 

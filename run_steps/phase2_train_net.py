@@ -138,14 +138,39 @@ def main():
     # the configured seed governs data order and dropout too, not just init
     seed = int(cfg.get("seed", 42))
 
-    def batches(split_set, shuffle):
-        def make(epoch):
-            for b in data_loader(split_set, batch_size, gconf.max_lanes,
-                                 shuffle=shuffle, seed=epoch + seed * 10007,
-                                 shard_index=jax.process_index(),
-                                 shard_count=jax.process_count()):
-                yield shard_batch(b, mesh)
-        return make
+    # device_data_cache (auto|true|false, default auto): upload the whole
+    # dataset to HBM once in lossless transport dtypes and gather shuffled
+    # batches on device — decouples epochs from disk/link bandwidth
+    # (measured: the relay caps streamed training at ~130 fps vs the chip's
+    # 435-490; data/device_cache.py). Auto applies on single-process,
+    # single-data-shard runs that fit the HBM budget.
+    from mmfn_tpu.data.device_cache import maybe_device_cache
+
+    cached = maybe_device_cache(train_set, val_set, gconf,
+                                cfg.get("device_data_cache", "auto"),
+                                mesh_size=int(mesh.size))
+    if cached is not None:
+        train_cache, val_cache = cached
+        print(f"{bc.OKCYAN}device data cache: "
+              f"{(train_cache.nbytes + val_cache.nbytes) / 2 ** 30:.2f} GiB "
+              f"resident in HBM; epochs run link-free{bc.ENDC}")
+
+        def batches(split_set, shuffle):
+            cache = train_cache if split_set is train_set else val_cache
+
+            def make(epoch):
+                return cache.batches(batch_size, shuffle=shuffle,
+                                     seed=epoch + seed * 10007)
+            return make
+    else:
+        def batches(split_set, shuffle):
+            def make(epoch):
+                for b in data_loader(split_set, batch_size, gconf.max_lanes,
+                                     shuffle=shuffle, seed=epoch + seed * 10007,
+                                     shard_index=jax.process_index(),
+                                     shard_count=jax.process_count()):
+                    yield shard_batch(b, mesh)
+            return make
 
     try:
         state = engine.fit(

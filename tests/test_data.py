@@ -149,3 +149,36 @@ def test_data_loader_pool_order_and_abandon(route_dir):
         it.close()                      # abandon early -> workers must exit
     time.sleep(1.0)
     assert threading.active_count() <= before + 1, threading.active_count()
+
+
+def test_device_cache_matches_streaming_loader():
+    """DeviceDataset's on-device gather+cast batches == the streaming
+    loader's batches (uint8 transport is bit-exact for raw 0-255 rasters and
+    counts/5 BEV grids; radar_adj recomputed on device) — the numerical
+    contract that lets phase2 swap the relay-bound loader for HBM-cached
+    epochs (data/device_cache.py)."""
+    import numpy as np
+    from mmfn_tpu.data.collate import data_loader
+    from mmfn_tpu.data.device_cache import DeviceDataset, estimate_cache_bytes
+    from mmfn_tpu.data.synthetic import synthetic_samples
+
+    samples = synthetic_samples(10, max_lanes=8, seed=3)
+    cache = DeviceDataset(samples, max_lanes=8, chunk=4)
+    assert cache.nbytes <= estimate_cache_bytes(10, 8)
+
+    want = list(data_loader(samples, 4, 8, shuffle=False, num_threads=1))
+    got = list(cache.batches(4, shuffle=False))
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        for field in ("image", "lidar_bev", "map_img", "lanes", "lane_num",
+                      "radar", "radar_adj", "target_point", "velocity",
+                      "waypoints", "command", "action"):
+            a, b = getattr(g, field), getattr(w, field)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6,
+                err_msg=field)
+
+    # shuffled epochs cover the dataset and differ between seeds
+    e0 = [np.asarray(b.velocity) for b in cache.batches(4, shuffle=True, seed=0)]
+    e1 = [np.asarray(b.velocity) for b in cache.batches(4, shuffle=True, seed=1)]
+    assert not all(np.allclose(a, b) for a, b in zip(e0, e1))
