@@ -147,26 +147,19 @@ def crop_lanes(pose, tables: dict, max_lanes: int):
 # --------------------------------------------------------------------------- #
 
 def raster_tables(producer) -> dict:
-    """Static per-map arrays for the on-device birdview. The reference
-    rasterizes the road/lane-marking/centerline canvases once per map and
-    caches them (carla_birdeye_view/__init__.py:162-198); here they become
-    ONE device-resident bit-packed table: uint16[H, W] where bit (k*3 + c)
-    says channel c is occupied at 2x2-neighbor k = (dv, du) in
-    {(0,0),(0,1),(1,0),(1,1)}. as_rgb binarizes the raster anyway, so
-    bilinear sampling reduces to "any neighbor with a positive weight is
-    occupied" — the packed table answers all four taps with a SINGLE gather
-    (measured 4x cheaper than 4-tap gathers on v5e, scripts/_bv_micro.py)."""
+    """Static per-map arrays for the on-device birdview: the full-map
+    road/lane-marking/centerline canvases stacked as one (H, W, 3) uint8
+    table plus the canvas origin. The reference rasterizes these once per
+    map and caches them (carla_birdeye_view/__init__.py:162-198); here they
+    become HBM tables the fused program samples per vehicle. (A bit-packed
+    single-gather variant — one uint8 per pixel holding the 2x2-neighbor
+    occupancy bits — measured FASTER in a micro-bench but 2x SLOWER inside
+    the fused fleet program, so the plain 4-tap bilinear stays;
+    docs/PERFORMANCE.md, scripts/_bv_micro.py.)"""
     canvas = np.stack([producer._road, producer._lanes_mask, producer._center],
-                      axis=-1) > 0                        # (H, W, 3) bool
-    h, w = canvas.shape[:2]
-    packed = np.zeros((h, w), np.uint16)
-    for k, (dv, du) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        sh = np.zeros_like(canvas)
-        sh[:h - dv if dv else h, :w - du if du else w] = canvas[dv:, du:]
-        for c in range(3):
-            packed |= (sh[..., c].astype(np.uint16) << (k * 3 + c))
+                      axis=-1)
     return {
-        "bv_packed": packed,
+        "bv_canvas": np.asarray(canvas, np.uint8),
         "bv_min_xy": np.asarray(producer.min_xy, np.float32),
     }
 
@@ -192,7 +185,7 @@ def synth_birdview(pose, actors, lights, tables: dict,
     x, y, theta = pose[0], pose[1], pose[2]
     half = crop_size // 2
     off = (crop_size - target) // 2
-    packed = tables["bv_packed"]
+    canvas = tables["bv_canvas"]
     min_xy = tables["bv_min_xy"]
 
     # output pixel (i=row, j=col) -> pre-rotation crop-frame float coords
@@ -221,22 +214,21 @@ def synth_birdview(pose, actors, lights, tables: dict,
     # ego sees the identical window.
     cx = jnp.round((x - min_xy[0]) * ppm).astype(jnp.int32)
     cy = jnp.round((y - min_xy[1]) * ppm).astype(jnp.int32)
-    crop = jax.lax.dynamic_slice(packed, (cy - half, cx - half),
-                                 (crop_size, crop_size))
+    crop = jax.lax.dynamic_slice(canvas, (cy - half, cx - half, 0),
+                                 (crop_size, crop_size, 3))
     u0, v0 = jnp.floor(src_x), jnp.floor(src_y)
     fu, fv = src_x - u0, src_y - v0
-    ok = ((v0 >= 0) & (v0 < crop_size) & (u0 >= 0) & (u0 < crop_size))
-    bits = crop[jnp.clip(v0, 0, crop_size - 1).astype(jnp.int32),
-                jnp.clip(u0, 0, crop_size - 1).astype(jnp.int32)]
-    weights = ((1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv)
 
-    def channel(c):
-        on = False
-        for k, w in enumerate(weights):
-            on = on | ((w > 0) & ((bits >> (k * 3 + c)) & 1).astype(bool))
-        return on & ok
+    def tap(vi, ui, w):
+        ok = (vi >= 0) & (vi < crop_size) & (ui >= 0) & (ui < crop_size) \
+            & (w > 0)
+        val = crop[jnp.clip(vi, 0, crop_size - 1).astype(jnp.int32),
+                   jnp.clip(ui, 0, crop_size - 1).astype(jnp.int32)]
+        return val.astype(jnp.float32) * (w * ok)[..., None]
 
-    road, lane_m, center = channel(0), channel(1), channel(2)
+    static = (tap(v0, u0, (1 - fu) * (1 - fv)) + tap(v0, u0 + 1, fu * (1 - fv))
+              + tap(v0 + 1, u0, (1 - fu) * fv) + tap(v0 + 1, u0 + 1, fu * fv))
+    road, lane_m, center = (static[..., k] > 0 for k in range(3))
 
     # dynamic layers live in the UNROUNDED ego frame (draw_box subtracts the
     # exact ego position); world-frame offset of each output pixel:
@@ -509,7 +501,7 @@ class DeviceWorldPipeline:
         """Register the cropper's static map arrays directly (what
         :meth:`set_map` extracts from a RoughMap) — the handle for synthetic
         maps in dryruns/tests, same keys/shapes as :func:`map_tables`."""
-        if self.birdview and "bv_packed" not in tables:
+        if self.birdview and "bv_canvas" not in tables:
             raise ValueError("birdview mode needs the raster canvas tables "
                              "(set_map builds them from the RoughMap)")
         # cover EVERY table the program reads — two maps sharing lane
@@ -542,7 +534,7 @@ class DeviceWorldPipeline:
         synth_chunk = self.synth_chunk
 
         birdview = self.birdview and self._tables is not None \
-            and "bv_packed" in self._tables
+            and "bv_canvas" in self._tables
         raster_meta = self._raster_meta
         variant = self.variant
 
