@@ -32,12 +32,15 @@ from mmfn_tpu.ops.radar import radar_adjacency
 
 
 def estimate_cache_bytes(n_samples: int, max_lanes: int,
-                         resolution: int = 256) -> int:
+                         resolution: int = 256,
+                         need_map: bool = True) -> int:
     """Transport-dtype footprint of ``n_samples`` cached frames (uint8
-    rasters + f32 tensors), for the auto-enable gate."""
+    rasters + f32 tensors), for the auto-enable gate. ``need_map=False``
+    drops the birdview raster plane (only the img variant consumes
+    ``Batch.map_img``) — 3 of the 8 uint8 planes, ~37% of the footprint."""
     per = (resolution * resolution * 3          # image u8
            + resolution * resolution * 2        # bev counts u8
-           + resolution * resolution * 3        # map u8
+           + (resolution * resolution * 3 if need_map else 0)  # map u8
            + max_lanes * 10 * 5 * 4             # lanes f32
            + 81 * 5 * 4                         # radar f32
            + (4 * 2 + 2 + 1 + 3 + 1 + 1) * 4)  # labels/scalars
@@ -55,7 +58,10 @@ class DeviceDataset:
     """
 
     def __init__(self, dataset, max_lanes: int, chunk: int = 256,
-                 progress: bool = False):
+                 progress: bool = False, need_map: bool = True):
+        # need_map=False: don't stage/upload the birdview raster column —
+        # only the img variant reads Batch.map_img, and the column is 37% of
+        # the cache footprint (estimate_cache_bytes)
         self.n = len(dataset)
         self.max_lanes = max_lanes
         cols = {k: [] for k in ("image", "bev", "map", "lanes", "lane_num",
@@ -69,7 +75,8 @@ class DeviceDataset:
             cols["bev"].append(np.rint(np.asarray(b.lidar_bev)
                                        * HIST_MAX_PER_PIXEL).astype(np.uint8))
             cols["map"].append(np.asarray(b.map_img, np.uint8)
-                               if b.map_img is not None else None)
+                               if need_map and b.map_img is not None
+                               else None)
             cols["lanes"].append(np.asarray(b.lanes, np.float32))
             cols["lane_num"].append(np.asarray(b.lane_num, np.int32))
             cols["radar"].append(np.asarray(b.radar, np.float32))
@@ -130,17 +137,20 @@ class DeviceDataset:
 
 def maybe_device_cache(train_set, val_set, gconf, mode: str,
                        mesh_size: int,
-                       budget_bytes: int = 8 << 30) -> Optional[tuple]:
+                       budget_bytes: int = 8 << 30,
+                       need_map: bool = True) -> Optional[tuple]:
     """phase2's gate: (train_cache, val_cache) when the cached path applies,
     else None. ``mode``: "auto" | True | False. The cache commits its
     columns to the single default device, so it needs a trivial mesh (the
     1-real-chip case this host serves); "auto" also requires the footprint
-    to fit the HBM budget."""
+    to fit the HBM budget. ``need_map=False`` (vec/rad/baselines — anything
+    that never reads ``Batch.map_img``) cuts the footprint ~37%."""
     enabled = mode if isinstance(mode, bool) else None
     if enabled is False:
         return None
     single = jax.process_count() == 1 and mesh_size == 1
-    est = estimate_cache_bytes(len(train_set) + len(val_set), gconf.max_lanes)
+    est = estimate_cache_bytes(len(train_set) + len(val_set), gconf.max_lanes,
+                               need_map=need_map)
     if enabled is None:
         if not single or est > budget_bytes:
             return None
@@ -149,5 +159,6 @@ def maybe_device_cache(train_set, val_set, gconf, mode: str,
                          "single-device run (got "
                          f"{jax.process_count()} processes, mesh size "
                          f"{mesh_size})")
-    return (DeviceDataset(train_set, gconf.max_lanes, progress=True),
-            DeviceDataset(val_set, gconf.max_lanes))
+    return (DeviceDataset(train_set, gconf.max_lanes, progress=True,
+                          need_map=need_map),
+            DeviceDataset(val_set, gconf.max_lanes, need_map=need_map))

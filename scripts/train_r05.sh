@@ -1,0 +1,43 @@
+#!/bin/bash
+# Reference-scale training (VERDICT r4 #2): phase1 over the collect_r05.sh
+# dataset (~15k frames, 2 towns x 4 weathers, offset repetitions), then
+# phase2 for all three MMFN variants + the AIM baseline. The flagship vec
+# run uses the reference's exact schedule (batch 24, 101 epochs,
+# train.yaml:18-27 / phase2_train_net.py:54-220); rad additionally runs at
+# the measured-faster batch 96 (docs/PERFORMANCE.md train batch-scaling) so
+# that datapoint exists off the synthetic path; img/aim train to val
+# saturation. bf16 activations (compute_dtype) are the TPU-native default
+# here: +1.16x/step, f32 master params (train/engine.py).
+#
+# Usage: ROOT=/tmp/mmfn_r05 bash scripts/train_r05.sh
+set -e
+cd "$(dirname "$0")/.."
+ROOT="${ROOT:-/tmp/mmfn_r05}"
+DATA="$ROOT/data/mmfn"
+TRAIN_TOWNS='train_towns=[CrossClearNoon,CrossWetNoon,CrossMidRainNoon,CrossHardRainNoon,LoopClearNoon,LoopWetNoon,LoopMidRainNoon,LoopHardRainNoon]'
+VAL_TOWNS='val_towns=[ValClearNoon,ValWetNoon,ValMidRainNoon,ValHardRainNoon]'
+
+if [ ! -d "$(dirname "$DATA")/pro_train_fmmfn" ]; then
+  python run_steps/phase1_preprocess_data.py --config run_steps/config/train.yaml \
+    data_folder="$DATA" "$TRAIN_TOWNS" "$VAL_TOWNS"
+fi
+
+train () {  # entry_point logdir extra-overrides...
+  local entry="$1" logdir="$2"; shift 2
+  python -u run_steps/phase2_train_net.py --config run_steps/config/train.yaml \
+    data_folder="$DATA" "$TRAIN_TOWNS" "$VAL_TOWNS" \
+    train_agent.entry_point="$entry" logdir="$ROOT/log/$logdir" \
+    compute_dtype=bfloat16 "$@"
+}
+
+# flagship: the reference's exact schedule
+train mmfn_vec mmfn_vec batch_size=24 epochs=101
+# rad at the measured-faster batch 96 (the +12.5% lever, PERFORMANCE.md)
+train mmfn_rad mmfn_rad batch_size=96 epochs=60
+# img: needs the birdview raster column -> bigger HBM cache budget
+train mmfn_img mmfn_img batch_size=24 epochs=40 device_cache_budget_gb=12
+# AIM baseline for the benchmark table
+train aim aim batch_size=24 epochs=40
+
+echo "trained checkpoints:"
+find "$ROOT/log" -name best_model.msgpack

