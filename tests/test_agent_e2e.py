@@ -200,6 +200,7 @@ def test_agent_auto_host_bev_threshold():
     assert make(points_per_sweep=2048, host_bev=True) is True
 
 
+@pytest.mark.slow
 def test_fleet_mesh_sharded_matches_unsharded():
     """dispatch_fleet over a 1-D device mesh (shard_map: params replicated,
     batch split on its leading axis, collective-free) must reproduce the

@@ -1,6 +1,7 @@
 """Forward tests for the baseline model zoo (AIM / CILRS / TransFuser)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -79,6 +80,7 @@ def test_baseline_agent_closed_loop_smoke():
     assert np.isfinite(record.scores["score_composed"])
 
 
+@pytest.mark.slow
 def test_engine_trains_baselines():
     """The shared Engine trains the baseline zoo: AIM/TransFuser via waypoint
     L1, CILRS via its command-branched composite loss (cilrs/train.py:93-96).

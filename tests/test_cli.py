@@ -99,6 +99,7 @@ def test_phase0_collect_cli(tmp_path):
     assert ck["_checkpoint"]["records"][0]["scores"]["score_route"] > 50
 
 
+@pytest.mark.slow
 def test_phase2_train_cli(tmp_path):
     """End-to-end training CLI: phase1 pickles -> 1 epoch -> checkpoint files."""
     data_root = tmp_path / "data" / "mmfn"
@@ -245,6 +246,7 @@ def test_phase0_fleet_cli(tmp_path):
         assert record["status"].startswith(("Failed", "Completed"))
 
 
+@pytest.mark.slow
 def test_phase0_device_world_cli(tmp_path):
     """``agent.device_world: true`` runs the eval with on-device sensor
     synthesis: the fake world emits compact world_state frames

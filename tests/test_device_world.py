@@ -155,6 +155,7 @@ def test_actor_slab_orders_by_distance():
     assert slab[:, 8].tolist() == [1.0, 1.0, 1.0]    # vis_graphics column
 
 
+@pytest.mark.slow
 def test_device_world_fleet_closed_loop(tool, tmp_path):
     """Two-vehicle fleet in compact-world mode: the world ships only state,
     sensors are synthesized inside the jitted forward, routes complete and
@@ -274,6 +275,7 @@ def test_road_position_of_picks_chunk_covering_s(tool, tmp_path):
     assert abs(t + 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_device_world_mesh_matches_single_device(curved_map):
     """dispatch_fleet over a 4-device mesh == the meshless program, including
     a fleet size that does not divide the mesh (pad + slice back); RNG keys
@@ -321,6 +323,7 @@ def test_device_world_mesh_matches_single_device(curved_map):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.02)
 
 
+@pytest.mark.slow
 def test_device_world_chunked_synthesis_matches_monolithic(curved_map):
     """synth_chunk (lax.map scan-of-vmap — the structural fix for the
     width-96 XLA compile wall, docs/PERFORMANCE.md) produces the same
@@ -422,6 +425,7 @@ def test_synth_birdview_matches_host_producer(curved_map):
         assert got_there.mean() > 0.7, f"layer {rgb_val} lost"
 
 
+@pytest.mark.slow
 def test_device_world_img_variant_closed_loop(tool, tmp_path):
     """The img variant serves in device-world mode (VERDICT r4 #5): set_map
     builds the birdview canvas tables, the fused program synthesizes the

@@ -64,6 +64,7 @@ def test_export_multi_platform_lowering(tiny_rad):
     assert got.shape == (2, 4, 2) and np.isfinite(got).all()
 
 
+@pytest.mark.slow
 def test_export_cli(tiny_rad, tmp_path):
     """scripts/export_model.py: checkpoint dir -> artifact + external
     weights, loadable by the serving snippet from its docstring."""

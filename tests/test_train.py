@@ -319,6 +319,7 @@ def test_engine_orbax_checkpoint_roundtrip(tiny_setup, tmp_path):
                                   np.asarray(leaves_2[0]))
 
 
+@pytest.mark.slow
 def test_fast_init_matches_real_init_structure(setup):
     """fast_init_train_state (eval_shape + host-side fill, zero compiles)
     must agree with create_train_state on tree structure, shapes and dtypes
