@@ -82,6 +82,11 @@ class GlobalConfig:
     # per step on v5e. Inference stays f32: measured flat there, the MXU
     # already rides bf16 passes under DEFAULT precision.)
     compute_dtype: str = "float32"
+    # rematerialize the forward during backward (jax.checkpoint): activation
+    # HBM drops to ~one-layer peak for ~+1 forward of FLOPs — the TPU-native
+    # lever for training large batches next to an HBM-resident data cache
+    # (batch-96 MMFN-rad OOMs beside the 5.4 GiB cache without it)
+    remat: bool = False
     # "msgpack" mirrors the reference's rank-0 full-state files; "orbax" is
     # async + sharded (each host writes/reads only its own shards) — the
     # production choice at pod scale (train/engine.py)

@@ -51,9 +51,13 @@ class MMFNEncoder(nn.Module):
         cfg = self.config
         precision = resolve_precision(cfg.matmul_precision)
         self.precision = precision
-        self.image_encoder = resnet34(precision, name="image_encoder")
-        self.img_map_encoder = resnet34(precision, name="img_map_encoder")
-        self.lidar_encoder = resnet18(precision, name="lidar_encoder")
+        remat = bool(getattr(cfg, "remat", False))
+        self.image_encoder = resnet34(precision, name="image_encoder",
+                                      remat=remat)
+        self.img_map_encoder = resnet34(precision, name="img_map_encoder",
+                                        remat=remat)
+        self.lidar_encoder = resnet18(precision, name="lidar_encoder",
+                                      remat=remat)
         if self.variant in ("vec", "rad"):
             self.vectornet_encoder = VectornetEncoder(precision=precision)
         if self.variant == "rad":

@@ -62,6 +62,14 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int]
     precision: Any = None
+    # per-block activation rematerialization (nn.remat == jax.checkpoint as
+    # a lifted flax transform): the backward recomputes each block's conv/BN
+    # intermediates from its input instead of keeping them resident, so
+    # activation HBM scales with ONE block, not the whole backbone. This is
+    # what lets batch-96 training coexist with the 5.4 GiB HBM-resident data
+    # cache (GlobalConfig.remat -> phase2 remat=true). Parameter names are
+    # unchanged — checkpoints are interchangeable with remat off.
+    remat: bool = False
 
     WIDTHS = (64, 128, 256, 512)
 
@@ -70,15 +78,18 @@ class ResNet(nn.Module):
                              use_bias=False, precision=self.precision,
                              kernel_init=_conv_kaiming_out)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        # static_argnums counts self at 0, so 2 == the `train` bool
+        block_cls = (nn.remat(BasicBlock, static_argnums=(2,)) if self.remat
+                     else BasicBlock)
         layers = []
         for i, (width, blocks) in enumerate(zip(self.WIDTHS, self.stage_sizes)):
             stage = []
             for j in range(blocks):
                 strides = 2 if (i > 0 and j == 0) else 1
                 use_projection = j == 0 and i > 0
-                stage.append(BasicBlock(width, strides, use_projection,
-                                        precision=self.precision,
-                                        name=f"layer{i + 1}_{j}"))
+                stage.append(block_cls(width, strides, use_projection,
+                                       precision=self.precision,
+                                       name=f"layer{i + 1}_{j}"))
             layers.append(tuple(stage))
         self.layers = tuple(layers)
 
@@ -101,9 +112,13 @@ class ResNet(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global avgpool -> (B, 512)
 
 
-def resnet18(precision: Any = None, name: str = None) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), precision=precision, name=name)
+def resnet18(precision: Any = None, name: str = None,
+             remat: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), precision=precision, name=name,
+                  remat=remat)
 
 
-def resnet34(precision: Any = None, name: str = None) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), precision=precision, name=name)
+def resnet34(precision: Any = None, name: str = None,
+             remat: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), precision=precision, name=name,
+                  remat=remat)

@@ -150,6 +150,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
     one v5e chip, 64.2 -> 55.5 ms at batch 24 full MMFN-rad; the loss is
     always reduced in f32). Opt-in via GlobalConfig.compute_dtype — the
     reference trains pure f32, so parity checkpoints keep the default.
+
+    Activation rematerialization is a MODEL property, not a step property:
+    GlobalConfig.remat=True makes the ResNet backbones checkpoint per block
+    (models/resnet.py) so the backward recomputes conv activations instead
+    of keeping them resident — whole-graph jax.checkpoint here would NOT
+    reduce peak HBM (a single segment's backward still materializes the
+    full forward it recomputes).
     """
     half = jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
 

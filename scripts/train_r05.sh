@@ -24,16 +24,22 @@ fi
 
 train () {  # entry_point logdir extra-overrides...
   local entry="$1" logdir="$2"; shift 2
+  if [ -f "$ROOT/log/$logdir/DONE" ]; then
+    echo "== $logdir already trained, skipping"; return
+  fi
   python -u run_steps/phase2_train_net.py --config run_steps/config/train.yaml \
     data_folder="$DATA" "$TRAIN_TOWNS" "$VAL_TOWNS" \
     train_agent.entry_point="$entry" logdir="$ROOT/log/$logdir" \
     compute_dtype=bfloat16 "$@"
+  touch "$ROOT/log/$logdir/DONE"
 }
 
 # flagship: the reference's exact schedule
 train mmfn_vec mmfn_vec batch_size=24 epochs=101
-# rad at the measured-faster batch 96 (the +12.5% lever, PERFORMANCE.md)
-train mmfn_rad mmfn_rad batch_size=96 epochs=60
+# rad at the measured-faster batch 96 (the +12.5% lever, PERFORMANCE.md);
+# remat=true: batch-96 activations don't fit beside the 5.4 GiB HBM data
+# cache without rematerialization (jax.checkpoint, train/engine.py)
+train mmfn_rad mmfn_rad batch_size=96 epochs=60 remat=true
 # img: needs the birdview raster column -> bigger HBM cache budget
 train mmfn_img mmfn_img batch_size=24 epochs=40 device_cache_budget_gb=12
 # AIM baseline for the benchmark table

@@ -194,6 +194,38 @@ def test_bf16_train_step_descends_params_stay_f32(tiny_setup):
 
 
 @pytest.mark.slow
+def test_remat_train_step_matches_plain():
+    """GlobalConfig.remat=True (per-block nn.remat in the ResNet backbones,
+    models/resnet.py) recomputes conv activations in the backward instead of
+    keeping them resident — the parameter names and one-step update must
+    match the plain model (same ops; only the autodiff schedule changes)."""
+    import optax
+
+    from mmfn_tpu.models import get_entry_point
+
+    cfg = GlobalConfig(n_layer=1, max_lanes=8, input_resolution=64)
+    batch = synthetic_batch(batch_size=2, max_lanes=8, resolution=64)
+    rng = jax.random.PRNGKey(7)
+    tx = optax.adamw(cfg.lr)
+    states = {}
+    for remat in (False, True):
+        c = cfg.replace(remat=remat)
+        model = get_entry_point("mmfn_rad")(c)
+        state = create_train_state(model, c, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, tx)
+        states[remat], loss = step(state, batch, rng)
+        states[remat] = (jax.tree.map(np.asarray, states[remat]), float(loss))
+
+    (sp, loss_p), (sr, loss_r) = states[False], states[True]
+    assert loss_r == pytest.approx(loss_p, rel=1e-5)
+    # identical param trees (remat must not rename/restructure variables)
+    assert jax.tree_util.tree_structure(sp.params) == \
+        jax.tree_util.tree_structure(sr.params)
+    for a, b in zip(jax.tree.leaves(sr.params), jax.tree.leaves(sp.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_tensor_parallel_full_depth_matches_single_device():
     """FULL-DEPTH tensor parallelism (VERDICT r3 weak #2 / next #3): the
     n_layer=8 MMFN-rad forward AND one train step over a
