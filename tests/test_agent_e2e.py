@@ -61,6 +61,7 @@ def test_mmfn_agent_closed_loop_smoke(tool, tmp_path, async_dispatch):
     assert np.isfinite(record.scores["score_composed"])
 
 
+@pytest.mark.slow
 def test_pipeline_host_bev_matches_device_bev():
     """host_bev=True (ship the uint8 BEV count grid) must produce the same
     waypoints as shipping the padded f16 cloud for on-device binning. Points
@@ -134,6 +135,7 @@ def test_pack_columns_roundtrip_bit_exact():
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_pipeline_packed_matches_unpacked():
     """packed=True (one uint8 buffer per tick, VERDICT r2 #3) must reproduce
     the per-array-transfer pipeline: same transport dtypes reach the same

@@ -41,6 +41,7 @@ def test_jit_forward_and_determinism():
     np.testing.assert_array_equal(out1, out2)
 
 
+@pytest.mark.slow
 def test_lane_mask_invariance():
     """Lanes beyond lane_num must not affect the output (masked attention +
     token-0-only generator)."""
@@ -79,6 +80,7 @@ def test_registry_entry_points():
     assert get_entry_point("mmfn_rad")(CFG).variant == "rad"
 
 
+@pytest.mark.slow
 def test_attention_introspection():
     from mmfn_tpu.utils.introspection import forward_with_intermediates, attention_rollout
 
