@@ -46,6 +46,10 @@ SCENARIOS = "data/scenarios/fake_towns_scenarios.json"
 
 def agent_overrides(name: str, model_root: str):
     """phase0 override list + checkpoint dir for one benchmark agent."""
+    if name == "expert":
+        # rule-based MMFNPilot reference row (no checkpoint): shows the
+        # criteria tree firing under load independent of any training run
+        return ["agent.type=expert"], None
     if name in ("aim", "cilrs", "transfuser"):
         path = os.path.join(model_root, name)
         return [f"agent.type={name}", f"agent.model_path={path}"], path
@@ -70,11 +74,13 @@ def run_leg(agent: str, town: str, map_path: str, routes: str, weather: str,
     print(f"[benchmark] {agent} {town} {weather}: running "
           f"({' '.join(cmd[2:])})", flush=True)
     t0 = time.time()
-    r = subprocess.run(cmd, cwd=REPO)
-    print(f"[benchmark] ... exit {r.returncode} [{time.time() - t0:.0f}s]",
-          flush=True)
+    # per-leg output to a sidecar log so concurrent legs don't interleave
+    with open(endpoint.replace(".json", ".log"), "w") as logf:
+        r = subprocess.run(cmd, cwd=REPO, stdout=logf, stderr=subprocess.STDOUT)
+    print(f"[benchmark] {agent} {town} {weather}: exit {r.returncode} "
+          f"[{time.time() - t0:.0f}s]", flush=True)
     if r.returncode != 0:
-        raise SystemExit(f"benchmark leg failed: {agent} {town} {weather}")
+        raise RuntimeError(f"benchmark leg failed: {agent} {town} {weather}")
     return endpoint
 
 
@@ -135,22 +141,31 @@ def main():
     ap.add_argument("--model-root", default="log")
     ap.add_argument("--max-wall", type=float, default=900.0)
     ap.add_argument("--aggregate-only", action="store_true")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="concurrent legs; on a 1-vCPU host behind the TPU "
+                         "relay ~3 legs overlap well (each leg's host tick "
+                         "work fills the others' ~28 ms dispatch waits)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     agents = [a for a in args.agents.split(",") if a]
     weathers = [w for w in args.weathers.split(",") if w]
-    paths = {}
-    for agent in agents:
-        for town, map_path, routes in LEGS:
-            for weather in weathers:
-                endpoint = os.path.join(args.out,
-                                        f"{agent}_{town}_{weather}.json")
-                key = (agent, town, weather)
-                if not args.aggregate_only:
-                    endpoint = run_leg(agent, town, map_path, routes,
-                                       weather, args)
-                paths[key] = endpoint
+    specs = [(agent, town, map_path, routes, weather)
+             for agent in agents
+             for town, map_path, routes in LEGS
+             for weather in weathers]
+    paths = {(a, t, w): os.path.join(args.out, f"{a}_{t}_{w}.json")
+             for a, t, _, _, w in specs}
+    if not args.aggregate_only:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, args.jobs)) as pool:
+            futs = {pool.submit(run_leg, a, t, m, r, w, args): (a, t, w)
+                    for a, t, m, r, w in specs}
+            failed = [k for f, k in futs.items()
+                      if f.exception() is not None]
+        if failed:
+            raise SystemExit(f"benchmark legs failed: {failed}")
 
     table = aggregate(paths)
     out_md = os.path.join(args.out, "TABLE.md")
