@@ -62,6 +62,10 @@ def main():
         lr=cfg.get("lr", 1e-4), max_lanes=cfg.get("max_lanes", 64),
         compute_dtype=cfg.get("compute_dtype",
                               model_overrides.pop("compute_dtype", "float32")),
+        # remat=true: per-block ResNet rematerialization (models/resnet.py) —
+        # activation HBM drops to a ~one-block floor so big batches coexist
+        # with the HBM-resident data cache (batch 96 OOMs without it)
+        remat=cfg.get("remat", model_overrides.pop("remat", False)),
         # checkpoint_backend=orbax: async sharded checkpoints (multi-host
         # writes without a rank-0 full-state gather; train/engine.py)
         checkpoint_backend=cfg.get(
